@@ -1,0 +1,332 @@
+"""Deterministic synthetic fixture tables (seed-free: pure integer hashing).
+
+Implements the schemas in FIXTURES.md: the canonical ``images`` table
+(image+caption rows per BASELINE.json input_hint), ``aoi_polygons``,
+``zones``, and ``stack_meta``. Everything is a pure function of the row
+index, so generation is distributed (mapInPandas over spark.range) yet
+byte-identical at any parallelism — the scaling-efficiency runs require
+byte-identical outputs at local[8] vs local[32].
+
+Pixel-content patterns follow FIXTURES.md §5 so operator goldens have
+closed forms (analytic DEM for slope/aspect/hillshade; red/NIR ramps for
+NDVI; Landsat-like QA cycling the reference's clear-pixel whitelist
+/root/reference/functions/LandsatPixelPercentile.py:15-17).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codec
+
+# QA whitelists from the reference (LandsatPixelPercentile.py:15-17)
+QA_CLEAR_C1 = (672, 676, 680, 684)
+QA_CLEAR_C2 = (21824, 21888)  # representative C2 clear values
+QA_CLOUDY = (712, 752, 6816)
+
+HOT_CENTER = (10.0, 45.0)  # 20% of tiles cluster here (skew exercise)
+HOT_RADIUS = 1.0
+
+IMAGES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("caption", T.StringType(), False),
+    T.StructField("phash", T.LongType(), False),
+    T.StructField("lon", T.DoubleType(), False),
+    T.StructField("lat", T.DoubleType(), False),
+    T.StructField("xmin", T.DoubleType(), False),
+    T.StructField("ymin", T.DoubleType(), False),
+    T.StructField("xmax", T.DoubleType(), False),
+    T.StructField("ymax", T.DoubleType(), False),
+    T.StructField("epsg", T.IntegerType(), False),
+    T.StructField("bands", T.IntegerType(), False),
+    T.StructField("dtype", T.StringType(), False),
+    T.StructField("nodata", T.DoubleType(), True),
+])
+
+CELL_DEG = 0.001  # dx = dy = 0.001° per FIXTURES.md
+
+
+def splitmix64(x):
+    """Deterministic integer hash (public-domain splitmix64 finalizer)."""
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        z = (np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _unit(x, salt: int):
+    """hash → double in [0,1)."""
+    return (splitmix64(np.asarray(x, dtype=np.uint64) ^ np.uint64(salt)).astype(np.float64)
+            / float(2**64))
+
+
+# ------------------------------------------------------------ pixels -------
+
+def tile_dims(i: int) -> tuple[int, int]:
+    return (32, 64, 128)[i % 3], (32, 64, 128)[(i + 1) % 3]
+
+
+def tile_kind(i: int) -> int:
+    """0=analytic DEM f4; 1=red/NIR u1; 2=6-band Landsat-like u2; 3=degenerate u1."""
+    return i % 4
+
+
+def tile_fmt(i: int) -> str:
+    kind = tile_kind(i)
+    if kind == 1 or kind == 3:                       # u1 → lossy eligible
+        return ("raw", "rle", "zlib", "dct")[(i // 4) % 4]
+    return ("raw", "rle", "zlib")[(i // 4) % 3]
+
+
+def gen_pixels(i: int) -> np.ndarray:
+    """The golden pixel content for row i — the NumPy oracle used by tests."""
+    w, h = tile_dims(i)
+    kind = tile_kind(i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    if kind == 0:  # analytic DEM: differentiable closed form (FIXTURES.md §5)
+        z = (100.0 + 50.0 * np.sin(2 * np.pi * xx / w) * np.cos(2 * np.pi * yy / h)
+             + 0.1 * xx)
+        return z.astype(np.float32)[None, :, :]
+    px = (yy * w + xx).astype(np.int64)
+    if kind == 1:  # red/NIR pair
+        red = ((i * 7 + px) % 251).astype(np.uint8)
+        nir = ((i * 13 + px) % 241).astype(np.uint8)
+        return np.stack([red, nir])
+    if kind == 2:  # 6-band Landsat-like stack; last band = QA
+        bands = [((i * (3 + b) + px * (b + 1)) % 10000).astype(np.uint16)
+                 for b in range(5)]
+        qa_vals = np.array(QA_CLEAR_C1 + QA_CLOUDY, dtype=np.uint16)
+        qa = qa_vals[(i + px) % len(qa_vals)]
+        return np.stack(bands + [qa])
+    # kind 3: degenerate — constant or ramp with zeros (mask/nodata tests)
+    if i % 8 == 3:
+        return np.full((1, h, w), (i % 200) + 1, dtype=np.uint8)
+    ramp = (px % 256).astype(np.uint8)
+    ramp[px % 17 == 0] = 0  # embedded nodata zeros
+    return ramp[None, :, :]
+
+
+def tile_meta(i: int) -> dict:
+    kind = tile_kind(i)
+    dtype = ("f4", "u1", "u2", "u1")[kind]
+    bands = (1, 2, 6, 1)[kind]
+    nodata = {"f4": -9999.0, "u1": 0.0, "u2": 0.0}[dtype] if kind in (0, 3) else None
+    return {"dtype": dtype, "bands": bands, "nodata": nodata}
+
+
+def tile_lonlat(i: int) -> tuple[float, float]:
+    if i % 5 == 0:  # 20% hot cluster (skew)
+        lon = HOT_CENTER[0] + (float(_unit(i, 101)) - 0.5) * 2 * HOT_RADIUS
+        lat = HOT_CENTER[1] + (float(_unit(i, 102)) - 0.5) * 2 * HOT_RADIUS
+    else:
+        lon = float(_unit(i, 1)) * 360.0 - 180.0
+        lat = float(_unit(i, 2)) * 170.0 - 85.0
+    return lon, lat
+
+
+def images_pdf(indices: np.ndarray) -> pd.DataFrame:
+    """Materialize image rows for the given indices (runs on executors)."""
+    rows = []
+    for i in indices.tolist():
+        px = gen_pixels(i)
+        meta = tile_meta(i)
+        fmt = tile_fmt(i)
+        buf = codec.encode(px, fmt)
+        w, h = int(px.shape[2]), int(px.shape[1])
+        lon, lat = tile_lonlat(i)
+        hw = w * CELL_DEG / 2
+        hh = h * CELL_DEG / 2
+        rows.append({
+            "image_id": f"img{i:09d}",
+            "bytes": buf,
+            "w": w, "h": h, "fmt": fmt,
+            "caption": f"caption-{i}-{int(splitmix64(i)):016x}",
+            "phash": codec.phash64(px),
+            "lon": lon, "lat": lat,
+            "xmin": lon - hw, "ymin": lat - hh,
+            "xmax": lon + hw, "ymax": lat + hh,
+            "epsg": 4326,
+            "bands": meta["bands"], "dtype": meta["dtype"],
+            "nodata": meta["nodata"],
+        })
+    return pd.DataFrame(rows)
+
+
+def images_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic images table: spark.range → mapInPandas.
+
+    Partition count does not affect content (pure function of row index),
+    so outputs are identical at any parallelism."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, 1, parts)
+
+    def gen(batches):
+        for pdf in batches:
+            yield images_pdf(pdf["id"].to_numpy())
+
+    return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+# ------------------------------------------------------------- AOIs --------
+
+AOI_SCHEMA = T.StructType([
+    T.StructField("aoi_id", T.LongType(), False),
+    T.StructField("name", T.StringType(), False),
+    T.StructField("ring_x", T.ArrayType(T.DoubleType()), False),
+    T.StructField("ring_y", T.ArrayType(T.DoubleType()), False),
+    T.StructField("xmin", T.DoubleType(), False),
+    T.StructField("ymin", T.DoubleType(), False),
+    T.StructField("xmax", T.DoubleType(), False),
+    T.StructField("ymax", T.DoubleType(), False),
+])
+
+
+def aoi_ring(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Closed convex-ish polygon ring for AOI k (counter-clockwise).
+
+    AOI 0 is the giant polygon covering the hot cluster (FIXTURES.md §2)."""
+    if k == 0:
+        cx, cy, r = HOT_CENTER[0], HOT_CENTER[1], 3.0
+        nv = 8
+    else:
+        cx = float(_unit(k, 11)) * 340.0 - 170.0
+        cy = float(_unit(k, 12)) * 150.0 - 75.0
+        r = 0.05 + float(_unit(k, 13)) ** 2 * 4.95  # 0.05°–5°, skewed small
+        nv = 5 + int(_unit(k, 14) * 8)              # 5–12 vertices
+    ang = np.sort(_unit(np.arange(nv) + k * 1000, 15) * 2 * np.pi)
+    rad = r * (0.6 + 0.4 * _unit(np.arange(nv) + k * 2000, 16))
+    xs = cx + rad * np.cos(ang)
+    ys = cy + rad * np.sin(ang)
+    return xs, ys
+
+
+def aoi_pdf(n_aoi: int) -> pd.DataFrame:
+    rows = []
+    for k in range(n_aoi):
+        xs, ys = aoi_ring(k)
+        rows.append({
+            "aoi_id": k, "name": f"aoi-{k}",
+            "ring_x": xs.tolist(), "ring_y": ys.tolist(),
+            "xmin": float(xs.min()), "ymin": float(ys.min()),
+            "xmax": float(xs.max()), "ymax": float(ys.max()),
+        })
+    return pd.DataFrame(rows)
+
+
+def aoi_df(spark: SparkSession, n_aoi: int = 50) -> DataFrame:
+    return spark.createDataFrame(aoi_pdf(n_aoi), schema=AOI_SCHEMA)
+
+
+# ------------------------------------------------------------- zones -------
+
+def zones_pdf(n_zones: int = 20) -> pd.DataFrame:
+    """Zonal threshold table mirroring ZonalRemap's {zoneId: [zmin,zmax,zval]}
+    (/root/reference/functions/deprecated/ZonalRemap.py:139-156), with null
+    open-ended intervals and null zval → default 255 (probe semantics
+    ZonalRemap.py:190-198)."""
+    z = np.arange(1, n_zones + 1, dtype=np.int64)
+    zmin = np.where(z % 5 == 0, np.nan, (z * 9.0) % 120.0)
+    zmax = np.where(z % 7 == 0, np.nan, zmin + 40.0 + (z % 11) * 5.0)
+    zmax = np.where(np.isnan(zmin), 60.0 + (z % 13) * 7.0, zmax)
+    zval = np.where(z % 4 == 0, np.nan, (z * 3.0) % 254.0 + 1.0)
+    return pd.DataFrame({
+        "zone_id": z,
+        "zmin": zmin, "zmax": zmax, "zval": zval,
+        "attr1": (z * 1.5) % 100.0,
+        "attr2": (z * 2.5) % 100.0,
+        "attr3": (z * 3.5) % 100.0,
+    })
+
+
+def zones_df(spark: SparkSession, n_zones: int = 20) -> DataFrame:
+    return spark.createDataFrame(zones_pdf(n_zones))
+
+
+# --------------------------------------------------------- stack meta ------
+
+def stack_meta_df(spark: SparkSession, n_scenes: int, acq_per_scene: int = 24) -> DataFrame:
+    """Per-acquisition key metadata (AcquisitionDate, sun angles) for the
+    time-stack composites — mirrors rasters_keyMetadata
+    (/root/reference/functions/PercentAboveThreshold.py:80,98)."""
+    df = (spark.range(n_scenes * acq_per_scene)
+          .withColumn("scene_id", F.concat(F.lit("scene"), (F.col("id") / acq_per_scene).cast("long")))
+          .withColumn("seq", (F.col("id") % acq_per_scene).cast("int"))
+          .withColumn("image_id", F.concat(F.lit("img"), F.lpad(F.col("id").cast("string"), 9, "0")))
+          .withColumn("acq_date", F.expr("timestampadd(MONTH, seq, timestamp'1985-01-15 00:00:00')"))
+          .withColumn("acq_days", F.expr("datediff(acq_date, date'1900-01-01') * 1.0"))
+          .withColumn("sun_azimuth", 90.0 + (F.col("id") * 37 % 180).cast("double"))
+          .withColumn("sun_elevation", 20.0 + (F.col("id") * 13 % 50).cast("double")))
+    return df.drop("id")
+
+
+# ------------------------------------------------- DEM scenes (halo) -------
+
+def dem_scene(tiles_x: int, tiles_y: int, tile: int = 32) -> np.ndarray:
+    """One continuous analytic DEM over a (tiles_y*tile, tiles_x*tile) grid —
+    split into tiles by :func:`dem_scene_pdf`; focal-op tests check that
+    halo-joined per-tile kernels reproduce the whole-scene kernel exactly."""
+    H, W = tiles_y * tile, tiles_x * tile
+    yy, xx = np.mgrid[0:H, 0:W]
+    z = (100.0 + 50.0 * np.sin(2 * np.pi * xx / 96.0) * np.cos(2 * np.pi * yy / 80.0)
+         + 0.05 * xx + 0.02 * yy)
+    return z.astype(np.float32)
+
+
+def dem_scene_pdf(scene_id: str, tiles_x: int, tiles_y: int, tile: int = 32,
+                  fmt: str = "zlib") -> pd.DataFrame:
+    full = dem_scene(tiles_x, tiles_y, tile)
+    rows = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            px = full[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            rows.append({
+                "scene_id": scene_id, "tx": tx, "ty": ty,
+                "w": tile, "h": tile, "fmt": fmt,
+                "bytes": codec.encode(px[None, :, :], fmt),
+                "cell_dx": CELL_DEG, "cell_dy": CELL_DEG,
+            })
+    return pd.DataFrame(rows)
+
+
+def dem_scene_df(spark: SparkSession, scene_id: str = "scene0",
+                 tiles_x: int = 4, tiles_y: int = 4, tile: int = 32) -> DataFrame:
+    return spark.createDataFrame(dem_scene_pdf(scene_id, tiles_x, tiles_y, tile))
+
+
+# ---------------------------------------------- time stacks (composites) ---
+
+def stack_images_pdf(scene_ids: list[int], n_times: int, tile: int = 16) -> pd.DataFrame:
+    """Time stack: for each scene, n_times co-registered acquisitions of the
+    same tile (bands: [value, qa]); QA cycles clear/cloudy values so masked
+    composites (median/percentile) have countable goldens."""
+    rows = []
+    qa_vals = np.array(QA_CLEAR_C1 + QA_CLOUDY, dtype=np.uint16)
+    for s in scene_ids:
+        for t in range(n_times):
+            i = s * 1000 + t
+            yy, xx = np.mgrid[0:tile, 0:tile]
+            px = ((s * 31 + t * 17 + yy * tile + xx) % 4000).astype(np.uint16)
+            qa = qa_vals[(s + t + yy * tile + xx) % len(qa_vals)].astype(np.uint16)
+            stack = np.stack([px, qa])
+            rows.append({
+                "scene_id": f"scene{s}", "t": t,
+                "acq_month": (t % 12) + 1,
+                "acq_days": 31046.0 + t * 30.0,  # days since 1900 variant form
+                "bytes": codec.encode(stack, "zlib"),
+                "w": tile, "h": tile,
+            })
+    return pd.DataFrame(rows)
+
+
+def stack_images_df(spark: SparkSession, n_scenes: int = 4, n_times: int = 24,
+                    tile: int = 16) -> DataFrame:
+    return spark.createDataFrame(stack_images_pdf(list(range(n_scenes)), n_times, tile))

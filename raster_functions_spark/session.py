@@ -1,0 +1,86 @@
+"""SparkSession factory tuned for the tiling engine.
+
+Local-mode defaults mirror what we would set per-executor on a real cluster:
+AQE on (runtime skew-join splitting + partition coalescing), shuffle
+partitions ~ cores, Arrow enabled for all pandas-UDF traffic, UTC session
+timezone (required for DuckDB-oracle comparisons), and BLAS/OMP pinned to one
+thread per task so NumPy kernels inside Arrow batches don't oversubscribe
+cores (the reference pins BLAS threads the same way:
+/root/reference/functions/LandsatMedianImage.py:4-9).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# Pin NumPy/BLAS threads before NumPy is imported anywhere on workers.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+
+def get_spark(app_name: str = "raster_functions_spark",
+              cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores=None`` → ``local[*]``. On a real cluster this builder is a no-op
+    passthrough (master comes from spark-submit); nothing here is
+    local-mode-only semantics.
+    """
+    master = f"local[{cores}]" if cores else os.environ.get("SPARK_MASTER", "local[*]")
+    n = cores or os.cpu_count() or 8
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+    return spark
+
+
+def package_zip(path: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` / ``addPyFile``.
+
+    The north rule requires the engine to run via ``spark-submit
+    --py-files`` on multi-executor clusters; this builds that artifact."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = path or os.path.join(tempfile.gettempdir(), "raster_functions_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("raster_functions_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    return out
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers regardless of
+    the driver's cwd (equivalent of launching with --py-files)."""
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added in this context, or non-local FS restrictions
