@@ -209,6 +209,9 @@ def aoi_ring(k: int) -> tuple[np.ndarray, np.ndarray]:
     return xs, ys
 
 
+_AOI_COLS = ["aoi_id", "name", "ring_x", "ring_y", "xmin", "ymin", "xmax", "ymax"]
+
+
 def aoi_pdf(n_aoi: int) -> pd.DataFrame:
     rows = []
     for k in range(n_aoi):
@@ -219,7 +222,7 @@ def aoi_pdf(n_aoi: int) -> pd.DataFrame:
             "xmin": float(xs.min()), "ymin": float(ys.min()),
             "xmax": float(xs.max()), "ymax": float(ys.max()),
         })
-    return pd.DataFrame(rows)
+    return pd.DataFrame(rows, columns=_AOI_COLS)  # keeps schema when empty
 
 
 def aoi_df(spark: SparkSession, n_aoi: int = 50) -> DataFrame:

@@ -1,0 +1,334 @@
+"""Focal / neighborhood operators + distributed halo exchange — SURVEY.md §2.5.
+
+The reference gets edge-correct focal results by asking the host for padded
+pixel blocks (``getConfiguration()['padding']``,
+/root/reference/functions/Reference.py:100) and cropping after compute
+(/root/reference/functions/deprecated/Hillshade.py:82-94). In a distributed
+tile table there is no host to pad for us, so the engine performs a **halo
+exchange**: every tile ships only the boundary strips its neighbors need
+(p rows/columns, p = op.padding), a single shuffle keyed by target tile
+re-assembles padded arrays, the kernel runs, and the pad is cropped.
+
+Shuffle volume is tile_bytes × (1 + ~4p/tile_size) — at p=1, ~6% overhead
+over the unavoidable one pass; this is the design that survives 100 TB
+(an 8-way self-join would read the table 8×).
+
+All kernels are whole-array NumPy (no scipy available, none needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from numpy.lib.stride_tricks import sliding_window_view
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import codec
+from ..raster import TileOp
+
+# ------------------------------------------------------------ kernels ------
+# All kernel fns take an already-padded (bands, h+2p, w+2p) array and return
+# (bands_out, h, w) — cropping is part of the kernel contract, exactly like
+# the reference's updatePixels (Hillshade.py:89 crops [1:-1, 1:-1]).
+
+
+def _horn_gradients(z: np.ndarray, cellsize: float):
+    """Horn 3×3 gradients on a 1-pad 2-D array → (dz/dx, dz/dy) cropped.
+
+    Same stencil the reference uses for slope/aspect/hillshade
+    (/root/reference/functions/deprecated/Hillshade.py:115-116,
+    deprecated/AspectSlope.py:80-81), written as shifted sums."""
+    a = z[:-2, :-2]; b = z[:-2, 1:-1]; c = z[:-2, 2:]
+    d = z[1:-1, :-2];                  f = z[1:-1, 2:]
+    g = z[2:, :-2];  h8 = z[2:, 1:-1]; i = z[2:, 2:]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * cellsize)
+    dzdy = ((g + 2 * h8 + i) - (a + 2 * b + c)) / (8.0 * cellsize)
+    return dzdx, dzdy
+
+
+def slope_aspect_np(z_padded: np.ndarray, cellsize: float = 1.0, z_factor: float = 1.0):
+    """(slope_deg, aspect_deg) from a 1-padded 2-D float array.
+    Aspect in compass degrees (0=N, clockwise), flat = -1."""
+    dzdx, dzdy = _horn_gradients(z_padded.astype(np.float64), cellsize)
+    slope = np.degrees(np.arctan(z_factor * np.hypot(dzdx, dzdy)))
+    aspect = np.degrees(np.arctan2(dzdy, -dzdx))  # math angle from east
+    aspect = np.where(aspect < 90.0, 90.0 - aspect, 450.0 - aspect)  # → compass
+    flat = (dzdx == 0) & (dzdy == 0)
+    return slope, np.where(flat, -1.0, aspect % 360.0)
+
+
+def hillshade_np(z_padded: np.ndarray, cellsize: float = 1.0, z_factor: float = 1.0,
+                 azimuth: float = 315.0, altitude: float = 45.0) -> np.ndarray:
+    """Classic single-source hillshade (uint8 0..255) — behavior of
+    /root/reference/functions/deprecated/Hillshade.py:108-133."""
+    dzdx, dzdy = _horn_gradients(z_padded.astype(np.float64), cellsize)
+    zen = np.radians(90.0 - altitude)
+    azm = np.radians((360.0 - azimuth + 90.0) % 360.0)
+    slope = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    shade = (np.cos(zen) * np.cos(slope)
+             + np.sin(zen) * np.sin(slope) * np.cos(azm - aspect))
+    return np.clip(255.0 * shade, 0, 255).astype(np.uint8)
+
+
+def multidirectional_hillshade_np(z_padded: np.ndarray, cellsize: float = 1.0,
+                                  z_factor: float = 1.0) -> np.ndarray:
+    """Weighted 6-azimuth hillshade — MultidirectionalHillshade template
+    (SURVEY.md W7): sum of W1 at 6 azimuths with USGS-style weights."""
+    azs = (225.0, 270.0, 315.0, 360.0, 45.0, 90.0)
+    wts = (0.1, 0.2, 0.25, 0.2, 0.15, 0.1)
+    acc = np.zeros(np.asarray(z_padded.shape) - 2, dtype=np.float64)
+    for az, wt in zip(azs, wts):
+        acc += wt * hillshade_np(z_padded, cellsize, z_factor, azimuth=az).astype(np.float64)
+    return np.clip(acc, 0, 255).astype(np.uint8)
+
+
+# AspectSlope classification: 2-digit code (slope class tens digit via
+# aspect class) — same class edges as deprecated/AspectSlope.py:96-114.
+_SLOPE_EDGES = (5.0, 20.0)          # gentle / moderate / steep
+_ASPECT_EDGES = (22.5, 67.5, 112.5, 157.5, 202.5, 247.5, 292.5, 337.5)
+
+
+def aspect_slope_class_np(z_padded: np.ndarray, cellsize: float = 1.0,
+                          z_factor: float = 1.0) -> np.ndarray:
+    slope, aspect = slope_aspect_np(z_padded, cellsize, z_factor)
+    s_cls = np.digitize(slope, _SLOPE_EDGES) + 1            # 1..3
+    a_cls = np.digitize(aspect % 360.0, _ASPECT_EDGES) % 8  # 0..7 (N..NW)
+    code = np.where(slope < 1.0, 10, (s_cls + 1) * 10 + a_cls + 1)
+    return code.astype(np.uint8)
+
+
+def rank_filter_np(band: np.ndarray, measure: str, size: int) -> np.ndarray:
+    """Sliding-window order statistics on a p-padded 2-D array (p=size//2) —
+    RankFilter measures (/root/reference/functions/RankFilter.py:80-107),
+    via stride tricks instead of scikit-image."""
+    win = sliding_window_view(band, (size, size))
+    flat = win.reshape(*win.shape[:2], -1)
+    if measure == "min":
+        return flat.min(axis=-1)
+    if measure == "max":
+        return flat.max(axis=-1)
+    if measure == "mean":
+        return flat.mean(axis=-1)
+    if measure == "median":
+        return np.median(flat, axis=-1)
+    if measure == "sum":
+        return flat.sum(axis=-1)
+    if measure == "range":
+        return flat.max(axis=-1) - flat.min(axis=-1)
+    if measure == "threshold":  # local-mean binarization (RankFilter 'threshold')
+        return (band[size // 2:-(size // 2) or None, size // 2:-(size // 2) or None]
+                > flat.mean(axis=-1)).astype(band.dtype)
+    raise ValueError(f"unknown rank measure {measure}")
+
+
+def block_statistics_np(band: np.ndarray, measure: str, factor: int) -> np.ndarray:
+    """Tumbling non-overlapping n×n block reduce (downsamples by factor) —
+    BlockStatistics (/root/reference/functions/BlockStatistics.py:75-105).
+    No halo needed (tumbling, not sliding)."""
+    h, w = band.shape
+    ph, pw = (-h) % factor, (-w) % factor
+    if ph or pw:
+        band = np.pad(band, ((0, ph), (0, pw)), mode="edge")
+    blocks = (band.reshape(band.shape[0] // factor, factor,
+                           band.shape[1] // factor, factor)
+              .transpose(0, 2, 1, 3).reshape(band.shape[0] // factor,
+                                             band.shape[1] // factor, -1))
+    if measure == "nearest":
+        return band[::factor, ::factor].copy()
+    red = {"min": np.min, "max": np.max, "mean": np.mean,
+           "median": np.median, "sum": np.sum}[measure]
+    return red(blocks, axis=-1)
+
+
+# -------------------------------------------------------- TileOp wrap ------
+
+def hillshade(cellsize: float = 1.0, z_factor: float = 1.0,
+              azimuth: float = 315.0, altitude: float = 45.0) -> TileOp:
+    def fn(px, meta):
+        cs = float(meta.get("cell_dx", cellsize))
+        return np.stack([hillshade_np(b.astype(np.float64), cs, z_factor,
+                                      azimuth, altitude) for b in px])
+    return TileOp("hillshade", fn, padding=1, dtype_out="u1")
+
+
+def multidirectional_hillshade(cellsize: float = 1.0, z_factor: float = 1.0) -> TileOp:
+    def fn(px, meta):
+        cs = float(meta.get("cell_dx", cellsize))
+        return np.stack([multidirectional_hillshade_np(b.astype(np.float64), cs, z_factor)
+                         for b in px])
+    return TileOp("mdhillshade", fn, padding=1, dtype_out="u1")
+
+
+def slope(cellsize: float = 1.0, z_factor: float = 1.0) -> TileOp:
+    def fn(px, meta):
+        cs = float(meta.get("cell_dx", cellsize))
+        return np.stack([slope_aspect_np(b.astype(np.float64), cs, z_factor)[0]
+                         for b in px]).astype(np.float32)
+    return TileOp("slope", fn, padding=1, dtype_out="f4")
+
+
+def aspect(cellsize: float = 1.0, z_factor: float = 1.0) -> TileOp:
+    def fn(px, meta):
+        cs = float(meta.get("cell_dx", cellsize))
+        return np.stack([slope_aspect_np(b.astype(np.float64), cs, z_factor)[1]
+                         for b in px]).astype(np.float32)
+    return TileOp("aspect", fn, padding=1, dtype_out="f4")
+
+
+def aspect_slope_class(cellsize: float = 1.0, z_factor: float = 1.0) -> TileOp:
+    def fn(px, meta):
+        cs = float(meta.get("cell_dx", cellsize))
+        return np.stack([aspect_slope_class_np(b.astype(np.float64), cs, z_factor)
+                         for b in px])
+    return TileOp("aspect_slope", fn, padding=1, dtype_out="u1")
+
+
+def rank_filter(measure: str, size: int = 3) -> TileOp:
+    p = size // 2
+    def fn(px, meta):
+        return np.stack([rank_filter_np(b.astype(np.float64), measure, size)
+                         for b in px]).astype(np.float32)
+    return TileOp(f"rank_{measure}", fn, padding=p, dtype_out="f4")
+
+
+def focal_statistics(measure: str = "mean", size: int = 3) -> TileOp:
+    """FocalStatistics template (SURVEY.md W5) — alias of rank_filter."""
+    return rank_filter(measure, size)
+
+
+def block_statistics(measure: str = "mean", factor: int = 2) -> TileOp:
+    def fn(px, meta):
+        return np.stack([block_statistics_np(b.astype(np.float64), measure, factor)
+                         for b in px]).astype(np.float32)
+    return TileOp(f"block_{measure}", fn, padding=0, dtype_out="f4")
+
+
+# ------------------------------------------------------ halo exchange ------
+
+_HALO_MSG_SCHEMA = T.StructType([
+    T.StructField("scene_id", T.StringType()),
+    T.StructField("ttx", T.IntegerType()),
+    T.StructField("tty", T.IntegerType()),
+    T.StructField("dx", T.IntegerType()),
+    T.StructField("dy", T.IntegerType()),
+    T.StructField("part", T.BinaryType()),
+])
+
+
+def _strip_for_target(px: np.ndarray, dx: int, dy: int, p: int) -> np.ndarray:
+    """The slice of this tile that lands in the padded window of the
+    neighbor at offset (dx, dy). dx=+1 → neighbor to the right needs my
+    rightmost p columns, etc."""
+    rs = slice(None) if dy == 0 else (slice(0, p) if dy == -1 else slice(-p, None))
+    cs = slice(None) if dx == 0 else (slice(0, p) if dx == -1 else slice(-p, None))
+    return px[:, rs, cs]
+
+
+def apply_focal(df: DataFrame, op: TileOp, fmt_out: str = "zlib",
+                meta_cols: tuple[str, ...] = ("cell_dx",),
+                grid_cols: tuple[str, str, str] = ("scene_id", "tx", "ty")) -> DataFrame:
+    """Distributed edge-correct focal op over a scene-gridded tile table.
+
+    Tiles missing a neighbor (scene boundary) get edge-replicated padding —
+    matching the reference's behavior at raster borders. Output schema:
+    grid cols + bytes/w/h/bands/dtype/fmt.
+    """
+    p = op.padding
+    if p <= 0:
+        raise ValueError("apply_focal requires op.padding > 0")
+    scn, txc, tyc = grid_cols
+    meta_keep = [c for c in meta_cols if c in df.columns]
+
+    def emit(batches):
+        for pdf in batches:
+            rows = {"scene_id": [], "ttx": [], "tty": [], "dx": [], "dy": [], "part": []}
+            for r in range(len(pdf)):
+                px = codec.decode(bytes(pdf["bytes"].iloc[r]))
+                tx, ty = int(pdf[txc].iloc[r]), int(pdf[tyc].iloc[r])
+                sid = pdf[scn].iloc[r]
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        ttx, tty = tx + dx, ty + dy
+                        if ttx < 0 or tty < 0:
+                            continue
+                        part = px if (dx == 0 and dy == 0) else _strip_for_target(px, dx, dy, p)
+                        rows["scene_id"].append(sid)
+                        rows["ttx"].append(ttx); rows["tty"].append(tty)
+                        rows["dx"].append(dx); rows["dy"].append(dy)
+                        rows["part"].append(codec.encode(np.ascontiguousarray(part), "raw"))
+            yield pd.DataFrame(rows)
+
+    msgs = df.select(scn, txc, tyc, "bytes").mapInPandas(emit, schema=_HALO_MSG_SCHEMA)
+
+    out_schema = T.StructType([
+        T.StructField("scene_id", T.StringType()),
+        T.StructField("tx", T.IntegerType()),
+        T.StructField("ty", T.IntegerType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()), T.StructField("dtype", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+    ] + ([df.schema[c] for c in meta_keep]))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        center = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
+        if center.empty:
+            return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema})
+        px = codec.decode(bytes(center["part"].iloc[0]))
+        bands, h, w = px.shape
+        padded = np.zeros((bands, h + 2 * p, w + 2 * p), dtype=px.dtype)
+        valid = np.zeros((h + 2 * p, w + 2 * p), dtype=bool)
+        padded[:, p:h + p, p:w + p] = px
+        valid[p:h + p, p:w + p] = True
+        for r in range(len(pdf)):
+            dx, dy = int(pdf["dx"].iloc[r]), int(pdf["dy"].iloc[r])
+            if dx == 0 and dy == 0:
+                continue
+            # message sent by neighbor at (tx-dx, ty-dy) relative to me
+            part = codec.decode(bytes(pdf["part"].iloc[r]))
+            rs = slice(p, h + p) if dy == 0 else (slice(h + p, h + 2 * p) if dy == -1 else slice(0, p))
+            cs = slice(p, w + p) if dx == 0 else (slice(w + p, w + 2 * p) if dx == -1 else slice(0, p))
+            padded[:, rs, cs] = part
+            valid[rs, cs] = True
+        # Scene-boundary pads: edge-extend vertically then horizontally.
+        # This reproduces exactly clip-to-scene (mosaic-level edge pad)
+        # semantics, including corners fed by a lateral neighbor's strip.
+        if not valid.all():
+            for r in range(p - 1, -1, -1):               # top pad rows
+                fill = ~valid[r] & valid[r + 1]
+                padded[:, r, fill] = padded[:, r + 1, fill]
+                valid[r] |= fill
+            for r in range(h + p, h + 2 * p):            # bottom pad rows
+                fill = ~valid[r] & valid[r - 1]
+                padded[:, r, fill] = padded[:, r - 1, fill]
+                valid[r] |= fill
+            for c in range(p - 1, -1, -1):               # left pad cols
+                fill = ~valid[:, c] & valid[:, c + 1]
+                padded[:, fill, c] = padded[:, fill, c + 1]
+                valid[fill, c] = True
+            for c in range(w + p, w + 2 * p):            # right pad cols
+                fill = ~valid[:, c] & valid[:, c - 1]
+                padded[:, fill, c] = padded[:, fill, c - 1]
+                valid[fill, c] = True
+        meta = {c: center[c].iloc[0] for c in meta_keep} if meta_keep else {}
+        out_px = op.fn(padded, meta)
+        if out_px.ndim == 2:
+            out_px = out_px[None]
+        row = {"scene_id": key[0], "tx": int(key[1]), "ty": int(key[2]),
+               "bytes": codec.encode(out_px, fmt_out),
+               "w": out_px.shape[2], "h": out_px.shape[1],
+               "bands": out_px.shape[0],
+               "dtype": out_px.dtype.str.lstrip("<>=|"), "fmt": fmt_out}
+        row.update(meta)
+        return pd.DataFrame([row])
+
+    # carry per-tile meta columns through the shuffle (joined onto messages)
+    if meta_keep:
+        meta_df = df.select(F.col(scn).alias("scene_id"),
+                            F.col(txc).alias("ttx"), F.col(tyc).alias("tty"), *meta_keep)
+        msgs = msgs.join(meta_df, ["scene_id", "ttx", "tty"], "left")
+    return (msgs.groupBy("scene_id", "ttx", "tty")
+            .applyInPandas(assemble, schema=out_schema))

@@ -1,0 +1,150 @@
+"""Tile-table plumbing: fused decode → kernel chain → encode/stats.
+
+The reference's execution model is a pull-based chain of per-block operators
+that never materializes intermediates (/root/reference/README.md:4-5). The
+Spark-native equivalent: ONE ``mapInPandas`` pass per pipeline stage that
+decodes each tile's ``bytes`` once, runs the whole fused kernel chain on the
+in-memory ndarray, and either re-encodes (tile→tile pipelines) or emits
+scalar stat columns (tile→relational pipelines). Narrow, no shuffle; Arrow
+batches keep the Python boundary amortized (SURVEY.md §4 O9/O11).
+
+Operators are declarative :class:`TileOp` objects mirroring the reference's
+``getConfiguration``/``updateRasterInfo`` metadata negotiation
+(/root/reference/functions/Reference.py:67-185): they declare padding,
+band needs and output dtype/bands so the planner can decide halo joins and
+band pruning before any data moves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codec
+
+
+@dataclass
+class TileOp:
+    """A per-tile pixel operator (the reference's 'raster function').
+
+    ``fn(px, meta) -> px`` operates on one decoded ``(bands, h, w)`` ndarray;
+    ``meta`` carries the row's scalar columns (georeference, acquisition
+    metadata — the reference's key metadata). Declarative fields mirror
+    getConfiguration:
+
+    - ``padding``     — halo pixels needed (0 ⇒ pure map; >0 ⇒ run via
+                        :mod:`operators.focal` halo exchange)
+    - ``bands_in``    — band indices consumed (``None`` = all); the analog
+                        of ``extractBands`` band pruning (Reference.py:80-82)
+    - ``bands_out`` / ``dtype_out`` — output schema negotiation
+                        (updateRasterInfo analog, Reference.py:118-185)
+    """
+
+    name: str
+    fn: Callable[[np.ndarray, dict], np.ndarray]
+    padding: int = 0
+    bands_in: tuple[int, ...] | None = None
+    bands_out: int | None = None
+    dtype_out: str | None = None
+    params: dict = field(default_factory=dict)
+
+    def apply(self, px: np.ndarray, meta: dict) -> np.ndarray:
+        if self.bands_in is not None:
+            px = px[list(self.bands_in)]
+        out = self.fn(px, meta)
+        return out if out.ndim == 3 else out[None]
+
+
+def _row_meta(pdf: pd.DataFrame, idx: int, meta_cols: list[str]) -> dict:
+    return {c: pdf[c].iloc[idx] for c in meta_cols}
+
+
+def apply_chain(df: DataFrame, ops: list[TileOp], fmt_out: str = "zlib",
+                meta_cols: Iterable[str] = (), keep_cols: Iterable[str] | None = None,
+                bytes_col: str = "bytes") -> DataFrame:
+    """Run a fused chain of zero-padding ops over every tile: decode once,
+    apply all kernels, encode once. Returns the input columns (minus pixel
+    shape changes) with ``bytes``/``w``/``h``/``bands``/``dtype``/``fmt``
+    rewritten. Chain composition = the reference's function-chain templates
+    (SURVEY.md §3 entry point 2) expressed as plain Python composition."""
+    if any(op.padding for op in ops):
+        raise ValueError("padded ops must go through operators.focal.apply_focal")
+    meta_cols = list(meta_cols)
+    keep = list(keep_cols) if keep_cols is not None else \
+        [c for c in df.columns if c not in (bytes_col, "w", "h", "bands", "dtype", "fmt")]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField("bytes", T.BinaryType()),
+           T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+           T.StructField("bands", T.IntegerType()), T.StructField("dtype", T.StringType()),
+           T.StructField("fmt", T.StringType())])
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            bufs, ws, hs, bs, dts = [], [], [], [], []
+            for ridx in range(n):
+                px = codec.decode(bytes(pdf[bytes_col].iloc[ridx]))
+                meta = _row_meta(pdf, ridx, meta_cols)
+                for op in ops:
+                    px = op.apply(px, meta)
+                bufs.append(codec.encode(px, fmt_out))
+                bs.append(px.shape[0]); hs.append(px.shape[1]); ws.append(px.shape[2])
+                dts.append(px.dtype.str.lstrip("<>=|"))
+            out = pdf[keep].copy()
+            out["bytes"] = bufs
+            out["w"] = np.array(ws, np.int32); out["h"] = np.array(hs, np.int32)
+            out["bands"] = np.array(bs, np.int32); out["dtype"] = dts
+            out["fmt"] = fmt_out
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def tile_stats(df: DataFrame, ops: list[TileOp],
+               stats: dict[str, Callable[[np.ndarray, dict], float]],
+               meta_cols: Iterable[str] = (), keep_cols: Iterable[str] | None = None,
+               bytes_col: str = "bytes") -> DataFrame:
+    """Decode → fused kernel chain → per-tile scalar statistics (no
+    re-encode). This is the raster→relational bridge: downstream zonal
+    aggregation is a plain Catalyst groupBy over the emitted columns."""
+    if any(op.padding for op in ops):
+        raise ValueError("padded ops must go through operators.focal.apply_focal")
+    meta_cols = list(meta_cols)
+    keep = list(keep_cols) if keep_cols is not None else \
+        [c for c in df.columns if c != bytes_col]
+    out_schema = T.StructType([df.schema[c] for c in keep]
+                              + [T.StructField(s, T.DoubleType()) for s in stats])
+
+    def run(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {s: [] for s in stats}
+            for ridx in range(len(pdf)):
+                px = codec.decode(bytes(pdf[bytes_col].iloc[ridx]))
+                meta = _row_meta(pdf, ridx, meta_cols)
+                for op in ops:
+                    px = op.apply(px, meta)
+                for s, fn in stats.items():
+                    cols[s].append(float(fn(px, meta)))
+            out = pdf[keep].copy()
+            for s in stats:
+                out[s] = np.array(cols[s], dtype=np.float64)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def catalog(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Header-only catalog crawl (no pixel decode) — the analog of
+    /root/reference/scripts/ExtractRasterInfo.py:1-11 over a binary table."""
+    @F.pandas_udf("fmt string, dtype string, bands int, h int, w int, nbytes int")
+    def peek(s: pd.Series) -> pd.DataFrame:
+        rows = [codec.peek_header(bytes(b)) for b in s]
+        return pd.DataFrame(rows)
+    return df.withColumn("hdr", peek(F.col(bytes_col)))

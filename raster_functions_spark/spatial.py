@@ -1,0 +1,248 @@
+"""Spatial join layer: point-in-polygon, cell-cover joins, zonal ops.
+
+Re-expresses the reference's vector↔raster machinery — the
+envelope-intersects feature query (/root/reference/functions/utils.py:213-229),
+zonal attribute lookup (utils.py:149-258), ZonalRemap's per-zone interval
+probe (/root/reference/functions/deprecated/ZonalRemap.py:166-201) and
+RasterizeAttributes' left-outer enrichment
+(/root/reference/functions/deprecated/RasterizeAttributes.py:135-169) —
+as Spark joins:
+
+- **broadcast path** (small vector side): bbox prefilter + exact vectorized
+  crossing-number PIP inside one mapInPandas — zero shuffle.
+- **partitioned path** (large vector side): polygons → cell covers at a
+  chosen resolution (the spatial-predicate→cell-range rewrite, SURVEY.md O4),
+  equi-join on cell id (AQE skew-join splits hot cells; optional explicit
+  salting), exact PIP refinement after the join.
+
+The crossing-number test is implemented from scratch in NumPy (no shapely
+in the environment; the north rule requires from-scratch anyway).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import grid
+
+
+# ------------------------------------------------------------ geometry -----
+
+def point_in_polygon_np(px: np.ndarray, py: np.ndarray,
+                        ring_x: np.ndarray, ring_y: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd (crossing-number) test of N points against ONE
+    polygon ring. Boundary-inclusive on the 'lower' edge per the standard
+    half-open rule → deterministic assignment for points on shared edges."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x0 = np.asarray(ring_x, dtype=np.float64)
+    y0 = np.asarray(ring_y, dtype=np.float64)
+    x1 = np.roll(x0, -1)
+    y1 = np.roll(y0, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for ex0, ey0, ex1, ey1 in zip(x0, y0, x1, y1):
+        crosses = ((ey0 > py) != (ey1 > py))
+        if not crosses.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ex0 + (py - ey0) * (ex1 - ex0) / (ey1 - ey0)
+        inside ^= crosses & (px < xint)
+    return inside
+
+
+def polygon_cover_cells(ring_x, ring_y, res: int) -> np.ndarray:
+    """Cells at ``res`` intersecting the polygon's bbox (coarse cover used
+    as the equi-join key; exact PIP refines). Bbox cover is the analog of
+    the reference's envelope-intersects pushdown (utils.py:213-229)."""
+    return grid.cover_bbox(float(np.min(ring_x)), float(np.min(ring_y)),
+                           float(np.max(ring_x)), float(np.max(ring_y)), res)
+
+
+def auto_cover_res(aoi_pdf: pd.DataFrame, max_cells_per_aoi: int = 64) -> int:
+    """Pick a cover resolution so the median AOI covers ≲ max_cells cells."""
+    spans = np.maximum(aoi_pdf["xmax"] - aoi_pdf["xmin"],
+                       (aoi_pdf["ymax"] - aoi_pdf["ymin"]) * 2.0)
+    med = float(np.median(spans)) or 1e-6
+    side = int(np.ceil(np.sqrt(max_cells_per_aoi)))
+    res = int(np.clip(np.floor(np.log2(360.0 / med * side)) , 0, grid.MAX_RES))
+    return res
+
+
+# ------------------------------------------------------- PIP join API ------
+
+def pip_join_broadcast(points: DataFrame, aoi: DataFrame,
+                       x_col: str = "lon", y_col: str = "lat",
+                       keep_unmatched: bool = False) -> DataFrame:
+    """Point-in-polygon join with a broadcast vector side.
+
+    The whole AOI table is shipped once per executor (Spark broadcast);
+    each Arrow batch of points does a vectorized bbox prefilter against ALL
+    polygons at once (N×K boolean), then exact crossing-number PIP only on
+    bbox hits. Emits one row per (point, containing AOI). No shuffle at all —
+    the plan is scan → mapInPandas; at 10^12 rows this is embarrassingly
+    parallel."""
+    aoi_pdf = aoi.select("aoi_id", "ring_x", "ring_y",
+                         "xmin", "ymin", "xmax", "ymax").toPandas()
+    spark = points.sparkSession
+    baoi = spark.sparkContext.broadcast({
+        "aoi_id": aoi_pdf["aoi_id"].to_numpy(np.int64),
+        "xmin": aoi_pdf["xmin"].to_numpy(np.float64),
+        "ymin": aoi_pdf["ymin"].to_numpy(np.float64),
+        "xmax": aoi_pdf["xmax"].to_numpy(np.float64),
+        "ymax": aoi_pdf["ymax"].to_numpy(np.float64),
+        "rings": [(np.asarray(rx, np.float64), np.asarray(ry, np.float64))
+                  for rx, ry in zip(aoi_pdf["ring_x"], aoi_pdf["ring_y"])],
+    })
+    out_schema = T.StructType(list(points.schema)
+                              + [T.StructField("aoi_id", T.LongType(), True)])
+
+    def probe(batches):
+        a = baoi.value
+        for pdf in batches:
+            x = pdf[x_col].to_numpy(np.float64)
+            y = pdf[y_col].to_numpy(np.float64)
+            # bbox prefilter: (n_points, n_aoi)
+            cand = ((x[:, None] >= a["xmin"][None, :]) & (x[:, None] <= a["xmax"][None, :])
+                    & (y[:, None] >= a["ymin"][None, :]) & (y[:, None] <= a["ymax"][None, :]))
+            rows_idx, aoi_hits = [], []
+            for k in np.unique(np.nonzero(cand)[1]):
+                pts = np.nonzero(cand[:, k])[0]
+                rx, ry = a["rings"][k]
+                hit = point_in_polygon_np(x[pts], y[pts], rx, ry)
+                sel = pts[hit]
+                rows_idx.append(sel)
+                aoi_hits.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
+            if rows_idx:
+                ridx = np.concatenate(rows_idx)
+                aid = np.concatenate(aoi_hits)
+            else:
+                ridx = np.empty(0, np.int64)
+                aid = np.empty(0, np.int64)
+            out = pdf.iloc[ridx].copy()
+            out["aoi_id"] = aid
+            if keep_unmatched:
+                matched = np.zeros(len(pdf), dtype=bool)
+                matched[ridx] = True
+                rest = pdf.iloc[~matched].copy()
+                rest["aoi_id"] = pd.array([None] * len(rest), dtype="Int64")
+                out = pd.concat([out, rest])
+            yield out
+
+    return points.mapInPandas(probe, schema=out_schema)
+
+
+def pip_join_partitioned(points: DataFrame, aoi: DataFrame,
+                         x_col: str = "lon", y_col: str = "lat",
+                         res: int | None = None,
+                         salt_hot_cells: int = 0) -> DataFrame:
+    """Point-in-polygon join for a LARGE vector side: polygons exploded to
+    cell covers, shuffle equi-join on cell id, exact PIP refinement.
+
+    ``salt_hot_cells > 0`` additionally splits each (cell, aoi) pair into
+    that many salt buckets on the polygon side and hashes points to one
+    bucket — an explicit skew-defeat on top of AQE's skew-join splitting
+    (SURVEY.md O12)."""
+    aoi_pdf = aoi.select("xmin", "ymin", "xmax", "ymax").toPandas()
+    r = res if res is not None else auto_cover_res(aoi_pdf)
+    spark = points.sparkSession
+
+    cover_schema = "aoi_id long, cell long, ring_x array<double>, ring_y array<double>"
+
+    def explode_cover(batches):
+        for pdf in batches:
+            out = {"aoi_id": [], "cell": [], "ring_x": [], "ring_y": []}
+            for i in range(len(pdf)):
+                cells = polygon_cover_cells(pdf["ring_x"].iloc[i], pdf["ring_y"].iloc[i], r)
+                out["aoi_id"].extend([int(pdf["aoi_id"].iloc[i])] * cells.size)
+                out["cell"].extend(cells.tolist())
+                out["ring_x"].extend([list(pdf["ring_x"].iloc[i])] * cells.size)
+                out["ring_y"].extend([list(pdf["ring_y"].iloc[i])] * cells.size)
+            yield pd.DataFrame(out)
+
+    covers = aoi.select("aoi_id", "ring_x", "ring_y").mapInPandas(explode_cover, cover_schema)
+
+    pts = points.withColumn("cell", grid.encode_col(F.col(x_col), F.col(y_col), r))
+    if salt_hot_cells > 0:
+        covers = covers.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_hot_cells - 1))))
+        pts = pts.withColumn("salt", F.pmod(F.hash(x_col, y_col), F.lit(salt_hot_cells)))
+        joined = pts.join(covers, ["cell", "salt"]).drop("salt")
+    else:
+        joined = pts.join(covers, "cell")
+
+    out_schema = T.StructType([f for f in joined.schema
+                               if f.name not in ("ring_x", "ring_y")])
+
+    def refine(batches):
+        for pdf in batches:
+            keep = np.zeros(len(pdf), dtype=bool)
+            # group candidate rows by aoi so each polygon tests a batch of points
+            for aid, idx in pdf.groupby("aoi_id").groups.items():
+                loc = pdf.index.get_indexer(idx)
+                rx = np.asarray(pdf["ring_x"].iloc[loc[0]], np.float64)
+                ry = np.asarray(pdf["ring_y"].iloc[loc[0]], np.float64)
+                keep[loc] = point_in_polygon_np(
+                    pdf[x_col].to_numpy(np.float64)[loc],
+                    pdf[y_col].to_numpy(np.float64)[loc], rx, ry)
+            yield pdf.loc[keep].drop(columns=["ring_x", "ring_y"])
+
+    return joined.mapInPandas(refine, schema=out_schema)
+
+
+def pip_join(points: DataFrame, aoi: DataFrame, x_col: str = "lon",
+             y_col: str = "lat", broadcast_threshold: int = 10000,
+             **kwargs) -> DataFrame:
+    """Route between the broadcast and partitioned PIP strategies by vector
+    side size — the broadcast-vs-shuffle decision of SURVEY.md O12."""
+    n_aoi = aoi.count()
+    if n_aoi <= broadcast_threshold:
+        return pip_join_broadcast(points, aoi, x_col, y_col,
+                                  keep_unmatched=kwargs.get("keep_unmatched", False))
+    return pip_join_partitioned(points, aoi, x_col, y_col,
+                                res=kwargs.get("res"),
+                                salt_hot_cells=kwargs.get("salt_hot_cells", 0))
+
+
+# ------------------------------------------------------------- zonal -------
+
+def zonal_statistics(assigned: DataFrame, value_col: str,
+                     zone_col: str = "aoi_id") -> DataFrame:
+    """Raster→vector zonal statistics over join output: plain Catalyst
+    hash aggregation (partial+final, no custom code needed)."""
+    return (assigned.groupBy(zone_col)
+            .agg(F.count("*").alias("n"),
+                 F.avg(value_col).alias("mean"),
+                 F.min(value_col).alias("min"),
+                 F.max(value_col).alias("max"),
+                 F.stddev_pop(value_col).alias("std"),
+                 F.sum(value_col).alias("sum")))
+
+
+def zonal_remap_col(df: DataFrame, zones: DataFrame, value_col: str,
+                    zone_col: str = "zone_id", default: float = 255.0) -> DataFrame:
+    """Column-level ZonalRemap: broadcast-join the zone interval table and
+    remap ``value_col`` where zmin < v < zmax (null bounds = open interval,
+    null zval → default) — probe semantics of
+    /root/reference/functions/deprecated/ZonalRemap.py:184-198."""
+    z = zones.select(zone_col,
+                     F.col("zmin").alias("_zmin"), F.col("zmax").alias("_zmax"),
+                     F.col("zval").alias("_zval"))
+    joined = df.join(F.broadcast(z), zone_col, "left")
+    v = F.col(value_col)
+    in_iv = ((v > F.coalesce(F.col("_zmin"), F.lit(float("-inf"))))
+             & (v < F.coalesce(F.col("_zmax"), F.lit(float("inf")))))
+    remapped = F.when(in_iv, F.coalesce(F.col("_zval"), F.lit(default))).otherwise(v)
+    return joined.withColumn(f"{value_col}_remap", remapped).drop("_zmin", "_zmax", "_zval")
+
+
+def rasterize_attributes_col(df: DataFrame, zones: DataFrame,
+                             attrs: list[str], zone_col: str = "zone_id") -> DataFrame:
+    """Left-outer enrichment with per-zone attributes — RasterizeAttributes
+    (/root/reference/functions/deprecated/RasterizeAttributes.py:135-169)
+    as a broadcast left join."""
+    z = zones.select(zone_col, *attrs)
+    return df.join(F.broadcast(z), zone_col, "left")

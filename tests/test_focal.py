@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from raster_functions_spark import codec, fixtures
+from raster_functions_spark.operators import focal
+
+
+def test_slope_aspect_analytic_plane():
+    # plane z = 2x + 3y → slope = atan(|∇z|) everywhere, aspect constant
+    yy, xx = np.mgrid[0:20, 0:20]
+    z = (2.0 * xx + 3.0 * yy).astype(np.float64)
+    zp = np.pad(z, 1, mode="reflect")  # any pad; interior checked
+    slope, aspect = focal.slope_aspect_np(zp, cellsize=1.0)
+    want_slope = np.degrees(np.arctan(np.hypot(2.0, 3.0)))
+    assert np.allclose(slope[2:-2, 2:-2], want_slope, atol=1e-9)
+    # downhill = -∇z = (2 west, 3 north in screen coords) → compass
+    # bearing atan2(east, north) = atan2(-2, 3) = -33.69° ≡ 326.31°
+    want_aspect = np.degrees(np.arctan2(-2.0, 3.0)) % 360.0
+    assert np.isclose(aspect[5, 5], want_aspect, atol=1e-9)
+
+
+def test_hillshade_flat_is_cos_zenith():
+    z = np.zeros((12, 12))
+    hs = focal.hillshade_np(np.pad(z, 1), altitude=45.0)
+    assert np.allclose(hs, int(255 * np.cos(np.radians(45.0))), atol=1)
+
+
+def test_hillshade_range_and_determinism():
+    z = fixtures.dem_scene(2, 2, 16).astype(np.float64)
+    h1 = focal.hillshade_np(np.pad(z, 1, mode="edge"), cellsize=0.001)
+    h2 = focal.hillshade_np(np.pad(z, 1, mode="edge"), cellsize=0.001)
+    assert np.array_equal(h1, h2)
+    assert h1.dtype == np.uint8
+
+
+def test_rank_filter_measures():
+    rng = np.random.default_rng(0)
+    band = rng.random((10, 10))
+    p = np.pad(band, 1, mode="edge")
+    med = focal.rank_filter_np(p, "median", 3)
+    assert med.shape == (10, 10)
+    # median of window containing the center ≥ min, ≤ max
+    mx = focal.rank_filter_np(p, "max", 3)
+    mn = focal.rank_filter_np(p, "min", 3)
+    assert (mn <= med).all() and (med <= mx).all()
+    assert (mx >= band).all() and (mn <= band).all()
+
+
+def test_block_statistics_mean():
+    band = np.arange(16, dtype=np.float64).reshape(4, 4)
+    out = focal.block_statistics_np(band, "mean", 2)
+    want = np.array([[2.5, 4.5], [10.5, 12.5]])
+    assert np.allclose(out, want)
+    assert focal.block_statistics_np(band, "nearest", 2).tolist() == [[0, 2], [8, 10]]
+
+
+def test_aspect_slope_class_codes():
+    yy, xx = np.mgrid[0:10, 0:10]
+    z = (30.0 * xx).astype(np.float64)  # steep west-facing slope
+    code = focal.aspect_slope_class_np(np.pad(z, 1, mode="reflect"), cellsize=1.0)
+    inner = code[2:-2, 2:-2]
+    assert (inner == inner[0, 0]).all()
+    assert 31 <= inner[0, 0] <= 48  # steep class, some aspect
+
+
+@pytest.mark.parametrize("op_builder,ref_fn", [
+    (focal.hillshade, lambda zp, cs: focal.hillshade_np(zp, cs)),
+    (focal.slope, lambda zp, cs: focal.slope_aspect_np(zp, cs)[0].astype(np.float32)),
+])
+def test_halo_join_matches_whole_scene(spark, op_builder, ref_fn):
+    """Edge-aware kernel over independently-stored tiles must equal the
+    kernel over the full mosaic — the core halo-exchange invariant."""
+    tiles_x, tiles_y, tile = 3, 2, 16
+    df = fixtures.dem_scene_df(spark, "s0", tiles_x, tiles_y, tile)
+    out = focal.apply_focal(df, op_builder(cellsize=0.001), fmt_out="raw",
+                            meta_cols=("cell_dx",)).toPandas()
+
+    full = fixtures.dem_scene(tiles_x, tiles_y, tile).astype(np.float64)
+    want_full = ref_fn(np.pad(full, 1, mode="edge"), 0.001)
+
+    assert len(out) == tiles_x * tiles_y
+    for _, row in out.iterrows():
+        got = codec.decode(bytes(row["bytes"]))[0]
+        tx, ty = int(row["tx"]), int(row["ty"])
+        want = want_full[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+        assert np.allclose(got, want, atol=1e-4), f"tile ({tx},{ty}) diverges"
+
+
+def test_halo_rank_filter_5x5(spark):
+    """padding=2 op (5×5 median) through the halo exchange."""
+    tiles_x, tiles_y, tile = 2, 2, 16
+    df = fixtures.dem_scene_df(spark, "s1", tiles_x, tiles_y, tile)
+    out = focal.apply_focal(df, focal.rank_filter("median", 5), fmt_out="raw").toPandas()
+    full = fixtures.dem_scene(tiles_x, tiles_y, tile).astype(np.float64)
+    want_full = focal.rank_filter_np(np.pad(full, 2, mode="edge"), "median", 5)
+    for _, row in out.iterrows():
+        got = codec.decode(bytes(row["bytes"]))[0]
+        tx, ty = int(row["tx"]), int(row["ty"])
+        want = want_full[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+        assert np.allclose(got, want, atol=1e-4)

@@ -1,0 +1,119 @@
+import numpy as np
+
+from raster_functions_spark import codec, fixtures
+from raster_functions_spark.operators import stack as S
+
+
+def _golden_stack(s, n_times, tile=16):
+    return np.stack([codec.decode(bytes(b))
+                     for b in fixtures.stack_images_pdf([s], n_times, tile)["bytes"]])
+
+
+def test_stack_median_composite(spark):
+    df = fixtures.stack_images_df(spark, n_scenes=3, n_times=8)
+    out = {r["scene_id"]: r for r in
+           S.stack_composite(df, "median", fmt_out="raw").collect()}
+    for s in range(3):
+        got = codec.decode(bytes(out[f"scene{s}"]["bytes"]))
+        want = np.median(_golden_stack(s, 8).astype(np.float64), axis=0)
+        assert np.allclose(got, want, atol=1e-4)
+        assert out[f"scene{s}"]["n_rasters"] == 8
+
+
+def test_stack_qa_masked_median(spark):
+    """Clear-pixel-masked median — LandsatMedianImage semantics."""
+    df = fixtures.stack_images_df(spark, n_scenes=2, n_times=12)
+    out = {r["scene_id"]: r for r in
+           S.stack_composite(df, "median", value_band=0, qa_band=1,
+                             clear_values=fixtures.QA_CLEAR_C1,
+                             fmt_out="raw").collect()}
+    for s in range(2):
+        stk = _golden_stack(s, 12).astype(np.float64)
+        vals = stk[:, 0]
+        clear = np.isin(stk[:, 1], np.asarray(fixtures.QA_CLEAR_C1))
+        masked = np.where(clear, vals, np.nan)
+        with np.errstate(all="ignore"):
+            want = np.nan_to_num(np.nanmedian(masked, axis=0), nan=0.0)
+        got = codec.decode(bytes(out[f"scene{s}"]["bytes"]))[0]
+        assert np.allclose(got, want, atol=1e-4)
+
+
+def test_stack_percentile(spark):
+    df = fixtures.stack_images_df(spark, n_scenes=2, n_times=10)
+    out = {r["scene_id"]: r for r in S.stack_percentile(df, 25.0, fmt_out="raw").collect()}
+    for s in range(2):
+        want = np.percentile(_golden_stack(s, 10).astype(np.float64), 25.0, axis=0)
+        got = codec.decode(bytes(out[f"scene{s}"]["bytes"]))
+        assert np.allclose(got, want, atol=1e-4)
+
+
+def test_stack_topk(spark):
+    df = fixtures.stack_images_df(spark, n_scenes=2, n_times=6)
+    for k in (1, 2, 3):
+        out = {r["scene_id"]: r for r in S.stack_topk(df, k, fmt_out="raw").collect()}
+        for s in range(2):
+            srt = np.sort(_golden_stack(s, 6).astype(np.float64), axis=0)
+            got = codec.decode(bytes(out[f"scene{s}"]["bytes"]))
+            assert np.allclose(got, srt[-k], atol=1e-4), (k, s)
+
+
+def test_percent_above_threshold(spark):
+    df = fixtures.stack_images_df(spark, n_scenes=2, n_times=6)
+    out = {r["scene_id"]: r for r in
+           S.percent_above_threshold(df, 2000.0, value_band=0).collect()}
+    for s in range(2):
+        stk = _golden_stack(s, 6).astype(np.float64)[:, 0]
+        want = 100.0 * float((stk >= 2000.0).mean())
+        assert abs(out[f"scene{s}"]["pct"] - want) < 1e-4
+
+
+def test_percent_above_time_filtered(spark):
+    df = fixtures.stack_images_df(spark, n_scenes=1, n_times=12)
+    out = S.percent_above_threshold(df, 2000.0, time_col="t",
+                                    t_min=3, t_max=8).collect()[0]
+    assert out["n_rasters"] == 6
+    pdf = fixtures.stack_images_pdf([0], 12)
+    sel = pdf[(pdf.t >= 3) & (pdf.t <= 8)]
+    stk = np.stack([codec.decode(bytes(b))[0] for b in sel["bytes"]]).astype(np.float64)
+    assert abs(out["pct"] - 100.0 * (stk >= 2000).mean()) < 1e-4
+
+
+def test_stack_stats_decomposable(spark):
+    df = fixtures.stack_images_df(spark, n_scenes=2, n_times=5)
+    out = {r["scene_id"]: r for r in
+           S.stack_stats_decomposable(df, ["scene_id"]).collect()}
+    for s in range(2):
+        stk = _golden_stack(s, 5).astype(np.float64)[:, 0]
+        assert abs(out[f"scene{s}"]["sum"] - stk.sum()) < 1e-6
+        assert out[f"scene{s}"]["min"] == stk.min()
+        assert out[f"scene{s}"]["max"] == stk.max()
+
+
+def test_extent_union(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 2.0, 2.0), (1.0, -1.0, 3.0, 1.0)],
+        "xmin double, ymin double, xmax double, ymax double")
+    r = S.extent_union(df).collect()[0]
+    assert (r.xmin, r.ymin, r.xmax, r.ymax) == (0.0, -1.0, 3.0, 2.0)
+
+
+def test_scene_regression(spark):
+    # y = 2x + 1 exactly → slope 2 intercept 1
+    rows = [("s", float(x), float(2 * x + 1)) for x in range(10)]
+    df = spark.createDataFrame(rows, "scene_id string, x double, y double")
+    r = S.scene_regression(df, "x", "y").collect()[0]
+    assert abs(r.slope - 2.0) < 1e-9 and abs(r.intercept - 1.0) < 1e-9
+
+
+def test_composite_identity_invariant(spark):
+    """Composite of an identical stack = the tile itself (FIXTURES §4
+    property-based invariant)."""
+    import pandas as pd
+    px = np.arange(64, dtype=np.uint16).reshape(1, 8, 8)
+    buf = codec.encode(px, "zlib")
+    pdf = pd.DataFrame({"scene_id": ["x"] * 5, "bytes": [buf] * 5})
+    df = spark.createDataFrame(pdf)
+    for m in ("mean", "median", "min", "max"):
+        out = S.stack_composite(df, m, fmt_out="raw").collect()[0]
+        got = codec.decode(bytes(out["bytes"]))
+        assert np.allclose(got, px), m
