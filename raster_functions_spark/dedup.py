@@ -1,0 +1,232 @@
+"""Deduplication suite for web-scale training-data pipelines.
+
+Five dedup families over the ``documents`` table (and phash for images):
+
+- exact        — md5 content hash, groupBy (one shuffle on the hash)
+- MinHash+LSH  — char-shingles → H minhashes → B bands → bucket join;
+                 the oracle-parity variant computes minhashes as
+                 ``min(md5(shingle || ':' || seed))`` in pure SQL
+                 expressions so DuckDB reproduces them byte-for-byte
+- SimHash      — 64-bit sign-aggregated token hashes (Hamming near-dup)
+- n-gram Jaccard — exact verification of candidate pairs
+- embedding cosine — near-dup by vector similarity (see similarity.py)
+
+Scale notes: every family is one-shuffle (groupBy on hash / band bucket);
+candidate verification joins are self-equi-joins on bucket keys, which AQE
+splits when a bucket is hot (a crawl with boilerplate). The expensive
+per-pair Jaccard runs only on LSH candidates, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- exact -------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: content hash → (canonical id, dup count).
+    One hash-partitioned aggregation; fully decomposable."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("n_dups"))
+            .filter(F.col("n_dups") > 1))
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Return the deduplicated table (keep min-id row per content hash)."""
+    w = F.row_number().over(
+        Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col))
+    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ----------------------------------------------------------- MinHash -------
+
+def shingles_col(text_col: str, k: int = 5):
+    """Distinct character k-shingles as an array column — pure SQL
+    (sequence + transform + substring), identical in DuckDB."""
+    return F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k}))"))
+
+
+def minhash_signature(text_col: str, k: int = 5, n_hashes: int = 16):
+    """H md5-minhashes: for seed h, min over shingles of md5(shingle||':'||h).
+    String-min of hex digests — deterministic and engine-independent."""
+    sh = shingles_col(text_col, k)
+
+    def one_hash(h: int):
+        suffix = F.lit(f":{h}")
+        # NB: the lambda must take exactly one parameter — F.transform
+        # interprets a second parameter (even defaulted) as the array index
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, suffix))))
+
+    return F.array(*[one_hash(h) for h in range(n_hashes)])
+
+
+def minhash_sql(text_expr: str, k: int = 5, n_hashes: int = 16,
+                band: int | None = None, rows_per_band: int = 4) -> list[str]:
+    """DuckDB expressions mirroring :func:`minhash_signature`. Returns one
+    expression per hash (combine per band with concat)."""
+    sh = (f"list_distinct(list_transform(range(1, greatest(length({text_expr}) - {k - 1}, 1) + 1),"
+          f" i -> substring({text_expr}, i, {k})))")
+    return [f"list_min(list_transform({sh}, s -> md5(s || ':{h}')))"
+            for h in range(n_hashes)]
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    n_hashes/bands rows; docs sharing any band signature are candidates.
+    Output: (id_a, id_b, n_shared_bands), id_a < id_b.
+
+    Plan shape: one narrow signature pass → explode(bands) → ONE shuffle
+    groupBy(band, sig) → within-bucket pairing. Hot buckets (boilerplate
+    text) are the skew risk — pair generation is quadratic per bucket, so
+    buckets are capped at 1000 docs (logged via n_bucket)."""
+    rows = n_hashes // bands
+    sig = minhash_signature(text_col, k, n_hashes)
+    banded = (df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+              .select("_id", F.posexplode(F.array(*[
+                  F.concat_ws("|", *[F.col("_sig")[b * rows + r] for r in range(rows)])
+                  for b in range(bands)])).alias("band", "bsig")))
+    grouped = (banded.groupBy("band", "bsig")
+               .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+               .filter((F.size("ids") > 1) & (F.size("ids") <= 1000)))
+    pairs = (grouped
+             .select(F.explode(F.expr(
+                 "flatten(transform(ids, (a, i) -> "
+                 "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"))
+                 .alias("p"))
+             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared_bands")))
+
+
+def _i64(x: int) -> int:
+    """Two's-complement fold to signed 64-bit (JVM longs are signed)."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+# ----------------------------------------------------------- SimHash -------
+
+def simhash64_udf(text_col: str = "text", token_split: str = " "):
+    """64-bit SimHash as a vectorized pandas UDF: per token, a splitmix64
+    hash contributes ±1 to each bit position; sign of the sum per bit.
+    (Engine-internal hashing — verified by pytest property tests, not a SQL
+    oracle; SURVEY.md notes simhash as non-SQL-expressible.)"""
+    @F.pandas_udf("long")
+    def simhash(s: pd.Series) -> pd.Series:
+        out = np.empty(len(s), dtype=np.int64)
+        bitpos = np.arange(64, dtype=np.uint64)
+        for i, txt in enumerate(s):
+            toks = (txt or "").split(token_split)
+            if not toks:
+                out[i] = 0
+                continue
+            # deterministic token hash (NOT Python hash(): that is
+            # process-salted and would differ across executors)
+            hs = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                           for t in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            v = 0
+            for b in np.nonzero(acc > 0)[0].tolist():
+                v |= 1 << b
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series(out)
+    return simhash(F.col(text_col))
+
+
+def hamming64_col(a, b):
+    """Popcount of XOR via bit-count — JVM-side."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3,
+                      band_bits: int = 16) -> DataFrame:
+    """SimHash near-dup pairs: bucket by each of 64/band_bits bit-bands
+    (a pair within Hamming ≤ bands-1 shares ≥1 exact band), verify with
+    bit_count. Same explode→groupBy→pair shape as MinHash LSH."""
+    n_bands = 64 // band_bits
+    d = df.select(F.col(id_col).alias("_id"),
+                  simhash64_udf(text_col).alias("sh"))
+    bandcols = [((F.col("sh").cast("long").bitwiseAND(
+        F.lit(_i64(((1 << band_bits) - 1) << (b * band_bits)))))).alias(f"b{b}")
+        for b in range(n_bands)]
+    banded = d.select("_id", "sh", F.posexplode(F.array(*bandcols)).alias("band", "bsig"))
+    g = (banded.groupBy("band", "bsig")
+         .agg(F.collect_list(F.struct("_id", "sh")).alias("xs"))
+         .filter((F.size("xs") > 1) & (F.size("xs") <= 1000)))
+    pairs = (g.select(F.explode(F.expr(
+        "flatten(transform(xs, (a, i) -> "
+        "transform(slice(xs, i + 2, size(xs) - i - 1), b -> struct(a._id as ia, b._id as ib, a.sh as sa, b.sh as sb))))"))
+        .alias("p")).select("p.*").distinct())
+    return (pairs.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.least("ia", "ib").alias("id_a"),
+                    F.greatest("ia", "ib").alias("id_b"), "hamming")
+            .distinct())
+
+
+# ------------------------------------------------------ n-gram Jaccard -----
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact k-gram Jaccard similarity for candidate pairs (from LSH, or
+    all-pairs if ``candidates`` is None — only for small tables/tests)."""
+    sh = shingles_col(text_col, k)
+    docs = df.select(F.col(id_col).alias("_id"), sh.alias("grams"))
+    if candidates is None:
+        a = docs.alias("a"); b = docs.alias("b")
+        pairs = (a.join(b, F.col("a._id") < F.col("b._id"))
+                 .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                         F.col("a.grams").alias("ga"), F.col("b.grams").alias("gb")))
+    else:
+        pairs = (candidates
+                 .join(docs.withColumnRenamed("grams", "ga"),
+                       candidates.id_a == docs._id).drop("_id")
+                 .join(docs.withColumnRenamed("grams", "gb").withColumnRenamed("_id", "_id2"),
+                       F.col("id_b") == F.col("_id2")).drop("_id2"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return (pairs.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ----------------------------------------------------- phash near-dup ------
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 8,
+                    band_bits: int = 16) -> DataFrame:
+    """Image near-dup pairs on the 64-bit perceptual hash column — same
+    band-bucket LSH as simhash, entirely JVM-side (no decode)."""
+    n_bands = 64 // band_bits
+    d = images.select(F.col("image_id").alias("_id"), F.col("phash").alias("sh"))
+    bandcols = [((F.col("sh").bitwiseAND(
+        F.lit(_i64(((1 << band_bits) - 1) << (b * band_bits)))))).alias(f"b{b}")
+        for b in range(n_bands)]
+    banded = d.select("_id", "sh", F.posexplode(F.array(*bandcols)).alias("band", "bsig"))
+    g = (banded.groupBy("band", "bsig")
+         .agg(F.collect_list(F.struct("_id", "sh")).alias("xs"))
+         .filter((F.size("xs") > 1) & (F.size("xs") <= 1000)))
+    pairs = (g.select(F.explode(F.expr(
+        "flatten(transform(xs, (a, i) -> "
+        "transform(slice(xs, i + 2, size(xs) - i - 1), b -> struct(a._id as ia, b._id as ib, a.sh as sa, b.sh as sb))))"))
+        .alias("p")).select("p.*").distinct())
+    return (pairs.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.least("ia", "ib").alias("id_a"),
+                    F.greatest("ia", "ib").alias("id_b"), "hamming")
+            .distinct())

@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) column plumbing for training pipelines.
+
+Opaque ``binary`` payload columns with typed metadata, driven through
+``mapInPandas`` batch kernels. The engine's own container format (codec.py)
+is fully implemented; EXTERNAL formats (JPEG/PNG/WAV/MP4) need codec
+libraries that are not in this container — those decode steps are STUBBED
+behind import-tries and a deterministic fake, while all Spark-side plumbing
+(schemas, batching, partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codec
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image as _PIL_Image  # noqa: N813
+except ImportError:
+    _PIL_Image = None
+
+
+def decode_external_image(buf: bytes) -> np.ndarray:
+    """Decode a JPEG/PNG payload. Real implementation requires PIL (absent
+    here); a deterministic fake stands in so pipelines are testable."""
+    if _PIL_Image is not None:  # pragma: no cover
+        return np.asarray(_PIL_Image.open(__import__("io").BytesIO(buf)))
+    raise NotImplementedError(
+        "external image codecs unavailable in this environment; use the "
+        "engine container format (codec.py) or fake_decode for plumbing tests")
+
+
+def fake_decode(buf: bytes, h: int = 8, w: int = 8, bands: int = 3) -> np.ndarray:
+    """Deterministic stand-in decode: pixels derived from payload bytes.
+    Lets the full pipeline (batching, schema, feature extraction) run and
+    be asserted on without external codec libs."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    reps = int(np.ceil(bands * h * w / max(raw.size, 1)))
+    return np.tile(raw, reps)[:bands * h * w].reshape(bands, h, w)
+
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("px_mean", T.DoubleType()),
+    T.StructField("px_std", T.DoubleType()),
+    T.StructField("px_min", T.DoubleType()),
+    T.StructField("px_max", T.DoubleType()),
+    T.StructField("edge_energy", T.DoubleType()),
+])
+
+
+def image_features(df: DataFrame, bytes_col: str = "bytes",
+                   fmt_col: str = "fmt", keep_cols: tuple = ("image_id",),
+                   use_fake: bool = False) -> DataFrame:
+    """Decode → basic feature extraction per image (mean/std/min/max + a
+    gradient-energy proxy). Engine-format rows decode for real; external
+    formats go through the stub (NotImplementedError unless use_fake)."""
+    out_schema = T.StructType([df.schema[c] for c in keep_cols]
+                              + list(FEATURE_SCHEMA))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                buf = bytes(pdf[bytes_col].iloc[i])
+                fmt = pdf[fmt_col].iloc[i] if fmt_col in pdf else "raw"
+                if fmt in codec.FMT_CODES:
+                    px = codec.decode(buf).astype(np.float64)
+                elif use_fake:
+                    px = fake_decode(buf).astype(np.float64)
+                else:
+                    px = None
+                if px is None:
+                    feats = dict.fromkeys(
+                        ("px_mean", "px_std", "px_min", "px_max", "edge_energy"),
+                        float("nan"))
+                else:
+                    gy = np.abs(np.diff(px, axis=1)).mean() if px.shape[1] > 1 else 0.0
+                    gx = np.abs(np.diff(px, axis=2)).mean() if px.shape[2] > 1 else 0.0
+                    feats = {"px_mean": float(px.mean()), "px_std": float(px.std()),
+                             "px_min": float(px.min()), "px_max": float(px.max()),
+                             "edge_energy": float(gx + gy)}
+                rows.append({**{c: pdf[c].iloc[i] for c in keep_cols}, **feats})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_tiles(df: DataFrame, out_h: int, out_w: int,
+                 bytes_col: str = "bytes", fmt_out: str = "zlib") -> DataFrame:
+    """Box-resample every tile to (out_h, out_w) — the resize step of a
+    multimodal ingest pipeline, NumPy bin-mean (reduceat), no PIL."""
+    keep = [c for c in df.columns if c not in (bytes_col, "w", "h")]
+    out_schema = T.StructType([df.schema[c] for c in keep] + [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType())])
+
+    def run(batches):
+        for pdf in batches:
+            bufs = []
+            for b in pdf[bytes_col]:
+                px = codec.decode(bytes(b)).astype(np.float64)
+                bands, h, w = px.shape
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                rows_s = np.add.reduceat(px, ri, axis=1)
+                small = np.add.reduceat(rows_s, ci, axis=2)
+                rc = np.diff(np.append(ri, h)).astype(np.float64)[None, :, None]
+                cc = np.diff(np.append(ci, w)).astype(np.float64)[None, None, :]
+                small = small / (rc * cc)
+                bufs.append(codec.encode(small.astype(np.float32), fmt_out))
+            out = pdf[keep].copy()
+            out["bytes"] = bufs
+            out["w"] = np.int32(out_w)
+            out["h"] = np.int32(out_h)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int, frames_col: str = "bands") -> DataFrame:
+    """Frame-sampling plumbing for video-like stacks: treat bands as frames,
+    keep every n-th — pure metadata + slicing kernel."""
+    def run(batches):
+        for pdf in batches:
+            bufs, nb = [], []
+            for b in pdf["bytes"]:
+                px = codec.decode(bytes(b))
+                sel = px[::every_n]
+                bufs.append(codec.encode(np.ascontiguousarray(sel), "zlib"))
+                nb.append(sel.shape[0])
+            out = pdf.copy()
+            out["bytes"] = bufs
+            out[frames_col] = np.array(nb, np.int32)
+            yield out
+    return df.mapInPandas(run, schema=df.schema)

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the scale guidance:
+
+- **brute-force cosine top-k** — broadcast the (small) query set, compute
+  dot products with pure ``F.aggregate``/``F.zip_with`` column expressions
+  (JVM-side, codegen; no Python), window top-k. Exact; the baseline and
+  the oracle-checkable path.
+- **LSH-bucketed ANN** — deterministic random-hyperplane sign bits bucket
+  the corpus; queries probe their own bucket (+ multi-probe neighbors).
+  One shuffle on the bucket key; recall/speed tradeoff via n_bits /
+  n_probes. The 100 TB path: candidate set per query ≈ corpus / 2^bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .fixtures import splitmix64
+
+
+def dot_col(a, b):
+    """Dot product of two array columns — zip_with + aggregate, all JVM."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_col(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a, b):
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: broadcast-cross-join queries × corpus → cosine →
+    row_number ≤ k. Output (query_id, neighbor_id, rank) — integer-only so
+    results are engine-comparable without float-hash hazards."""
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    scored = (c.join(F.broadcast(q))
+              .withColumn("score", cosine_col(
+                  F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from splitmix64 — identical
+    on every executor/run (no RNG state)."""
+    scale = float(2**64)
+    idx = np.arange(n_bits * dim, dtype=np.uint64)
+    u = splitmix64(idx).astype(np.float64) / scale  # U(0,1)
+    # approx normal via sum of 4 uniforms (CLT, cheap, deterministic)
+    u2 = splitmix64(idx ^ np.uint64(0xABCDEF)).astype(np.float64) / scale
+    u3 = splitmix64(idx ^ np.uint64(0x123456)).astype(np.float64) / scale
+    u4 = splitmix64(idx ^ np.uint64(0x999999)).astype(np.float64) / scale
+    g = (u + u2 + u3 + u4) - 2.0
+    return g.reshape(n_bits, dim)
+
+
+def lsh_bucket_col(vec_col, dim: int, n_bits: int = 8):
+    """Sign-bit bucket id as a pure column expression: for each hyperplane,
+    sign(dot(v, h)) packed into an int. JVM-side (no UDF)."""
+    H = _hyperplanes(dim, n_bits)
+    bucket = F.lit(0)
+    for b in range(n_bits):
+        hvec = F.array(*[F.lit(float(x)) for x in H[b]])
+        d = dot_col(F.col(vec_col) if isinstance(vec_col, str) else vec_col, hvec)
+        bucket = bucket + F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "vec_id", n_bits: int = 6,
+             n_probes: int = 1, dim: int | None = None) -> DataFrame:
+    """ANN top-k: bucket corpus+queries by hyperplane signs, equi-join on
+    bucket (queries probe their bucket plus ``n_probes-1`` single-bit-flip
+    neighbors), exact cosine within candidates, top-k."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cast = lambda c: F.col(c).cast("array<double>")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), cast(vec_col).alias("cv"),
+                      lsh_bucket_col(cast(vec_col), dim, n_bits).alias("bucket"))
+    qb = queries.select(F.col(qid_col).alias("query_id"), cast(vec_col).alias("qv"),
+                        lsh_bucket_col(cast(vec_col), dim, n_bits).alias("bucket0"))
+    probes = [F.col("bucket0")] + [
+        F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_probes - 1)]
+    q = qb.select("query_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
+    scored = (c.join(F.broadcast(q), "bucket")
+              .withColumn("score", cosine_col(F.col("qv"), F.col("cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")))
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_bits: int = 0, limit_ids: int | None = None) -> DataFrame:
+    """Embedding near-dup pairs: all-pairs within LSH buckets (or brute
+    all-pairs when n_bits=0 — tests/small tables only)."""
+    cast = F.col(vec_col).cast("array<double>")
+    d = df.select(F.col(id_col).alias("_id"), cast.alias("v"))
+    if limit_ids is not None:
+        d = d.filter(F.col("_id") < limit_ids)
+    if n_bits > 0:
+        dim = len(df.select(vec_col).first()[0])
+        d = d.withColumn("bucket", lsh_bucket_col(F.col("v"), dim, n_bits))
+        a, b = d.alias("a"), d.alias("b")
+        pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a._id") < F.col("b._id")))
+    else:
+        a, b = d.alias("a"), d.alias("b")
+        pairs = a.join(b, F.col("a._id") < F.col("b._id"))
+    out = pairs.select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                       cosine_col(F.col("a.v"), F.col("b.v")).alias("cos"))
+    return (out.filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines over the ``documents`` table.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting and
+document fingerprinting — each expressed in pure Spark SQL expressions
+(JVM-side, codegen) so they are cheap at 100 TB AND mirror 1:1 into DuckDB
+SQL for the correctness oracle. No UDFs in this module at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists per language (enough for a heuristic
+# language scorer over the synthetic corpus; real deployments swap these)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "with", "from"),
+    "es": ("el", "la", "los", "con"),
+    "fr": ("le", "la", "les", "avec"),
+    "de": ("der", "die", "und", "mit"),
+    "zh": ("的", "是", "和", "在"),
+}
+
+
+def occurrence_count(col: Column, needle: str) -> Column:
+    """# of occurrences of a literal substring — replace-length trick,
+    portable to any SQL dialect (no regex semantics to disagree on)."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("long")
+
+
+def occurrence_count_sql(expr: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return (f"CAST((length({expr}) - length(replace({expr}, '{esc}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (single-space convention)."""
+    return F.size(F.split(col, " "))
+
+
+def word_markers_score(col: Column, lang: str) -> Column:
+    """Stopword-hit score: occurrences of ' word ' (space-guarded)."""
+    s = F.lit(0).cast("long")
+    for w in LANG_MARKERS[lang]:
+        s = s + occurrence_count(col, f" {w} ")
+    return s
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker score; 'und' when all zero. Deterministic
+    tie-break: language order as listed."""
+    langs = list(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in reversed(langs):  # earlier langs win ties (checked last, > strict)
+        sc = word_markers_score(col, lang)
+        cond = sc > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, sc).otherwise(best_score)
+    return best_lang
+
+
+def lang_id_sql(expr: str) -> str:
+    """The same argmax in portable SQL (DuckDB + Spark)."""
+    def score(lang):
+        terms = " + ".join(occurrence_count_sql(expr, f" {w} ")
+                           for w in LANG_MARKERS[lang])
+        return f"({terms})"
+    langs = list(LANG_MARKERS)
+    sql_lang, sql_best = "'und'", "CAST(0 AS BIGINT)"
+    for lang in reversed(langs):
+        sc = score(lang)
+        sql_lang = f"(CASE WHEN {sc} > {sql_best} THEN '{lang}' ELSE {sql_lang} END)"
+        sql_best = f"(CASE WHEN {sc} > {sql_best} THEN {sc} ELSE {sql_best} END)"
+    return sql_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token count, mean token length,
+    punctuation & digit ratios — all portable column math."""
+    c = F.col(text_col)
+    n = F.length(c).cast("double")
+    toks = token_count(c).cast("double")
+    punct = (occurrence_count(c, ".") + occurrence_count(c, ",")
+             + occurrence_count(c, "!") + occurrence_count(c, "?")).cast("double")
+    return (df
+            .withColumn("n_chars_q", n.cast("long"))
+            .withColumn("n_tokens", toks.cast("long"))
+            .withColumn("mean_tok_len", F.round((n - toks + 1) / toks, 6))
+            .withColumn("punct_ratio", F.round(punct / n, 6))
+            .withColumn("quality",
+                        F.round(F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.5
+                                + F.when((F.col("mean_tok_len") > 3)
+                                         & (F.col("mean_tok_len") < 10), 0.3).otherwise(0.0)
+                                + F.when(F.col("punct_ratio") < 0.1, 0.2).otherwise(0.0), 6)))
+
+
+QUALITY_SQL_COLS = """
+  CAST(length({t}) AS BIGINT) AS n_chars_q,
+  CAST(len(string_split({t}, ' ')) AS BIGINT) AS n_tokens,
+  ROUND((length({t}) - len(string_split({t}, ' ')) + 1.0) / len(string_split({t}, ' ')), 6) AS mean_tok_len,
+  ROUND(({dot} + {comma} + {bang} + {q}) * 1.0 / length({t}), 6) AS punct_ratio
+"""
+
+
+def quality_sql(text_expr: str) -> str:
+    """DuckDB SELECT columns matching :func:`quality_features` (sans the
+    composite 'quality' score, recomputable from these)."""
+    return QUALITY_SQL_COLS.format(
+        t=text_expr,
+        dot=occurrence_count_sql(text_expr, "."),
+        comma=occurrence_count_sql(text_expr, ","),
+        bang=occurrence_count_sql(text_expr, "!"),
+        q=occurrence_count_sql(text_expr, "?"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased text with spaces
+    stripped — near-dup-robust to spacing/caps, portable (md5 is md5)."""
+    return F.md5(F.replace(F.lower(col), F.lit(" "), F.lit("")))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(replace(lower({expr}), ' ', ''))"

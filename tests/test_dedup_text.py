@@ -1,0 +1,164 @@
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raster_functions_spark import dedup, similarity, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_exact_dedup_matches_pandas(spark, docs, docs_pdf):
+    got = {r.content_hash: (r.canonical_id, r.n_dups)
+           for r in dedup.exact_dedup(docs).collect()}
+    import hashlib
+    h = docs_pdf.assign(h=[hashlib.md5(t.encode()).hexdigest() for t in docs_pdf.text])
+    want = {k: (int(g.doc_id.min()), len(g)) for k, g in h.groupby("h") if len(g) > 1}
+    assert got == want
+
+
+def test_exact_dedup_keep_first(spark, docs, docs_pdf):
+    kept = dedup.exact_dedup_keep_first(docs).count()
+    assert kept == docs_pdf.text.nunique()
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(0, base), (1, base.replace("quick", "fast")),  # near-dup pair
+            (2, base), (3, "completely different content here " * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.minhash_lsh_candidates(df, n_hashes=16, bands=8).collect()}
+    assert (0, 2) in pairs           # exact dup always caught
+    assert (0, 1) in pairs or (1, 2) in pairs  # near dup caught
+    assert not any(3 in p for p in pairs)       # unrelated not caught
+
+
+def test_minhash_signature_matches_duckdb(spark, docs, docs_pdf):
+    """The md5-minhash signature must be byte-identical across engines."""
+    n_hashes = 4
+    got = (docs.filter(F.col("doc_id") < 20)
+           .select("doc_id", dedup.minhash_signature("text", 5, n_hashes).alias("sig"))
+           .orderBy("doc_id").toPandas())
+    con = duckdb.connect()
+    con.register("docs", docs_pdf[docs_pdf.doc_id < 20])
+    exprs = ", ".join(f"{e} AS h{i}" for i, e in
+                      enumerate(dedup.minhash_sql("text", 5, n_hashes)))
+    want = con.sql(f"SELECT doc_id, {exprs} FROM docs ORDER BY doc_id").df()
+    for i in range(n_hashes):
+        assert (got["sig"].apply(lambda s, i=i: s[i]) == want[f"h{i}"]).all(), f"hash {i}"
+
+
+def test_ngram_jaccard(spark):
+    rows = [(0, "abcdefgh"), (1, "abcdefgh"), (2, "abcdxxxx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard_pairs(df, k=3, threshold=0.1).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.1 < out[(0, 2)] < 0.5
+
+
+def test_simhash_properties(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [(0, base), (1, base), (2, base.replace("gamma", "gamoa")),
+            (3, "unrelated words entirely different corpus " * 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.doc_id: r.sh for r in
+          df.select("doc_id", dedup.simhash64_udf("text").alias("sh")).collect()}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+    ham = bin((sh[0] ^ sh[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[3]) & (2**64 - 1)).count("1")
+    assert ham < ham_far
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_near_dups(df, max_hamming=8).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+
+
+def test_phash_near_dups(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"image_id": ["a", "b", "c"],
+                        "phash": [0x1234567890ABCDEF, 0x1234567890ABCDEE, -42]})
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.phash_near_dups(spark.createDataFrame(pdf)).collect()}
+    assert out == {("a", "b"): 1}
+
+
+def test_lang_id_against_table(spark, docs, docs_pdf):
+    """lang_id Spark expr == the same expr evaluated in DuckDB."""
+    got = (docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+           .orderBy("doc_id").toPandas())
+    con = duckdb.connect()
+    con.register("docs", docs_pdf)
+    want = con.sql(f"SELECT doc_id, {text.lang_id_sql('text')} AS lang_pred "
+                   "FROM docs ORDER BY doc_id").df()
+    assert (got.lang_pred == want.lang_pred).all()
+    assert got.lang_pred.nunique() > 1  # heuristic actually discriminates
+
+
+def test_quality_features_matches_duckdb(spark, docs, docs_pdf):
+    got = (text.quality_features(docs)
+           .select("doc_id", "n_chars_q", "n_tokens", "mean_tok_len", "punct_ratio")
+           .orderBy("doc_id").toPandas())
+    con = duckdb.connect()
+    con.register("docs", docs_pdf)
+    want = con.sql(f"SELECT doc_id, {text.quality_sql('text')} FROM docs ORDER BY doc_id").df()
+    for c in ["n_chars_q", "n_tokens", "mean_tok_len", "punct_ratio"]:
+        assert np.allclose(got[c], want[c], atol=1e-9), c
+
+
+def test_fingerprint(spark):
+    df = spark.createDataFrame([("Hello World",), ("helloworld",), ("other",)],
+                               "text string")
+    fps = [r.fp for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    got = (similarity.brute_force_topk(corpus, queries, k=3)
+           .orderBy("query_id", "rank").toPandas())
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    V = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    cn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    mask = ids >= 5
+    for q in range(5):
+        sims = cn[mask] @ cn[ids == q][0]
+        order = np.lexsort((ids[mask], -sims))
+        want = ids[mask][order[:3]].tolist()
+        assert got[got.query_id == q].neighbor_id.tolist() == want, q
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    exact = (similarity.brute_force_topk(corpus, queries, k=1)
+             .select("query_id", "neighbor_id").toPandas())
+    ann = (similarity.lsh_topk(corpus, queries, k=1, n_bits=4, n_probes=5)
+           .select("query_id", "neighbor_id").toPandas())
+    m = exact.merge(ann, on="query_id", suffixes=("_x", "_a"))
+    recall = (m.neighbor_id_x == m.neighbor_id_a).mean()
+    assert recall >= 0.5, f"LSH recall@1 too low: {recall}"
+
+
+def test_cosine_near_dup_pairs(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r.id_a, r.id_b) for r in
+           similarity.cosine_near_dup_pairs(df, threshold=0.95).collect()}
+    assert out == {(0, 1)}

@@ -1,0 +1,51 @@
+import numpy as np
+import pytest
+
+from raster_functions_spark import codec, fixtures, multimodal
+
+
+def test_image_features_engine_format(spark):
+    imgs = fixtures.images_df(spark, 40)
+    out = multimodal.image_features(imgs).toPandas().set_index("image_id")
+    assert len(out) == 40
+    for i in [1, 5, 9]:  # red/NIR u1 tiles (lossless fmt rows)
+        if fixtures.tile_fmt(i) == "dct":
+            continue
+        px = fixtures.gen_pixels(i).astype(np.float64)
+        row = out.loc[f"img{i:09d}"]
+        assert np.isclose(row.px_mean, px.mean(), atol=1e-9)
+        assert np.isclose(row.px_max, px.max(), atol=1e-9)
+
+
+def test_external_decode_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_external_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_fake_decode_deterministic():
+    a = multimodal.fake_decode(b"hello world payload")
+    assert a.shape == (3, 8, 8)
+    assert np.array_equal(a, multimodal.fake_decode(b"hello world payload"))
+
+
+def test_resize_tiles(spark):
+    imgs = fixtures.images_df(spark, 12)
+    out = multimodal.resize_tiles(imgs, 16, 16).toPandas()
+    assert (out.w == 16).all() and (out.h == 16).all()
+    for _, row in out.iterrows():
+        px = codec.decode(bytes(row["bytes"]))
+        assert px.shape[1:] == (16, 16)
+    # box-mean of a constant tile stays constant
+    i = 3  # kind-3 constant tile (i%8==3)
+    row = out[out.image_id == f"img{i:09d}"].iloc[0]
+    want = fixtures.gen_pixels(i).astype(np.float64).mean()
+    got = codec.decode(bytes(row["bytes"]))
+    assert np.isclose(got.mean(), want, atol=0.5)
+
+
+def test_frame_sample(spark):
+    imgs = fixtures.images_df(spark, 12).filter("bands = 6")
+    out = multimodal.frame_sample(imgs, 2).toPandas()
+    assert (out.bands == 3).all()
+    px = codec.decode(bytes(out.iloc[0]["bytes"]))
+    assert px.shape[0] == 3

@@ -1,0 +1,68 @@
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from raster_functions_spark import fixtures, lineage, pipeline
+
+
+def test_decode_features_fidelity(spark):
+    feats = pipeline.decode_features(fixtures.images_df(spark, 200)).toPandas()
+    assert len(feats) == 200
+    # lossless formats: recomputed phash == stored (hamming 0)
+    lossless = feats[feats.fmt != "dct"]
+    assert (lossless.phash_ham == 0).all()
+    # lossy: within near-dup tolerance
+    assert (feats[feats.fmt == "dct"].phash_ham <= 16).all()
+    # captions intact
+    for _, r in feats.head(20).iterrows():
+        i = int(r.image_id[3:])
+        assert r.caption == f"caption-{i}-{int(fixtures.splitmix64(i)):016x}"
+
+
+def test_flagship_end_to_end(spark):
+    out = pipeline.flagship(spark, fixtures.images_df(spark, 500),
+                            fixtures.aoi_df(spark, 20)).toPandas()
+    assert len(out) >= 1
+    assert out.n_images.sum() >= 90  # hot cluster guarantees aoi 0 hits ~20%
+    assert 0 in out.aoi_id.to_numpy()
+
+
+def test_entry_contract(spark):
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as em
+    df = em.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    qs = em.queries()
+    oracles = em.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30 and len(oracles) >= 25
+
+
+def test_checkpointed_write_resume(spark, tmp_path):
+    path = str(tmp_path / "ckpt")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    m1 = lineage.checkpointed_write(df, path, "id", n_buckets=8, run_id="r1")
+    assert len(m1["buckets"]) == 8
+    got = lineage.read_checkpointed(spark, path)
+    assert got.count() == 1000
+    # resume: nothing to do, manifest unchanged
+    m2 = lineage.checkpointed_write(df, path, "id", n_buckets=8, run_id="r2")
+    assert m2 == m1
+    # partial manifest → only missing buckets written
+    import json
+    with open(os.path.join(path, lineage.MANIFEST)) as f:
+        m = json.load(f)
+    dropped = m["buckets"].pop("3")
+    with open(os.path.join(path, lineage.MANIFEST), "w") as f:
+        json.dump(m, f)
+    m3 = lineage.checkpointed_write(df, path, "id", n_buckets=8, run_id="r3")
+    assert m3["buckets"]["3"]["run_id"] == "r3"
+    assert m3["buckets"]["3"]["rows"] == dropped["rows"]
+    assert m3["buckets"]["3"]["key_checksum"] == dropped["key_checksum"]
+    assert lineage.read_checkpointed(spark, path).count() == 1000
+    # metrics side table
+    mt = lineage.metrics_table(spark, path).toPandas()
+    assert mt.rows.sum() == 1000 and len(mt) == 8
