@@ -419,6 +419,74 @@ def q_img_phash_dedup(spark, sf_dir):
     return dedup.phash_near_dups(images, max_hamming=10).orderBy("id_a", "id_b")
 
 
+def q_img_zonal_remap_px(spark, sf_dir):
+    """J1 per-pixel ZonalRemap + per-pixel zonal statistics over a
+    synthesized zone band (map-side partials + Catalyst final agg)."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import zonal
+    from raster_functions_spark.raster import apply_chain
+    dem = fixtures.dem_scene_df(spark, "sceneZ", 3, 3, 32)
+    dem = (dem.withColumn("xmin", F.lit(10.0)).withColumn("ymax", F.lit(45.0))
+           .withColumn("cell_dy", F.lit(0.001)))
+    remapped = apply_chain(
+        dem,
+        [zonal.zone_band_from_cells(res=15, n_zones=8),
+         zonal.zonal_remap(fixtures.zones_pdf(8), value_band=0, zone_band=1),
+         zonal.zone_band_from_cells(res=15, n_zones=8)],
+        fmt_out="raw", meta_cols=["xmin", "ymax", "cell_dx", "cell_dy"])
+    return zonal.zonal_statistics_px(remapped, None, value_band=0, zone_band=1)
+
+
+def q_img_cti(spark, sf_dir):
+    """W8 CompoundTopographicIndex: per-scene D8 flow accumulation +
+    wetness index, re-tiled; per-tile mean CTI out."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import hydro
+    from raster_functions_spark.raster import tile_stats
+    import numpy as np
+    dem = fixtures.dem_scene_df(spark, "sceneC", 3, 2, 32)
+    cti = hydro.cti_scene(dem, tile=32)
+    return tile_stats(cti, [], {"mean_cti": lambda px, m: float(np.mean(px))},
+                      keep_cols=["scene_id", "tx", "ty"]).orderBy("tx", "ty")
+
+
+def q_img_knn_classify(spark, sf_dir):
+    """M1 per-pixel kNN classification (from-scratch NumPy, broadcast
+    training set) over red/NIR tiles → class histogram."""
+    import numpy as np
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import ml
+    from raster_functions_spark.raster import tile_stats
+    rng_x = np.array([[40.0, 40.0], [200.0, 200.0], [40.0, 200.0]])
+    rng_y = np.array([0, 1, 2])
+    imgs = fixtures.images_df(spark, 400).filter(F.col("bands") == 2)
+    cls = tile_stats(imgs, [ml.knn_classifier(rng_x, rng_y, k=1)],
+                     {"frac_c0": lambda px, m: float(np.mean(px == 0)),
+                      "frac_c1": lambda px, m: float(np.mean(px == 1)),
+                      "frac_c2": lambda px, m: float(np.mean(px == 2))},
+                     keep_cols=["image_id"])
+    return (cls.select("image_id",
+                       F.round("frac_c0", 6).alias("frac_c0"),
+                       F.round("frac_c1", 6).alias("frac_c1"),
+                       F.round("frac_c2", 6).alias("frac_c2"))
+            .orderBy("image_id"))
+
+
+def q_img_chain(spark, sf_dir):
+    """RFT-analog chain spec: hillshade (halo) → stretch, per-tile mean."""
+    import numpy as np
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.plans import chain
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneX", 3, 2, 32)
+    spec = [{"op": "hillshade", "args": {"cellsize": 0.001}},
+            {"op": "stretch", "args": {"band": 0, "in_min": 0, "in_max": 255,
+                                       "out_min": 0, "out_max": 1}}]
+    out = chain.build_chain(dem, spec, fmt_out="raw")
+    return tile_stats(out, [], {"mean_v": lambda px, m: float(np.mean(px))},
+                      keep_cols=["scene_id", "tx", "ty"]).orderBy("tx", "ty")
+
+
 def q_img_ndvi_zonal(spark, sf_dir):
     """F1 NDVI kernel → cell rollup (LoD parent) → zonal mean."""
     from raster_functions_spark import fixtures
@@ -485,6 +553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_stack_median": q_img_stack_median,
         "img_phash_dedup": q_img_phash_dedup,
         "img_ndvi_zonal": q_img_ndvi_zonal,
+        "img_zonal_remap_px": q_img_zonal_remap_px,
+        "img_cti": q_img_cti,
+        "img_knn_classify": q_img_knn_classify,
+        "img_chain": q_img_chain,
     }
 
 

@@ -1,0 +1,104 @@
+"""Feature-service / zonal-attribute sources — SURVEY.md §2.1 S2/S3.
+
+The reference's ``ZonalAttributesTable`` reads zone attributes from a
+local table or a remote Esri feature service (JSON features, with
+where-clause + id-list + envelope-intersects pushdown —
+/root/reference/functions/utils.py:149-258). The engine's equivalents:
+
+- :func:`zones_from_json`      — the inline-JSON / file variant
+  (deprecated/ZonalRemap.py:139-153 accepts a JSON literal or path)
+- :func:`features_from_service_json` — parse the Esri JSON feature format
+  into a DataFrame (attributes + optional envelope filter applied as a
+  plain predicate). HTTP fetch is isolated behind ``fetcher`` so tests
+  inject local payloads; live use passes ``urllib.request.urlopen``.
+- :func:`envelope_filter`      — the bbox-intersects pushdown as a
+  Catalyst predicate (→ partition pruning on a cell-partitioned table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zones_from_json(spark: SparkSession, src: str) -> DataFrame:
+    """Zone interval table from a JSON literal or file path:
+    {"zoneId": [[zmin, zmax, zval], ...], ...} (null = open end)."""
+    if os.path.exists(src):
+        with open(src) as f:
+            payload = json.load(f)
+    else:
+        payload = json.loads(src)
+    rows = []
+    for zone_id, intervals in payload.items():
+        for iv in intervals:
+            zmin, zmax, zval = (list(iv) + [None, None, None])[:3]
+            rows.append({"zone_id": int(zone_id), "zmin": zmin,
+                         "zmax": zmax, "zval": zval})
+    pdf = pd.DataFrame(rows, columns=["zone_id", "zmin", "zmax", "zval"])
+    return spark.createDataFrame(pdf.astype({"zmin": "float64", "zmax": "float64",
+                                             "zval": "float64"}))
+
+
+def features_from_service_json(spark: SparkSession, payload: str | dict,
+                               fetcher=None, where: str | None = None,
+                               envelope: tuple[float, float, float, float] | None = None
+                               ) -> DataFrame:
+    """Esri-JSON features → DataFrame. ``payload`` is a JSON string/dict,
+    a file path, or (with ``fetcher``) a URL. Pushdown params mirror the
+    reference's query surface: ``where`` (SQL), ``envelope`` (bbox)."""
+    if fetcher is not None:
+        raw = fetcher(payload)
+        doc = json.loads(raw if isinstance(raw, str) else raw.decode())
+    elif isinstance(payload, dict):
+        doc = payload
+    elif os.path.exists(str(payload)):
+        with open(payload) as f:
+            doc = json.load(f)
+    else:
+        doc = json.loads(payload)
+    feats = doc.get("features", [])
+    rows = []
+    for f_ in feats:
+        row = dict(f_.get("attributes", {}))
+        geom = f_.get("geometry")
+        if geom and "x" in geom:
+            row["x"], row["y"] = geom["x"], geom["y"]
+        elif geom and "rings" in geom:
+            ring = geom["rings"][0]
+            row["ring_x"] = [p[0] for p in ring]
+            row["ring_y"] = [p[1] for p in ring]
+            row["xmin"] = min(row["ring_x"]); row["xmax"] = max(row["ring_x"])
+            row["ymin"] = min(row["ring_y"]); row["ymax"] = max(row["ring_y"])
+        rows.append(row)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    if where:
+        df = df.where(where)
+    if envelope:
+        df = envelope_filter(df, *envelope)
+    return df
+
+
+def envelope_filter(df: DataFrame, xmin: float, ymin: float,
+                    xmax: float, ymax: float) -> DataFrame:
+    """esriSpatialRelEnvelopeIntersects as a plain predicate
+    (utils.py:213-229): bbox-vs-bbox for polygon rows, point-in-bbox for
+    point rows. Expressed declaratively → Catalyst pushes it to the scan."""
+    if "xmin" in df.columns:
+        return df.where((F.col("xmax") >= xmin) & (F.col("xmin") <= xmax)
+                        & (F.col("ymax") >= ymin) & (F.col("ymin") <= ymax))
+    return df.where((F.col("x") >= xmin) & (F.col("x") <= xmax)
+                    & (F.col("y") >= ymin) & (F.col("y") <= ymax))
+
+
+def catalog_binary_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory-of-encoded-rasters crawl via the binaryFile source +
+    header peek — ExtractRasterInfo analog (scripts/ExtractRasterInfo.py)."""
+    from ..raster import catalog
+    files = (spark.read.format("binaryFile").load(path)
+             .select(F.col("path"), F.col("content").alias("bytes")))
+    return catalog(files).select("path", "hdr.*")

@@ -1,0 +1,173 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from raster_functions_spark import codec, fixtures
+from raster_functions_spark.operators import hydro, ml, zonal
+
+
+# ------------------------------------------------------------- zonal -------
+
+def test_zonal_remap_pixel_matches_column_semantics():
+    zp = fixtures.zones_pdf()
+    op = zonal.zonal_remap(zp, value_band=0, zone_band=1)
+    vals = np.array([[0.0, 50.0, 120.0, 1000.0]] * 5, dtype=np.float32)
+    zones = np.tile(np.arange(1, 6, dtype=np.float32)[:, None], (1, 4))
+    out = op.apply(np.stack([vals, zones]), {})[0]
+    for zi in range(5):
+        zrow = zp[zp.zone_id == zi + 1].iloc[0]
+        lo = zrow.zmin if not np.isnan(zrow.zmin) else -np.inf
+        hi = zrow.zmax if not np.isnan(zrow.zmax) else np.inf
+        for ci, v in enumerate([0.0, 50.0, 120.0, 1000.0]):
+            want = (zrow.zval if not np.isnan(zrow.zval) else 255.0) \
+                if lo < v < hi else v
+            assert out[zi, ci] == np.float32(want), (zi, v)
+
+
+def test_zonal_remap_unknown_zone_passthrough():
+    zp = fixtures.zones_pdf(5)
+    op = zonal.zonal_remap(zp)
+    px = np.stack([np.full((2, 2), 50.0), np.full((2, 2), 99.0)]).astype(np.float32)
+    assert np.allclose(op.apply(px, {})[0], 50.0)
+
+
+def test_rasterize_attributes_pixel():
+    zp = fixtures.zones_pdf()
+    op = zonal.rasterize_attributes(zp, ["attr1", "attr2"], zone_band=0)
+    zb = np.array([[1, 2], [3, 99]], dtype=np.float32)[None]
+    out = op.apply(zb, {})
+    assert out.shape == (2, 2, 2)
+    assert out[0, 0, 0] == np.float32(1.5)    # zone 1 attr1
+    assert out[1, 0, 1] == np.float32(5.0)    # zone 2 attr2
+    assert out[0, 1, 1] == np.float32(0.0)    # unknown zone → fill
+
+
+def test_zonal_statistics_px(spark):
+    # two tiles, value band + zone band
+    v1 = np.arange(16, dtype=np.float32).reshape(4, 4)
+    z1 = np.tile(np.array([1, 1, 2, 2], dtype=np.float32), (4, 1))
+    v2 = np.full((4, 4), 10.0, dtype=np.float32)
+    z2 = np.full((4, 4), 2.0, dtype=np.float32)
+    pdf = pd.DataFrame({"bytes": [codec.encode(np.stack([v1, z1])),
+                                  codec.encode(np.stack([v2, z2]))]})
+    out = {r.zone: r for r in
+           zonal.zonal_statistics_px(spark.createDataFrame(pdf), None).collect()}
+    assert out[1].n == 8 and out[2].n == 24
+    assert abs(out[1].sum - v1[:, :2].sum()) < 1e-9
+    assert out[2].max == 15.0 and out[2].min == 2.0
+    assert abs(out[2].sum - (v1[:, 2:].sum() + v2.sum())) < 1e-9
+
+
+def test_zone_band_from_cells():
+    op = zonal.zone_band_from_cells(res=10, n_zones=7)
+    px = np.zeros((1, 8, 8), dtype=np.float32)
+    meta = {"xmin": 10.0, "ymax": 45.0, "cell_dx": 0.001, "cell_dy": 0.001}
+    out = op.apply(px, meta)
+    assert out.shape == (2, 8, 8)
+    assert set(np.unique(out[1])) <= set(range(1, 8))
+
+
+# ---------------------------------------------------------------- ML -------
+
+def _blobs(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    X0 = rng.normal([0, 0], 0.5, (n, 2))
+    X1 = rng.normal([4, 4], 0.5, (n, 2))
+    X = np.vstack([X0, X1])
+    y = np.array([0] * n + [1] * n)
+    return X, y
+
+
+def test_knn_classifier_separable():
+    X, y = _blobs()
+    op = ml.knn_classifier(X, y, k=5)
+    # tile whose two bands are (x, y) coordinates near each blob center
+    px = np.stack([np.array([[0.1, 3.9], [0.2, 4.1]]),
+                   np.array([[0.0, 4.0], [-0.1, 3.8]])]).astype(np.float32)
+    out = op.apply(px, {})
+    assert out[0].tolist() == [[0.0, 1.0], [0.0, 1.0]]
+
+
+def test_nearest_neighbors_k_bands():
+    X, y = _blobs()
+    op = ml.nearest_neighbors(X, y, k=3)
+    px = np.stack([np.full((2, 2), 4.0), np.full((2, 2), 4.0)]).astype(np.float32)
+    out = op.apply(px, {})
+    assert out.shape == (3, 2, 2)
+    assert (out == 1.0).all()  # all 3 nearest are class-1 points
+
+
+def test_random_forest_separable_and_deterministic():
+    X, y = _blobs(80)
+    op1 = ml.random_forest_classifier(X, y, n_trees=8, max_depth=4)
+    op2 = ml.random_forest_classifier(X, y, n_trees=8, max_depth=4)
+    px = np.stack([np.array([[0.0, 4.0]]), np.array([[0.0, 4.0]])]).astype(np.float32)
+    o1, o2 = op1.apply(px, {}), op2.apply(px, {})
+    assert np.array_equal(o1, o2)                 # deterministic
+    assert o1[0, 0].tolist() == [0.0, 1.0]        # classes
+    assert o1[1, 0, 0] >= 0.9                      # confident p(best)
+
+
+def test_gbt_binary():
+    X, y = _blobs(80, seed=3)
+    op = ml.gradient_boosted_classifier(X, y, n_rounds=15)
+    px = np.stack([np.array([[0.0, 4.0]]), np.array([[0.0, 4.0]])]).astype(np.float32)
+    out = op.apply(px, {})
+    assert out.shape == (2, 1, 2)
+    assert out[0, 0].tolist() == [0.0, 1.0]
+
+
+def test_seasonal_forecast():
+    fit = ml.seasonal_forecast(period=12, horizon=1)
+    t = np.arange(36, dtype=np.float64)
+    vals = 10.0 + 0.5 * t + 5.0 * np.sin(2 * np.pi * t / 12)
+    fc, delta = fit(vals)
+    # true next value
+    want = 10.0 + 0.5 * 36 + 5.0 * np.sin(2 * np.pi * 36 / 12)
+    assert abs(fc - want) < 2.0
+
+
+# ------------------------------------------------------------- hydro -------
+
+def test_d8_direction_plane():
+    yy, xx = np.mgrid[0:8, 0:8]
+    z = xx.astype(np.float64)          # slopes down to the west
+    d = hydro.d8_flow_direction(z)
+    assert (d[:, 1:] == 4).all()       # direction index 4 = West
+
+
+def test_flow_accumulation_valley():
+    # V-shaped valley draining along the center column, sloping south
+    yy, xx = np.mgrid[0:8, 0:8]
+    z = np.abs(xx - 4).astype(np.float64) * 10 - yy
+    acc = hydro.flow_accumulation(z)
+    assert acc.sum() >= 64                 # every cell counted at least once
+    assert acc[7, 4] == acc.max()          # valley outlet accumulates most
+    assert acc[0, 0] == 1.0                # ridge-top corner: only itself
+
+
+def test_flow_accumulation_conservation():
+    rng = np.random.default_rng(5)
+    z = rng.random((12, 12)) * 100
+    acc = hydro.flow_accumulation(z)
+    assert acc.min() >= 1.0
+    assert acc.max() <= 144.0
+
+
+def test_cti_wetter_in_valley():
+    yy, xx = np.mgrid[0:16, 0:16]
+    z = np.abs(xx - 8).astype(np.float64) * 5 - 0.5 * yy
+    cti = hydro.cti_np(z)
+    assert cti[10, 8] > cti[10, 2]     # valley floor wetter than hillslope
+
+
+def test_cti_scene_matches_local(spark):
+    df = fixtures.dem_scene_df(spark, "s", 2, 2, 16)
+    out = hydro.cti_scene(df, tile=16).toPandas()
+    full = fixtures.dem_scene(2, 2, 16).astype(np.float64)
+    want = hydro.cti_np(full, 0.001)
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        got = codec.decode(bytes(r["bytes"]))[0]
+        w = want[r.ty * 16:(r.ty + 1) * 16, r.tx * 16:(r.tx + 1) * 16]
+        assert np.allclose(got, w, atol=1e-5)
