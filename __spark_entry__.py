@@ -487,6 +487,55 @@ def q_img_chain(spark, sf_dir):
                       keep_cols=["scene_id", "tx", "ty"]).orderBy("tx", "ty")
 
 
+def q_img_dnbr(spark, sf_dir):
+    """F2 dNBR: two co-registered rasters aligned by tile-key equi-join."""
+    import numpy as np
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import multiraster as mr
+    from raster_functions_spark.raster import tile_stats
+    pre = fixtures.stack_images_df(spark, n_scenes=3, n_times=1).drop("t", "acq_month", "acq_days")
+    post = fixtures.stack_images_df(spark, n_scenes=3, n_times=2) \
+        .filter(F.col("t") == 1).drop("t", "acq_month", "acq_days")
+    out = mr.two_raster_op(pre, post, mr.dnbr_fn(), ["scene_id"])
+    return tile_stats(out, [], {"mean_dnbr": lambda px, m: float(np.mean(px))},
+                      keep_cols=["scene_id"]).orderBy("scene_id")
+
+
+def q_img_cloud_fill(spark, sf_dir):
+    """J9 StepwiseLocalRadiometricAdjustment shape: 3-way aligned join +
+    ring-growing locally-matched gap fill."""
+    import numpy as np
+    import pandas as pd
+    from raster_functions_spark import codec as cd
+    from raster_functions_spark.operators import multiraster as mr
+    from raster_functions_spark.raster import tile_stats
+    rows_t, rows_r, rows_m = [], [], []
+    for i in range(4):
+        yy, xx = np.mgrid[0:32, 0:32]
+        t = (xx * 2.0 + i).astype(np.float32)
+        r = (t * 0.7 + 11.0).astype(np.float32)
+        m = np.zeros((32, 32), np.uint8); m[8:20, 8:20] = 1
+        for rows, px in ((rows_t, t), (rows_r, r), (rows_m, m)):
+            rows.append({"scene_id": f"s{i}", "tx": 0, "ty": 0,
+                         "bytes": cd.encode(px[None])})
+    mk = lambda rows: spark.createDataFrame(pd.DataFrame(rows))
+    filled = mr.cloud_fill(mk(rows_t), mk(rows_r), mk(rows_m),
+                           ["scene_id", "tx", "ty"])
+    return tile_stats(filled, [], {"mean_v": lambda px, m: float(np.mean(px))},
+                      keep_cols=["scene_id"]).orderBy("scene_id")
+
+
+def q_img_hexbin(spark, sf_dir):
+    """A3 HexagonPixels: pixel values aggregated onto a hex grid."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import effects
+    dem = fixtures.dem_scene_df(spark, "hx", 2, 2, 32)
+    dem = (dem.withColumn("xmin", F.col("tx") * 0.032 + 10.0)
+           .withColumn("ymax", 45.0 - F.col("ty") * 0.032)
+           .withColumn("cell_dy", F.lit(0.001)))
+    return effects.hexagon_pixels(dem, size_deg=0.01)
+
+
 def q_img_ndvi_zonal(spark, sf_dir):
     """F1 NDVI kernel → cell rollup (LoD parent) → zonal mean."""
     from raster_functions_spark import fixtures
@@ -557,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_cti": q_img_cti,
         "img_knn_classify": q_img_knn_classify,
         "img_chain": q_img_chain,
+        "img_dnbr": q_img_dnbr,
+        "img_cloud_fill": q_img_cloud_fill,
+        "img_hexbin": q_img_hexbin,
     }
 
 

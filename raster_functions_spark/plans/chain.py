@@ -27,7 +27,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 from ..raster import TileOp, apply_chain
-from ..operators import focal, pointwise
+from ..operators import effects, focal, pointwise
 
 REGISTRY: dict[str, Callable[..., TileOp]] = {
     # pointwise (F-class)
@@ -60,6 +60,9 @@ REGISTRY: dict[str, Callable[..., TileOp]] = {
     "rank_filter": focal.rank_filter,
     "focal_statistics": focal.focal_statistics,
     "block_statistics": focal.block_statistics,
+    # block effects (F15)
+    "cubism": effects.cubism,
+    "chuck_close": effects.chuck_close,
 }
 
 

@@ -1,0 +1,88 @@
+"""Property-based invariants (FIXTURES.md §4) via hypothesis."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from raster_functions_spark import codec, grid
+from raster_functions_spark.operators import stack as S
+
+
+@st.composite
+def _tiles(draw):
+    dtype = draw(st.sampled_from([np.uint8, np.uint16, np.float32]))
+    bands = draw(st.integers(1, 4))
+    h = draw(st.integers(1, 40))
+    w = draw(st.integers(1, 40))
+    if dtype is np.float32:
+        a = draw(arrays(np.float32, (bands, h, w),
+                        elements=st.floats(-1e5, 1e5, width=32)))
+    else:
+        info = np.iinfo(dtype)
+        a = draw(arrays(dtype, (bands, h, w),
+                        elements=st.integers(0, int(info.max))))
+    return a
+
+
+@given(_tiles(), st.sampled_from(["raw", "rle", "zlib"]))
+@settings(max_examples=60, deadline=None)
+def test_lossless_roundtrip_property(px, fmt):
+    assert np.array_equal(codec.decode(codec.encode(px, fmt)), px)
+
+
+@given(arrays(np.uint8, (1, 24, 24), elements=st.integers(0, 255)))
+@settings(max_examples=30, deadline=None)
+def test_dct_psnr_property(px):
+    out = codec.decode(codec.encode(px, "dct"))
+    assert codec.psnr(px, out) >= 40.0
+
+
+@given(st.floats(-180, 180), st.floats(-90, 90), st.integers(1, 15))
+@settings(max_examples=200, deadline=None)
+def test_grid_parent_law(lon, lat, res):
+    """encode at res then take parent p == encode directly at p."""
+    c = grid.encode_np(np.array([lon]), np.array([lat]), res)
+    for p in range(res, -1, -max(1, res // 3 or 1)):
+        assert grid.parent(c, p)[0] == grid.encode_np(
+            np.array([lon]), np.array([lat]), p)[0]
+
+
+@given(st.floats(-179.9, 179.9), st.floats(-89.9, 89.9), st.integers(1, 14))
+@settings(max_examples=200, deadline=None)
+def test_grid_bounds_contain_point(lon, lat, res):
+    c = grid.encode_np(np.array([lon]), np.array([lat]), res)
+    x0, y0, x1, y1 = grid.cell_bounds(c)
+    # ±1e-9° slack: points within 1 ulp of a cell edge legitimately round
+    # into the adjacent cell ((lon+180)/360 loses ~2e-16 of absolute
+    # precision); the mapping stays deterministic and identical across the
+    # NumPy / Column / SQL implementations, which is the real invariant
+    assert x0[0] - 1e-9 <= lon < x1[0] + 1e-9
+    assert y0[0] - 1e-9 <= lat < y1[0] + 1e-9
+
+
+@given(arrays(np.float64, (7, 6, 6), elements=st.floats(0, 1000)))
+@settings(max_examples=30, deadline=None)
+def test_percentile50_equals_median(stack):
+    """percentile(50) == median path equivalence
+    (LandsatMedianImage.py:178-179 documents both)."""
+    assert np.allclose(np.percentile(stack, 50.0, axis=0),
+                       np.median(stack, axis=0))
+
+
+@given(arrays(np.uint8, (3, 8, 8), elements=st.integers(0, 255)))
+@settings(max_examples=30, deadline=None)
+def test_phash_deterministic_property(px):
+    assert codec.phash64(px) == codec.phash64(px.copy())
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=100, deadline=None)
+def test_fixture_purity(i):
+    """Fixture rows are pure functions of the index (parallelism-proof)."""
+    from raster_functions_spark import fixtures
+    a = fixtures.images_pdf(np.array([i]))
+    b = fixtures.images_pdf(np.array([i]))
+    assert a.iloc[0].bytes == b.iloc[0].bytes
+    assert a.iloc[0].caption == b.iloc[0].caption
+    assert a.iloc[0].phash == b.iloc[0].phash
