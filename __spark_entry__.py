@@ -557,6 +557,38 @@ def q_img_hexbin(spark, sf_dir):
     return effects.hexagon_pixels(dem, size_deg=0.01)
 
 
+def q_img_pyramid(spark, sf_dir):
+    """O5 LoD pyramid: two rollup levels, per-level tile counts + means."""
+    import numpy as np
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import pyramid
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "pyr", 4, 4, 16)
+    levels = pyramid.build_pyramid(dem, 16, 2)
+    outs = []
+    for li, lv in enumerate(levels):
+        st = tile_stats(lv, [], {"mean_px": lambda px, m: float(np.mean(px))},
+                        keep_cols=["scene_id", "tx", "ty"])
+        outs.append(st.groupBy().agg(
+            F.lit(li).alias("level"), F.count("*").alias("n_tiles"),
+            F.round(F.avg("mean_px"), 6).alias("mean_px")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("level")
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN top-k (k-means inverted lists + multi-probe) — integer ids."""
+    from raster_functions_spark import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return (similarity.ivf_topk(emb.filter(F.col("vec_id") >= 5),
+                                emb.filter(F.col("vec_id") < 5),
+                                k=3, n_lists=8, n_probe=8)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def q_img_ndvi_zonal(spark, sf_dir):
     """F1 NDVI kernel → cell rollup (LoD parent) → zonal mean."""
     from raster_functions_spark import fixtures
@@ -630,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_dnbr": q_img_dnbr,
         "img_cloud_fill": q_img_cloud_fill,
         "img_hexbin": q_img_hexbin,
+        "img_pyramid": q_img_pyramid,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -644,7 +678,21 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {b} AS band, {s} AS bsig FROM documents"
         for b, s in enumerate(band_sigs))
 
+    knn_oracle = """
+          WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+               c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+               s AS (SELECT query_id, neighbor_id,
+                            list_cosine_similarity(qv, cv) AS score FROM q, c)
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rank
+            FROM s) WHERE rank <= 3
+          ORDER BY query_id, rank"""
+
     return {
+        # IVF with n_probe = n_lists is exhaustive ⇒ exact ⇒ same oracle as kNN
+        "ann_ivf": knn_oracle,
         "a1_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
                  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -140,6 +140,20 @@ def tile_stats(df: DataFrame, ops: list[TileOp],
     return df.mapInPandas(run, schema=out_schema)
 
 
+def update_key_metadata(df: DataFrame, band_index: int | None = None,
+                        **metadata) -> DataFrame:
+    """Inject/override dataset- or band-level key properties — the
+    KeyMetadata operator (SURVEY.md F16,
+    /root/reference/functions/deprecated/KeyMetadata.py:63-108). Dataset
+    scope → plain columns; band scope → ``band<k>_<name>`` columns (bands
+    are columns-within-arrays here, so their metadata are table columns)."""
+    out = df
+    prefix = "" if band_index is None else f"band{band_index}_"
+    for k, v in metadata.items():
+        out = out.withColumn(prefix + k, F.lit(v))
+    return out
+
+
 def catalog(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Header-only catalog crawl (no pixel decode) — the analog of
     /root/reference/scripts/ExtractRasterInfo.py:1-11 over a binary table."""

@@ -106,6 +106,73 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
             .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")))
 
 
+def _kmeans_fit(X: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
+    """Deterministic Lloyd's k-means (from scratch; splitmix-seeded init)
+    for IVF coarse quantization."""
+    n = X.shape[0]
+    idx = (splitmix64(np.arange(k, dtype=np.uint64) * np.uint64(7919))
+           % np.uint64(n)).astype(np.int64)
+    C = X[np.unique(idx)]
+    while C.shape[0] < k:  # dedupe collisions deterministically
+        extra = X[(C.shape[0] * 131) % n][None]
+        C = np.vstack([C, extra])
+    for _ in range(iters):
+        d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ C.T + (C ** 2).sum(1)[None, :])
+        assign = d2.argmin(1)
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                C[j] = X[sel].mean(0)
+    return C
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "vec_id", n_lists: int = 16, n_probe: int = 4,
+             train_sample: int = 2000) -> DataFrame:
+    """IVF ANN: k-means centroids (trained driver-side on a deterministic
+    sample, broadcast) partition the corpus into inverted lists; each query
+    probes its ``n_probe`` nearest lists, exact cosine within candidates.
+
+    Scale shape: ONE corpus shuffle on list id (or none if the table is
+    written bucketed by list), candidate set ≈ corpus·n_probe/n_lists."""
+    sample = np.stack(
+        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy())
+    C = _kmeans_fit(sample.astype(np.float64), n_lists)
+    spark = corpus.sparkSession
+    bC = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("long")
+    def nearest_list(v):
+        import pandas as pd
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        Cv = bC.value
+        d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ Cv.T + (Cv ** 2).sum(1)[None, :])
+        return pd.Series(d2.argmin(1).astype(np.int64))
+
+    @F.pandas_udf("array<long>")
+    def probe_lists(v):
+        import pandas as pd
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        Cv = bC.value
+        d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ Cv.T + (Cv ** 2).sum(1)[None, :])
+        return pd.Series(list(np.argsort(d2, axis=1)[:, :n_probe].astype(np.int64)))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"),
+                      nearest_list(F.col(vec_col)).alias("list_id"))
+    q = (queries.select(F.col(qid_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"),
+                        probe_lists(F.col(vec_col)).alias("lists"))
+         .select("query_id", "qv", F.explode("lists").alias("list_id")))
+    scored = (c.join(F.broadcast(q), "list_id")
+              .withColumn("score", cosine_col(F.col("qv"), F.col("cv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")))
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_bits: int = 0, limit_ids: int | None = None) -> DataFrame:

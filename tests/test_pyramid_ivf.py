@@ -1,0 +1,78 @@
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from raster_functions_spark import codec, fixtures, similarity
+from raster_functions_spark.operators import pyramid
+from raster_functions_spark.operators.focal import block_statistics_np
+from raster_functions_spark.raster import update_key_metadata
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pyramid_level_matches_block_reduce(spark):
+    tiles_x, tiles_y, tile = 4, 2, 16
+    df = fixtures.dem_scene_df(spark, "p0", tiles_x, tiles_y, tile)
+    lvl1 = pyramid.pyramid_level(df, tile).toPandas()
+    assert len(lvl1) == (tiles_x // 2) * (tiles_y // 2)
+    assert (lvl1.n_children == 4).all()
+    full = fixtures.dem_scene(tiles_x, tiles_y, tile).astype(np.float64)
+    want_full = block_statistics_np(full, "mean", 2)  # 2x downsample
+    for _, r in lvl1.iterrows():
+        got = codec.decode(bytes(r["bytes"]))[0]
+        want = want_full[r.ty * tile:(r.ty + 1) * tile,
+                         r.tx * tile:(r.tx + 1) * tile]
+        assert np.allclose(got, want, atol=1e-4), (r.tx, r.ty)
+
+
+def test_build_pyramid_depth(spark):
+    df = fixtures.dem_scene_df(spark, "p1", 4, 4, 16)
+    levels = pyramid.build_pyramid(df, 16, 2)
+    assert [lv.count() for lv in levels] == [16, 4, 1]
+    # global mean preserved through mean-pyramid
+    base = fixtures.dem_scene(4, 4, 16).astype(np.float64)
+    top = codec.decode(bytes(levels[2].first()["bytes"]))[0]
+    assert np.isclose(top.mean(), base.mean(), atol=1e-3)
+
+
+def test_select_level():
+    levels = ["l0", "l1", "l2"]
+    assert pyramid.select_level(levels, 0.5, 1.0) == "l0"
+    assert pyramid.select_level(levels, 2.0, 1.0) == "l1"
+    assert pyramid.select_level(levels, 100.0, 1.0) == "l2"
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    exact = (similarity.brute_force_topk(corpus, queries, k=1)
+             .select("query_id", "neighbor_id").toPandas())
+    ann = (similarity.ivf_topk(corpus, queries, k=1, n_lists=8, n_probe=4)
+           .select("query_id", "neighbor_id").toPandas())
+    m = exact.merge(ann, on="query_id", suffixes=("_x", "_a"))
+    recall = (m.neighbor_id_x == m.neighbor_id_a).mean()
+    assert recall >= 0.6, f"IVF recall@1 too low: {recall}"
+    # full probe = exact
+    ann_full = (similarity.ivf_topk(corpus, queries, k=1, n_lists=8, n_probe=8)
+                .select("query_id", "neighbor_id").toPandas())
+    m2 = exact.merge(ann_full, on="query_id", suffixes=("_x", "_a"))
+    assert (m2.neighbor_id_x == m2.neighbor_id_a).all()
+
+
+def test_ivf_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    c = emb.filter(F.col("vec_id") >= 5)
+    a = similarity.ivf_topk(c, q, k=3, n_lists=4).toPandas()
+    b = similarity.ivf_topk(c, q, k=3, n_lists=4).toPandas()
+    assert a.equals(b)
+
+
+def test_update_key_metadata(spark):
+    df = spark.range(3)
+    out = update_key_metadata(df, sensor="L8", cloud_cover=0.1)
+    out = update_key_metadata(out, band_index=2, wavelength=0.65)
+    row = out.first()
+    assert row.sensor == "L8" and row.cloud_cover == 0.1
+    assert row.band2_wavelength == 0.65
