@@ -265,3 +265,44 @@ def seasonal_forecast(period: int = 12, horizon: int = 1):
         return fc, float(fc - values[-1])
 
     return fit_predict
+
+
+def seasonal_forecast_by_group(df, group_cols: list[str], value_col: str,
+                               time_col: str, period: int = 12,
+                               horizon: int = 1):
+    """Per-group seasonal forecast via applyInPandas — the distributed
+    shape of SeasonalARIMA (A11/M5: model-per-group aggregation,
+    SeasonalARIMA.py:192-216, time-sorted per 162-163)."""
+    import pyspark.sql.types as T
+
+    fit = seasonal_forecast(period, horizon)
+    base_schema = [df.schema[c] for c in group_cols]
+    out_schema = T.StructType(base_schema + [
+        T.StructField("forecast", T.DoubleType()),
+        T.StructField("delta", T.DoubleType()),
+        T.StructField("n_obs", T.LongType())])
+
+    def per_group(key, pdf):
+        pdf = pdf.sort_values(time_col)
+        vals = pdf[value_col].to_numpy(np.float64)
+        fc, delta = fit(vals)
+        row = {c: key[i] for i, c in enumerate(group_cols)}
+        row.update({"forecast": fc, "delta": delta, "n_obs": len(vals)})
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(per_group, schema=out_schema)
+
+
+def training_from_table(df, feature_cols: list[str], label_col: str):
+    """Collect a (small, broadcastable) labeled training table to NumPy —
+    the training-CSV scan of the reference's ML operators (S4,
+    KNearestNeighborsClassifier.py:84-101 reads CSV and drops id/x/y)."""
+    pdf = df.select(*feature_cols, label_col).toPandas()
+    X = pdf[feature_cols].to_numpy(np.float64)
+    y = pdf[label_col].to_numpy()
+    return X, y
+
+
+def training_from_csv(spark, path: str, feature_cols: list[str], label_col: str):
+    return training_from_table(
+        spark.read.csv(path, header=True, inferSchema=True), feature_cols, label_col)

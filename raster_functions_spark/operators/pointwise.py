@@ -302,6 +302,22 @@ def colormap(cmap: dict[int, tuple[int, int, int]], band: int = 0) -> TileOp:
     return TileOp("colormap", fn, bands_out=3, dtype_out="u1")
 
 
+def vector_field(u_band: int = 0, v_band: int = 1,
+                 output: str = "magdir") -> TileOp:
+    """UV flow field → magnitude/direction (or passthrough UV) — the
+    VectorFieldFunction XML built-in (SURVEY.md F14, VF.rft.xml).
+    Direction in meteorological compass degrees (0 = from north)."""
+    def fn(px, meta):
+        u = px[u_band].astype(np.float64)
+        v = px[v_band].astype(np.float64)
+        if output == "uv":
+            return np.stack([u, v]).astype(np.float32)
+        mag = np.hypot(u, v)
+        direction = (np.degrees(np.arctan2(u, v)) + 180.0) % 360.0
+        return np.stack([mag, direction]).astype(np.float32)
+    return TileOp("vector_field", fn, bands_out=2, dtype_out="f4")
+
+
 def composite_bands(*ops_or_bands) -> TileOp:
     """Stack selected bands into one multiband tile — CompositeBandFunction
     analog (SURVEY.md U2) when inputs are co-registered bands."""

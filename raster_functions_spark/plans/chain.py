@@ -51,6 +51,7 @@ REGISTRY: dict[str, Callable[..., TileOp]] = {
     "remap": pointwise.remap,
     "colormap": pointwise.colormap,
     "composite_bands": pointwise.composite_bands,
+    "vector_field": pointwise.vector_field,
     # focal (W-class; padding > 0 → halo exchange)
     "hillshade": focal.hillshade,
     "multidirectional_hillshade": focal.multidirectional_hillshade,

@@ -171,3 +171,33 @@ def test_cti_scene_matches_local(spark):
         got = codec.decode(bytes(r["bytes"]))[0]
         w = want[r.ty * 16:(r.ty + 1) * 16, r.tx * 16:(r.tx + 1) * 16]
         assert np.allclose(got, w, atol=1e-5)
+
+
+def test_vector_field():
+    from raster_functions_spark.operators import pointwise as P
+    u = np.full((2, 2), 3.0); v = np.full((2, 2), 4.0)
+    out = P.vector_field().apply(np.stack([u, v]).astype(np.float32), {})
+    assert np.allclose(out[0], 5.0)
+    # wind from southwest (u,v positive) → compass ≈ 216.87 (from-direction)
+    assert np.allclose(out[1], (np.degrees(np.arctan2(3, 4)) + 180) % 360)
+
+
+def test_seasonal_forecast_by_group(spark):
+    rows = []
+    for g in ("a", "b"):
+        base = 10.0 if g == "a" else 100.0
+        for t in range(24):
+            rows.append((g, t, float(base + t * 0.5 + 3 * np.sin(2 * np.pi * t / 12))))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    out = {r.g: r for r in
+           ml.seasonal_forecast_by_group(df, ["g"], "v", "t", period=12).collect()}
+    for g, base in (("a", 10.0), ("b", 100.0)):
+        want = base + 24 * 0.5 + 3 * np.sin(2 * np.pi * 24 / 12)
+        assert abs(out[g].forecast - want) < 1.5, g
+        assert out[g].n_obs == 24
+
+
+def test_training_from_table(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 0), (3.0, 4.0, 1)], "f1 double, f2 double, y int")
+    X, y = ml.training_from_table(df, ["f1", "f2"], "y")
+    assert X.shape == (2, 2) and y.tolist() == [0, 1]
