@@ -609,10 +609,22 @@ def q_img_ndvi_zonal(spark, sf_dir):
 # Contract entry points
 # =====================================================================
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the package importable on executor workers even when the
+    driver session was created elsewhere (equivalent of launching with
+    spark-submit --py-files)."""
+    try:
+        from raster_functions_spark.session import ship_package
+        ship_package(spark)
+    except Exception:
+        pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: image count seeded from the documents table,
     full decode→cell→PIP→zonal pipeline."""
     from raster_functions_spark import fixtures, pipeline
+    _ensure_shipped(spark)
     sf_dir = "/root/testdata/sf0.001"
     n = _t(spark, sf_dir, "documents").count()  # 500 — deterministic seed
     images = fixtures.images_df(spark, int(n))
@@ -621,7 +633,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    def shipped(fn):
+        def inner(spark, sf_dir):
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+        inner.__doc__ = fn.__doc__
+        inner.__name__ = fn.__name__
+        return inner
+
+    return {k: shipped(v) for k, v in {
         "a1_pricing_summary": q_a1_pricing_summary,
         "a4_percentile": q_a4_percentile,
         "a7_percent_above": q_a7_percent_above,
@@ -664,7 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_hexbin": q_img_hexbin,
         "img_pyramid": q_img_pyramid,
         "ann_ivf": q_ann_ivf,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
