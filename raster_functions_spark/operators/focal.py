@@ -273,7 +273,7 @@ def apply_focal(df: DataFrame, op: TileOp, fmt_out: str = "zlib",
         T.StructField("fmt", T.StringType()),
     ] + ([df.schema[c] for c in meta_keep]))
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         center = pdf[(pdf["dx"] == 0) & (pdf["dy"] == 0)]
         if center.empty:
             return pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema})

@@ -92,7 +92,7 @@ def cti_scene(df: DataFrame, tile: int,
         T.StructField("fmt", T.StringType()),
     ])
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         txs = pdf[txc].to_numpy()
         tys = pdf[tyc].to_numpy()
         W = (txs.max() + 1) * tile

@@ -282,7 +282,7 @@ def seasonal_forecast_by_group(df, group_cols: list[str], value_col: str,
         T.StructField("delta", T.DoubleType()),
         T.StructField("n_obs", T.LongType())])
 
-    def per_group(key, pdf):
+    def per_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col)
         vals = pdf[value_col].to_numpy(np.float64)
         fc, delta = fit(vals)

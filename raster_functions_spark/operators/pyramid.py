@@ -40,7 +40,7 @@ def pyramid_level(df: DataFrame, tile: int, measure: str = "mean",
         T.StructField("n_children", T.IntegerType()),
     ])
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         first = codec.decode(bytes(pdf["bytes"].iloc[0]))
         bands = first.shape[0]
         mosaic = np.zeros((bands, 2 * tile, 2 * tile), dtype=np.float64)

@@ -82,10 +82,10 @@ def stack_composite(df: DataFrame, measure: str, group_cols: list[str] = ["scene
     (A5) / Landsat_Image_Synthesis mean (A6) depending on measure + QA args."""
     reducer = _MEASURES[measure]
     schema = _out_schema(group_cols, df)
-    return df.groupBy(*group_cols).applyInPandas(
-        lambda key, pdf: _reduce_group(key, pdf, group_cols, reducer, fmt_out,
-                                       value_band, qa_band, clear_values, order_col),
-        schema=schema)
+    def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
+                             value_band, qa_band, clear_values, order_col)
+    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
 
 
 def stack_percentile(df: DataFrame, q: float, group_cols: list[str] = ["scene_id"],
@@ -97,10 +97,10 @@ def stack_percentile(df: DataFrame, q: float, group_cols: list[str] = ["scene_id
     per-pixel loop (LandsatPixelPercentile.py:175-190; same math)."""
     reducer = lambda s: np.nanpercentile(s, q, axis=0)
     schema = _out_schema(group_cols, df)
-    return df.groupBy(*group_cols).applyInPandas(
-        lambda key, pdf: _reduce_group(key, pdf, group_cols, reducer, fmt_out,
-                                       value_band, qa_band, clear_values, None),
-        schema=schema)
+    def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
+                             value_band, qa_band, clear_values, None)
+    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
 
 
 def stack_topk(df: DataFrame, k: int, group_cols: list[str] = ["scene_id"],
@@ -111,10 +111,10 @@ def stack_topk(df: DataFrame, k: int, group_cols: list[str] = ["scene_id"],
         srt = np.sort(s, axis=0)  # ascending; k-th max = [-k]
         return srt[-k] if s.shape[0] >= k else srt[0]
     schema = _out_schema(group_cols, df)
-    return df.groupBy(*group_cols).applyInPandas(
-        lambda key, pdf: _reduce_group(key, pdf, group_cols, reducer, fmt_out,
-                                       0, None, (), None),
-        schema=schema)
+    def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
+                             0, None, (), None)
+    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
 
 
 def percent_above_threshold(df: DataFrame, threshold: float,

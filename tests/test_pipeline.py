@@ -66,3 +66,29 @@ def test_checkpointed_write_resume(spark, tmp_path):
     # metrics side table
     mt = lineage.metrics_table(spark, path).toPandas()
     assert mt.rows.sum() == 1000 and len(mt) == 8
+
+
+def test_flagship_tolerates_corrupt_payloads(spark):
+    """Corrupt image bytes must not kill the job: marked phash_ham=-1,
+    NaN stats excluded from means, counted in n_bad."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from raster_functions_spark import spatial
+
+    pdf = fixtures.images_pdf(np.arange(200))
+    # corrupt 10 payloads inside the hot cluster (guaranteed AOI-0 hits)
+    hot = pdf.index[np.arange(200) % 5 == 0][:10]
+    pdf.loc[hot, "bytes"] = b"\x00garbage"
+    images = spark.createDataFrame(pdf, schema=fixtures.IMAGES_SCHEMA)
+    out = pipeline.flagship(spark, images, fixtures.aoi_df(spark, 10)).toPandas()
+    assert len(out) >= 1
+    row0 = out[out.aoi_id == 0].iloc[0]
+    assert row0.n_bad >= 1                       # corrupt rows surfaced
+    assert np.isfinite(row0.mean_px)             # NaN rows excluded from mean
+    assert row0.max_phash_ham >= -1
+
+
+def test_flagship_clean_run_has_zero_bad(spark):
+    out = pipeline.flagship(spark, fixtures.images_df(spark, 300),
+                            fixtures.aoi_df(spark, 10)).toPandas()
+    assert (out.n_bad == 0).all()
