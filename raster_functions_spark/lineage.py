@@ -83,6 +83,36 @@ def read_checkpointed(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_cell_partitioned(df: DataFrame, path: str, lon_col: str = "lon",
+                           lat_col: str = "lat", res: int = 3,
+                           date_col: str | None = None) -> None:
+    """Materialize an image/feature table partitioned by coarse parent cell
+    (and optionally date) — the layout that makes spatial predicates prune
+    files (SURVEY.md O2): a bbox query covers a handful of parent cells, so
+    the scan touches only those directories. Partition count = 8^res-ish;
+    res 3 ≈ 64 partitions globally (tune to cluster file-size targets)."""
+    from . import grid
+    out = df.withColumn("p_cell", grid.encode_col(F.col(lon_col), F.col(lat_col), res))
+    cols = ["p_cell"] + ([date_col] if date_col else [])
+    out.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def read_cells(spark: SparkSession, path: str,
+               bbox: tuple[float, float, float, float], res: int = 3,
+               lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Exact bbox read over a cell-partitioned table: the cell-cover IN
+    list prunes PARTITIONS (directories never opened) and the bbox
+    predicate prunes ROWS (pushed into the parquet scan) — the two-level
+    spatial-predicate rewrite of SURVEY.md O2/O4."""
+    from . import grid
+    xmin, ymin, xmax, ymax = bbox
+    cells = [int(c) for c in grid.cover_bbox(xmin, ymin, xmax, ymax, res)]
+    df = spark.read.parquet(path)
+    return df.where(F.col("p_cell").isin(cells)
+                    & (F.col(lon_col) >= xmin) & (F.col(lon_col) <= xmax)
+                    & (F.col(lat_col) >= ymin) & (F.col(lat_col) <= ymax))
+
+
 def metrics_table(spark: SparkSession, path: str) -> DataFrame:
     """The per-partition metrics as a DataFrame (lineage side table)."""
     m = _read_manifest(path)

@@ -1,0 +1,74 @@
+"""Live incremental composites — streaming ingest feeding running
+per-scene statistics (the engine addition on top of the reference's batch
+time-stacks; SURVEY.md §2.10 notes ingest may be Structured Streaming).
+
+Pattern: each microbatch computes decomposable per-tile partials
+(sum/count/min/max — the same map-side combine as
+``stack.stack_stats_decomposable``) and APPENDS them to a partials table
+via ``foreachBatch`` (exactly-once with the query checkpoint). The
+"current composite" is a plain aggregation view over the partials — always
+consistent, never rewritten. Non-decomposable composites (median,
+percentile) re-aggregate the raw table on demand; the partials table
+answers the streaming-freshness cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import codec
+
+PARTIALS_SCHEMA = T.StructType([
+    T.StructField("scene_id", T.StringType()),
+    T.StructField("px_sum", T.DoubleType()),
+    T.StructField("px_min", T.DoubleType()),
+    T.StructField("px_max", T.DoubleType()),
+    T.StructField("px_n", T.LongType()),
+    T.StructField("batch_id", T.LongType()),
+])
+
+
+def tile_partials(df: DataFrame, value_band: int = 0) -> DataFrame:
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                px = codec.decode(bytes(pdf["bytes"].iloc[i]))[value_band].astype(np.float64)
+                rows.append({"scene_id": pdf["scene_id"].iloc[i],
+                             "px_sum": float(px.sum()), "px_min": float(px.min()),
+                             "px_max": float(px.max()), "px_n": int(px.size)})
+            yield pd.DataFrame(rows, columns=["scene_id", "px_sum", "px_min",
+                                              "px_max", "px_n"])
+    schema = T.StructType([f for f in PARTIALS_SCHEMA if f.name != "batch_id"])
+    return df.mapInPandas(run, schema=schema)
+
+
+def start_incremental_composite(stream: DataFrame, partials_path: str,
+                                checkpoint: str, query_name: str,
+                                value_band: int = 0):
+    """availableNow/continuous stream → per-tile partials appended
+    exactly-once (foreachBatch + checkpoint)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (tile_partials(batch_df, value_band)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(partials_path))
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name).trigger(availableNow=True).start())
+
+
+def current_composite(spark: SparkSession, partials_path: str) -> DataFrame:
+    """The always-consistent running composite: one aggregation over the
+    appended partials (decomposable measures)."""
+    p = spark.read.schema(PARTIALS_SCHEMA).parquet(partials_path)
+    return (p.groupBy("scene_id")
+            .agg(F.sum("px_sum").alias("sum"),
+                 (F.sum("px_sum") / F.sum("px_n")).alias("mean"),
+                 F.min("px_min").alias("min"), F.max("px_max").alias("max"),
+                 F.count("*").alias("n_tiles"),
+                 F.max("batch_id").alias("last_batch"))
+            .orderBy("scene_id"))

@@ -85,6 +85,19 @@ def main() -> int:
     checks.append(("bbox join avoids BroadcastNestedLoopJoin", ok))
     out += ["\n## q_spatial_bbox_join\n", p]
 
+    # 7. cell-partitioned storage: bbox read prunes partitions (O2)
+    import tempfile
+    from raster_functions_spark import fixtures, lineage
+    with tempfile.TemporaryDirectory() as td:
+        imgs = fixtures.images_df(spark, 300).select("image_id", "lon", "lat")
+        lineage.write_cell_partitioned(imgs, td, res=3)
+        rd = lineage.read_cells(spark, td, (9.0, 44.0, 11.5, 46.5), res=3)
+        p = rd._jdf.queryExecution().executedPlan().toString()
+        ok = "PartitionFilters: [p_cell" in p.replace("PartitionFilters: [isnotnull(p_cell", "PartitionFilters: [p_cell") \
+            or ("PartitionFilters" in p and "p_cell" in p)
+        checks.append(("bbox read over cell-partitioned table prunes partitions", ok))
+        out += ["\n## cell-partitioned bbox read\n", p[:4000]]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
