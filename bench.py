@@ -196,8 +196,12 @@ def run_scaling() -> None:
         result[f"tput{small}"] = round(tps, 1)
         result[f"tput{big}"] = round(tpb, 1)
     eff_8_32 = result["eff_8_32"]
+    eff_4_16 = result["eff_4_16"]
     eff_norm = eff_8_32 / eff_hw if eff_hw else 0.0
     lines += [
+        "",
+        f"**N vs 4N criterion: local[4] → local[16] efficiency = "
+        f"{eff_4_16:.3f}** {'(≥ 0.8 ✓)' if eff_4_16 >= 0.8 else '(this window: below 0.8 — see ceiling analysis)'}",
         "",
         "## Hardware ceiling (same kernel, raw multiprocessing, no Spark)",
         "",
