@@ -98,6 +98,30 @@ def main() -> int:
         checks.append(("bbox read over cell-partitioned table prunes partitions", ok))
         out += ["\n## cell-partitioned bbox read\n", p[:4000]]
 
+    # 8. bucketed tables co-locate joins: no Exchange on the join key (O12)
+    import shutil
+    spark.sql("CREATE DATABASE IF NOT EXISTS audit_db")
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    for t in ("audit_db.imgs_b", "audit_db.feats_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/audit_db.db/{t.split('.')[1]}", ignore_errors=True)
+    imgs2 = fixtures.images_df(spark, 500).select("image_id", "lon", "lat")
+    (imgs2.write.bucketBy(8, "image_id").sortBy("image_id")
+     .format("parquet").saveAsTable("audit_db.imgs_b"))
+    (imgs2.selectExpr("image_id", "lon * 2 AS feat")
+     .write.bucketBy(8, "image_id").sortBy("image_id")
+     .format("parquet").saveAsTable("audit_db.feats_b"))
+    # disable broadcast so the join exercises the bucketed sort-merge path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    joined = (spark.table("audit_db.imgs_b")
+              .join(spark.table("audit_db.feats_b"), "image_id"))
+    p = plan_of(joined)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    ok = "Exchange hashpartitioning" not in p and "SortMergeJoin" in p
+    checks.append(("bucketed tables sort-merge join with ZERO shuffle", ok))
+    out += ["\n## bucketed co-located join\n", p]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
