@@ -206,6 +206,28 @@ def block_statistics(measure: str = "mean", factor: int = 2) -> TileOp:
     return TileOp(f"block_{measure}", fn, padding=0, dtype_out="f4")
 
 
+def erode_mask_np(mask: np.ndarray, size: int = 3) -> np.ndarray:
+    """Binary erosion of a validity mask (valid only if the whole size×size
+    neighborhood is valid) — the reference erodes masks alongside focal
+    kernels so edge pixels computed from NoData are invalidated
+    (deprecated/Hillshade.py:90-93). Pure NumPy via the sliding min."""
+    p = size // 2
+    padded = np.pad(mask.astype(np.uint8), p, mode="constant", constant_values=0)
+    return rank_filter_np(padded.astype(np.float64), "min", size).astype(np.uint8)
+
+
+def mask_erode(size: int = 3, mask_band: int = -1) -> TileOp:
+    """TileOp: erode the mask band in place (other bands pass through) —
+    compose after a focal kernel to reproduce the reference's mask
+    semantics. Mask convention: >0 valid, 0 NoData."""
+    def fn(px, meta):
+        out = px.copy()
+        mb = mask_band if mask_band >= 0 else px.shape[0] - 1
+        out[mb] = erode_mask_np(px[mb] > 0, size)
+        return out
+    return TileOp("mask_erode", fn)
+
+
 # ------------------------------------------------------ halo exchange ------
 
 _HALO_MSG_SCHEMA = T.StructType([

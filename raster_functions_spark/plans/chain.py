@@ -59,6 +59,7 @@ REGISTRY: dict[str, Callable[..., TileOp]] = {
     "aspect": focal.aspect,
     "aspect_slope_class": focal.aspect_slope_class,
     "rank_filter": focal.rank_filter,
+    "mask_erode": focal.mask_erode,
     "focal_statistics": focal.focal_statistics,
     "block_statistics": focal.block_statistics,
     # block effects (F15)

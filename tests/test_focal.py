@@ -98,3 +98,22 @@ def test_halo_rank_filter_5x5(spark):
         tx, ty = int(row["tx"]), int(row["ty"])
         want = want_full[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
         assert np.allclose(got, want, atol=1e-4)
+
+
+def test_mask_erosion_monotonic():
+    """FIXTURES §4 invariant: eroded mask ⊆ input mask, and interior of a
+    solid region survives while a 1-px protrusion is removed."""
+    rng = np.random.default_rng(9)
+    mask = (rng.random((20, 20)) > 0.3)
+    out = focal.erode_mask_np(mask, 3).astype(bool)
+    assert not (out & ~mask).any()          # monotonic: output ⊆ input
+    solid = np.zeros((12, 12), bool); solid[2:10, 2:10] = True
+    solid[5, 10] = True                      # protrusion
+    e = focal.erode_mask_np(solid, 3).astype(bool)
+    assert e[4:8, 4:8].all()                 # interior survives
+    assert not e[5, 10] and not e[2, 2]      # protrusion + corner eroded
+    # op form: mask band eroded, value band untouched
+    px = np.stack([np.full((12, 12), 7.0), solid.astype(np.float64)]).astype(np.float32)
+    out_op = focal.mask_erode().apply(px, {})
+    assert (out_op[0] == 7.0).all()
+    assert np.array_equal(out_op[1].astype(bool), e)
