@@ -201,3 +201,60 @@ def test_training_from_table(spark):
     df = spark.createDataFrame([(1.0, 2.0, 0), (3.0, 4.0, 1)], "f1 double, f2 double, y int")
     X, y = ml.training_from_table(df, ["f1", "f2"], "y")
     assert X.shape == (2, 2) and y.tolist() == [0, 1]
+
+
+def test_flow_accumulation_distributed_matches_global(spark):
+    """The boundary-flow-exchange iteration must equal the single-array
+    computation exactly — including flow paths crossing tile borders."""
+    from raster_functions_spark.operators.hydro import (
+        flow_accumulation, flow_accumulation_distributed)
+    tiles_x, tiles_y, tile = 3, 2, 16
+    df = fixtures.dem_scene_df(spark, "fa", tiles_x, tiles_y, tile)
+    out = flow_accumulation_distributed(df, tile).toPandas()
+    full = fixtures.dem_scene(tiles_x, tiles_y, tile).astype(np.float64)
+    want = flow_accumulation(full)
+    assert len(out) == tiles_x * tiles_y
+    for _, r in out.iterrows():
+        got = codec.decode(bytes(r["bytes"]))[0]
+        w = want[r.ty * tile:(r.ty + 1) * tile, r.tx * tile:(r.tx + 1) * tile]
+        assert np.allclose(got, w), f"tile ({r.tx},{r.ty}) max diff {np.abs(got-w).max()}"
+
+
+def test_flow_accumulation_distributed_long_path(spark):
+    """A single drainage channel snaking across every tile — the worst
+    case for iteration count (flow crosses all tile boundaries)."""
+    import pandas as pd
+    from raster_functions_spark.operators.hydro import (
+        flow_accumulation, flow_accumulation_distributed)
+    tile, tx_n = 8, 4
+    W = tile * tx_n
+    yy, xx = np.mgrid[0:tile, 0:W]
+    z = (W - xx).astype(np.float64) + 5.0 * np.abs(yy - 4)  # channel at y=4 flowing east
+    rows = []
+    for tx in range(tx_n):
+        part = z[:, tx * tile:(tx + 1) * tile].astype(np.float32)
+        rows.append({"scene_id": "lp", "tx": tx, "ty": 0,
+                     "bytes": codec.encode(part[None])})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = flow_accumulation_distributed(df, tile).toPandas()
+    want = flow_accumulation(z)
+    for _, r in out.iterrows():
+        got = codec.decode(bytes(r["bytes"]))[0]
+        w = want[:, r.tx * tile:(r.tx + 1) * tile]
+        assert np.allclose(got, w), f"tile {r.tx}"
+    # the channel outlet accumulates flow from every upstream tile
+    assert want[4, -1] == want.max() and want.max() > tile * 2
+
+
+def test_cti_distributed_matches_scene(spark):
+    from raster_functions_spark.operators.hydro import cti_distributed, cti_np
+    df = fixtures.dem_scene_df(spark, "cd", 2, 2, 16)
+    out = cti_distributed(df, 16, cellsize=0.001).toPandas()
+    full = fixtures.dem_scene(2, 2, 16).astype(np.float64)
+    want = cti_np(full, 0.001)
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        got = codec.decode(bytes(r["bytes"]))[0]
+        w = want[r.ty * 16:(r.ty + 1) * 16, r.tx * 16:(r.tx + 1) * 16]
+        # slope crosses a float32 tile boundary between stages → ~2e-4
+        assert np.allclose(got, w, atol=1e-3), (r.tx, r.ty)
