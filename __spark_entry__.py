@@ -396,9 +396,19 @@ def q_stream_windowed(spark, sf_dir):
 
 
 # =====================================================================
-# Image-engine queries (rows-only: no SQL analog; NumPy-oracle pytest
-# covers their correctness — see tests/).
+# Image-engine queries. Each one regenerates its pixels from the
+# deterministic closed-form fixtures, so the DuckDB oracle re-derives
+# the same pixels in SQL (raster_functions_spark/oracles.py) — Horn
+# gradients as clamped closed-form evaluations, flow accumulation as a
+# recursive CTE, composites/zonal/hex rollups as GROUP BYs. Outputs are
+# integer sums or ≥4-decimal-rounded floats (float-parity rules in
+# oracles.py's module docstring).
 # =====================================================================
+
+def _px_sum(px, m):
+    import numpy as np
+    return float(np.nansum(px.astype(np.float64)))
+
 
 def q_img_flagship(spark, sf_dir):
     """Flagship: decode → cell-encode → PIP join → tile assign → zonal."""
@@ -409,32 +419,33 @@ def q_img_flagship(spark, sf_dir):
 
 
 def q_img_hillshade(spark, sf_dir):
-    """W1 Hillshade via halo exchange → per-tile mean brightness."""
+    """W1 Hillshade via halo exchange → per-tile integer brightness sum."""
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import focal
     from raster_functions_spark.raster import tile_stats
-    import numpy as np
-    dem = fixtures.dem_scene_df(spark, "scene0", 4, 4, 32)
+    dem = fixtures.dem_scene_df(spark, "scene0", 4, 4, 32, dtype="f8")
     hs = focal.apply_focal(dem, focal.hillshade(cellsize=0.001), fmt_out="zlib")
-    return tile_stats(hs, [], {"mean_shade": lambda px, m: float(np.mean(px))},
-                      keep_cols=["scene_id", "tx", "ty"]).orderBy("tx", "ty")
+    out = tile_stats(hs, [], {"sum_shade": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.col("sum_shade").cast("long").alias("sum_shade"))
+            .orderBy("tx", "ty"))
 
 
 def q_img_stack_median(spark, sf_dir):
-    """A5 QA-masked median composite → per-scene summary."""
+    """A5 QA-masked median composite → per-scene pixel sum (medians of
+    integer stacks are exact halves → exact doubles cross-engine)."""
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import stack
     from raster_functions_spark.raster import tile_stats
-    import numpy as np
     st = fixtures.stack_images_df(spark, n_scenes=4, n_times=12)
     med = stack.stack_composite(st, "median", qa_band=1,
                                 clear_values=fixtures.QA_CLEAR_C1)
-    return tile_stats(med, [], {"mean_px": lambda px, m: float(np.mean(px))},
+    return tile_stats(med, [], {"sum_med": _px_sum},
                       keep_cols=["scene_id", "n_rasters"]).orderBy("scene_id")
 
 
 def q_img_phash_dedup(spark, sf_dir):
-    """Image near-dup candidates on the perceptual-hash column."""
+    """Image near-dup candidates on the perceptual-hash column (4×16-bit
+    band LSH + Hamming verify, all JVM-side)."""
     from raster_functions_spark import dedup, fixtures
     images = fixtures.images_df(spark, 600).select("image_id", "phash")
     return dedup.phash_near_dups(images, max_hamming=10).orderBy("id_a", "id_b")
@@ -446,7 +457,7 @@ def q_img_zonal_remap_px(spark, sf_dir):
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import zonal
     from raster_functions_spark.raster import apply_chain
-    dem = fixtures.dem_scene_df(spark, "sceneZ", 3, 3, 32)
+    dem = fixtures.dem_scene_df(spark, "sceneZ", 3, 3, 32, dtype="f8")
     dem = (dem.withColumn("xmin", F.lit(10.0)).withColumn("ymax", F.lit(45.0))
            .withColumn("cell_dy", F.lit(0.001)))
     remapped = apply_chain(
@@ -455,62 +466,67 @@ def q_img_zonal_remap_px(spark, sf_dir):
          zonal.zonal_remap(fixtures.zones_pdf(8), value_band=0, zone_band=1),
          zonal.zone_band_from_cells(res=15, n_zones=8)],
         fmt_out="raw", meta_cols=["xmin", "ymax", "cell_dx", "cell_dy"])
-    return zonal.zonal_statistics_px(remapped, None, value_band=0, zone_band=1)
+    zs = zonal.zonal_statistics_px(remapped, None, value_band=0, zone_band=1)
+    return zs.select("zone", "n", F.round("sum", 4).alias("sum_v"),
+                     F.round("min", 6).alias("min_v"),
+                     F.round("max", 6).alias("max_v")).orderBy("zone")
 
 
 def q_img_cti(spark, sf_dir):
     """W8 CompoundTopographicIndex: per-scene D8 flow accumulation +
-    wetness index, re-tiled; per-tile mean CTI out."""
+    wetness index, re-tiled; per-tile CTI sum out."""
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import hydro
     from raster_functions_spark.raster import tile_stats
-    import numpy as np
-    dem = fixtures.dem_scene_df(spark, "sceneC", 3, 2, 32)
+    dem = fixtures.dem_scene_df(spark, "sceneC", 3, 2, 32, dtype="f8")
     cti = hydro.cti_scene(dem, tile=32)
-    return tile_stats(cti, [], {"mean_cti": lambda px, m: float(np.mean(px))},
-                      keep_cols=["scene_id", "tx", "ty"]).orderBy("tx", "ty")
+    out = tile_stats(cti, [], {"sum_cti": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_cti", 6).alias("sum_cti"))
+            .orderBy("tx", "ty"))
 
 
 def q_img_knn_classify(spark, sf_dir):
     """M1 per-pixel kNN classification (from-scratch NumPy, broadcast
-    training set) over red/NIR tiles → class histogram."""
+    training set) over lossless red/NIR tiles → integer class counts.
+    The lossy-DCT tier is excluded: its decode round trip is gated by the
+    PSNR pytest suite, not re-derivable in exact SQL."""
     import numpy as np
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import ml
     from raster_functions_spark.raster import tile_stats
     rng_x = np.array([[40.0, 40.0], [200.0, 200.0], [40.0, 200.0]])
     rng_y = np.array([0, 1, 2])
-    imgs = fixtures.images_df(spark, 400).filter(F.col("bands") == 2)
+    imgs = (fixtures.images_df(spark, 400)
+            .filter((F.col("bands") == 2) & (F.col("fmt") != "dct")))
     cls = tile_stats(imgs, [ml.knn_classifier(rng_x, rng_y, k=1)],
-                     {"frac_c0": lambda px, m: float(np.mean(px == 0)),
-                      "frac_c1": lambda px, m: float(np.mean(px == 1)),
-                      "frac_c2": lambda px, m: float(np.mean(px == 2))},
+                     {"n_c0": lambda px, m: float((px == 0).sum()),
+                      "n_c1": lambda px, m: float((px == 1).sum()),
+                      "n_c2": lambda px, m: float((px == 2).sum())},
                      keep_cols=["image_id"])
     return (cls.select("image_id",
-                       F.round("frac_c0", 6).alias("frac_c0"),
-                       F.round("frac_c1", 6).alias("frac_c1"),
-                       F.round("frac_c2", 6).alias("frac_c2"))
+                       F.col("n_c0").cast("long").alias("n_c0"),
+                       F.col("n_c1").cast("long").alias("n_c1"),
+                       F.col("n_c2").cast("long").alias("n_c2"))
             .orderBy("image_id"))
 
 
 def q_img_chain(spark, sf_dir):
-    """RFT-analog chain spec: hillshade (halo) → stretch, per-tile mean."""
-    import numpy as np
+    """RFT-analog chain spec: hillshade (halo) → stretch, per-tile sum."""
     from raster_functions_spark import fixtures
     from raster_functions_spark.plans import chain
     from raster_functions_spark.raster import tile_stats
-    dem = fixtures.dem_scene_df(spark, "sceneX", 3, 2, 32)
+    dem = fixtures.dem_scene_df(spark, "sceneX", 3, 2, 32, dtype="f8")
     spec = [{"op": "hillshade", "args": {"cellsize": 0.001}},
             {"op": "stretch", "args": {"band": 0, "in_min": 0, "in_max": 255,
                                        "out_min": 0, "out_max": 1}}]
     out = chain.build_chain(dem, spec, fmt_out="raw")
-    return tile_stats(out, [], {"mean_v": lambda px, m: float(np.mean(px))},
-                      keep_cols=["scene_id", "tx", "ty"]).orderBy("tx", "ty")
+    st = tile_stats(out, [], {"sum_v": _px_sum}, keep_cols=["tx", "ty"])
+    return (st.select("tx", "ty", F.round("sum_v", 6).alias("sum_v"))
+            .orderBy("tx", "ty"))
 
 
 def q_img_dnbr(spark, sf_dir):
     """F2 dNBR: two co-registered rasters aligned by tile-key equi-join."""
-    import numpy as np
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import multiraster as mr
     from raster_functions_spark.raster import tile_stats
@@ -518,13 +534,16 @@ def q_img_dnbr(spark, sf_dir):
     post = fixtures.stack_images_df(spark, n_scenes=3, n_times=2) \
         .filter(F.col("t") == 1).drop("t", "acq_month", "acq_days")
     out = mr.two_raster_op(pre, post, mr.dnbr_fn(), ["scene_id"])
-    return tile_stats(out, [], {"mean_dnbr": lambda px, m: float(np.mean(px))},
-                      keep_cols=["scene_id"]).orderBy("scene_id")
+    st = tile_stats(out, [], {"sum_dnbr": _px_sum}, keep_cols=["scene_id"])
+    return (st.select("scene_id", F.round("sum_dnbr", 6).alias("sum_dnbr"))
+            .orderBy("scene_id"))
 
 
 def q_img_cloud_fill(spark, sf_dir):
     """J9 StepwiseLocalRadiometricAdjustment shape: 3-way aligned join +
-    ring-growing locally-matched gap fill."""
+    ring-growing locally-matched gap fill. Oracle: the same public
+    ring_fill_np run single-process (the distributed join/agg must
+    reproduce it exactly — f32 outputs, so sums are bit-identical)."""
     import numpy as np
     import pandas as pd
     from raster_functions_spark import codec as cd
@@ -542,7 +561,7 @@ def q_img_cloud_fill(spark, sf_dir):
     mk = lambda rows: spark.createDataFrame(pd.DataFrame(rows))
     filled = mr.cloud_fill(mk(rows_t), mk(rows_r), mk(rows_m),
                            ["scene_id", "tx", "ty"])
-    return tile_stats(filled, [], {"mean_v": lambda px, m: float(np.mean(px))},
+    return tile_stats(filled, [], {"sum_v": _px_sum},
                       keep_cols=["scene_id"]).orderBy("scene_id")
 
 
@@ -550,28 +569,29 @@ def q_img_hexbin(spark, sf_dir):
     """A3 HexagonPixels: pixel values aggregated onto a hex grid."""
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import effects
-    dem = fixtures.dem_scene_df(spark, "hx", 2, 2, 32)
+    dem = fixtures.dem_scene_df(spark, "hx", 2, 2, 32, dtype="f8")
     dem = (dem.withColumn("xmin", F.col("tx") * 0.032 + 10.0)
            .withColumn("ymax", 45.0 - F.col("ty") * 0.032)
            .withColumn("cell_dy", F.lit(0.001)))
-    return effects.hexagon_pixels(dem, size_deg=0.01)
+    hx = effects.hexagon_pixels(dem, size_deg=0.01)
+    return hx.select("hex_id", F.round("mean", 6).alias("mean"), "n_px")
 
 
 def q_img_pyramid(spark, sf_dir):
     """O5 LoD pyramid: two rollup levels, per-level tile counts + means."""
-    import numpy as np
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import pyramid
     from raster_functions_spark.raster import tile_stats
-    dem = fixtures.dem_scene_df(spark, "pyr", 4, 4, 16)
+    dem = fixtures.dem_scene_df(spark, "pyr", 4, 4, 16, dtype="f8")
     levels = pyramid.build_pyramid(dem, 16, 2)
     outs = []
     for li, lv in enumerate(levels):
-        st = tile_stats(lv, [], {"mean_px": lambda px, m: float(np.mean(px))},
-                        keep_cols=["scene_id", "tx", "ty"])
+        st = tile_stats(lv, [], {"tm": lambda px, m: float(
+            px.astype("float64").sum() / px.size)},
+            keep_cols=["scene_id", "tx", "ty"])
         outs.append(st.groupBy().agg(
             F.lit(li).alias("level"), F.count("*").alias("n_tiles"),
-            F.round(F.avg("mean_px"), 6).alias("mean_px")))
+            F.round(F.avg("tm"), 6).alias("mean_px")))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -590,18 +610,19 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_img_ndvi_zonal(spark, sf_dir):
-    """F1 NDVI kernel → cell rollup (LoD parent) → zonal mean."""
+    """F1 NDVI kernel → cell rollup (LoD parent) → zonal sum over the
+    lossless red/NIR tier (lossy DCT round trip gated by PSNR pytest)."""
     from raster_functions_spark import fixtures
     from raster_functions_spark.operators import pointwise
     from raster_functions_spark.raster import tile_stats
-    import numpy as np
-    imgs = fixtures.images_df(spark, 800).filter(F.col("bands") == 2)
-    nd = tile_stats(imgs, [pointwise.ndvi()],
-                    {"ndvi_mean": lambda px, m: float(np.mean(px))},
+    imgs = (fixtures.images_df(spark, 800)
+            .filter((F.col("bands") == 2) & (F.col("fmt") != "dct")))
+    nd = tile_stats(imgs, [pointwise.ndvi()], {"ndvi_sum": _px_sum},
                     keep_cols=["image_id", "lon", "lat"])
     cells = nd.withColumn("cell", grid.encode_col(F.col("lon"), F.col("lat"), 3))
     return (cells.groupBy("cell")
-            .agg(F.count("*").alias("n"), F.round(F.avg("ndvi_mean"), 6).alias("mean_ndvi"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("ndvi_sum"), 4).alias("sum_ndvi"))
             .orderBy("cell"))
 
 
@@ -690,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from raster_functions_spark import text as _text
     from raster_functions_spark import dedup as _dedup
+    from raster_functions_spark import oracles as _orc
 
     mh = _dedup.minhash_sql("text", 5, 8)
     band_sigs = [" || '|' || ".join(mh[4 * b + r] for r in range(4)).join(["(", ")"])
@@ -713,6 +735,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         # IVF with n_probe = n_lists is exhaustive ⇒ exact ⇒ same oracle as kNN
         "ann_ivf": knn_oracle,
+        # --- image-engine oracles: pixels re-derived in SQL from the
+        # closed-form fixtures (see oracles.py for the parity rules) ---
+        "img_hillshade": _orc.hillshade_sql(4, 4, 32),
+        "img_stack_median": _orc.stack_median_sql(4, 12, 16),
+        "img_cti": _orc.cti_sql(3, 2, 32),
+        "img_zonal_remap_px": _orc.zonal_remap_px_sql(3, 3, 32),
+        "img_knn_classify": _orc.knn_classify_sql(
+            400, [(40.0, 40.0, 0), (200.0, 200.0, 1), (40.0, 200.0, 2)]),
+        "img_chain": _orc.chain_sql(3, 2, 32),
+        "img_dnbr": _orc.dnbr_sql(3),
+        "img_cloud_fill": _orc.cloud_fill_sql(4, 32, 8),
+        "img_hexbin": _orc.hexbin_sql(2, 2, 32),
+        "img_pyramid": _orc.pyramid_sql(4, 4, 16, 2),
+        "img_ndvi_zonal": _orc.ndvi_zonal_sql(800),
+        "img_phash_dedup": _orc.phash_pairs_sql(600, 10),
+        "img_flagship": _orc.flagship_sql(1000, 25),
         "a1_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
                  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -109,9 +109,43 @@ def minhash_sql(text_expr: str, k: int = 5, n_hashes: int = 8) -> list[str]:
             for a, b in zip(_MH_A[:n_hashes], _MH_B[:n_hashes])]
 
 
+def _salted_buckets(banded: DataFrame, max_bucket: int,
+                    id_col: str = "_id") -> DataFrame:
+    """Bound LSH bucket size WITHOUT dropping content: buckets larger than
+    ``max_bucket`` are split into ⌈n/max_bucket⌉ salt sub-buckets by a hash
+    of the member id. Returns the banded rows with ``salt`` plus the
+    bucket's global ``_n`` (size) and ``_bmin`` (canonical = min id) so
+    callers can emit canonical→sub-bucket *bridge* pairs that keep each
+    oversized bucket's duplicate group connected (pair recall inside a
+    sub-bucket is exact; cross-sub-bucket pairs are represented through
+    the canonical doc, which downstream connected-component grouping
+    re-joins). Cost: one extra count aggregation + an equi-join on the
+    same (band, bsig) key the pairing groupBy shuffles on anyway."""
+    sizes = (banded.groupBy("band", "bsig")
+             .agg(F.count("*").alias("_n"), F.min(id_col).alias("_bmin")))
+    j = banded.join(sizes, ["band", "bsig"])
+    n_sub = F.greatest(F.ceil(F.col("_n") / max_bucket), F.lit(1))
+    salt = F.when(F.col("_n") <= max_bucket, F.lit(0)) \
+        .otherwise(F.pmod(F.xxhash64(F.col(id_col).cast("string")), n_sub))
+    return j.withColumn("salt", salt.cast("int"))
+
+
+def lsh_bucket_stats(banded: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Monitoring side output: per-band bucket sizes that exceeded
+    ``max_bucket`` (i.e. were salt-split). On a production crawl this is
+    the 'boilerplate hot bucket' report — run it alongside the candidate
+    job (same one aggregation) and alert on growth."""
+    return (banded.groupBy("band", "bsig")
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") > max_bucket)
+            .withColumn("n_sub_buckets",
+                        F.ceil(F.col("n_docs") / max_bucket).cast("int")))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 5,
-                           n_hashes: int = 8, bands: int = 4) -> DataFrame:
+                           n_hashes: int = 8, bands: int = 4,
+                           max_bucket: int = 1000) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     n_hashes/bands rows; docs sharing any band signature are candidates.
     Output: (id_a, id_b, n_shared_bands), id_a < id_b.
@@ -119,7 +153,10 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     Plan shape: one narrow signature pass → explode(bands) → ONE shuffle
     groupBy(band, sig) → within-bucket pairing. Hot buckets (boilerplate
     text) are the skew risk — pair generation is quadratic per bucket, so
-    buckets are capped at 1000 docs (logged via n_bucket)."""
+    buckets larger than ``max_bucket`` are salt-split into bounded
+    sub-buckets and re-connected through canonical bridge pairs (see
+    _salted_buckets; sizes observable via lsh_bucket_stats). Nothing is
+    silently dropped."""
     rows = n_hashes // bands
     # signature via explode + codegen arithmetic + hash-agg min(bigint):
     # identical values to minhash_signature() but whole-stage-codegen
@@ -137,16 +174,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     banded = sig_df.select("_id", F.posexplode(F.array(*[
         F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
         for b in range(bands)])).alias("band", "bsig"))
-    grouped = (banded.groupBy("band", "bsig")
-               .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-               .filter((F.size("ids") > 1) & (F.size("ids") <= 1000)))
-    pairs = (grouped
-             .select(F.explode(F.expr(
-                 "flatten(transform(ids, (a, i) -> "
-                 "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"))
-                 .alias("p"))
-             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")))
-    return (pairs.groupBy("id_a", "id_b")
+    salted = _salted_buckets(banded, max_bucket)
+    grouped = (salted.groupBy("band", "bsig", "salt")
+               .agg(F.sort_array(F.collect_list("_id")).alias("ids"),
+                    F.first("_bmin").alias("_bmin"), F.first("_n").alias("_n"))
+               .filter((F.size("ids") > 1) | (F.col("_n") > F.size("ids"))))
+    within = (grouped
+              .select(F.explode(F.expr(
+                  "flatten(transform(ids, (a, i) -> "
+                  "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"))
+                  .alias("p"))
+              .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")))
+    bridges = (grouped.filter(F.col("_n") > max_bucket)
+               .select(F.col("_bmin").alias("lo"), F.element_at("ids", 1).alias("hi"))
+               .filter(F.col("lo") < F.col("hi"))
+               .select(F.col("lo").alias("id_a"), F.col("hi").alias("id_b")))
+    return (within.unionByName(bridges).groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_shared_bands")))
 
 
@@ -190,31 +233,54 @@ def hamming64_col(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
-def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", max_hamming: int = 3,
-                      band_bits: int = 16) -> DataFrame:
-    """SimHash near-dup pairs: bucket by each of 64/band_bits bit-bands
-    (a pair within Hamming ≤ bands-1 shares ≥1 exact band), verify with
-    bit_count. Same explode→groupBy→pair shape as MinHash LSH."""
+def _hash_band_near_dups(d: DataFrame, max_hamming: int, band_bits: int,
+                         max_bucket: int = 1000) -> DataFrame:
+    """Shared 64-bit-hash LSH: bucket by each of 64/band_bits bit-bands
+    (a pair within Hamming ≤ bands-1 shares ≥1 exact band), salt-split
+    oversized buckets with canonical bridges (see _salted_buckets), verify
+    with bit_count. Input d: (_id, sh)."""
     n_bands = 64 // band_bits
-    d = df.select(F.col(id_col).alias("_id"),
-                  simhash64_udf(text_col).alias("sh"))
     bandcols = [((F.col("sh").cast("long").bitwiseAND(
         F.lit(_i64(((1 << band_bits) - 1) << (b * band_bits)))))).alias(f"b{b}")
         for b in range(n_bands)]
     banded = d.select("_id", "sh", F.posexplode(F.array(*bandcols)).alias("band", "bsig"))
-    g = (banded.groupBy("band", "bsig")
-         .agg(F.collect_list(F.struct("_id", "sh")).alias("xs"))
-         .filter((F.size("xs") > 1) & (F.size("xs") <= 1000)))
-    pairs = (g.select(F.explode(F.expr(
+    salted = _salted_buckets(banded, max_bucket)
+    g = (salted.groupBy("band", "bsig", "salt")
+         .agg(F.sort_array(F.collect_list(F.struct("_id", "sh"))).alias("xs"),
+              F.min_by(F.struct("_id", "sh"), F.col("_id")).alias("sub_min"),
+              F.first("_bmin").alias("_bmin_id"),
+              F.first("_n").alias("_n"))
+         .filter((F.size("xs") > 1) | (F.col("_n") > F.size("xs"))))
+    within = (g.select(F.explode(F.expr(
         "flatten(transform(xs, (a, i) -> "
         "transform(slice(xs, i + 2, size(xs) - i - 1), b -> struct(a._id as ia, b._id as ib, a.sh as sa, b.sh as sb))))"))
-        .alias("p")).select("p.*").distinct())
+        .alias("p")).select("p.*"))
+    # bridge: sub-bucket canonical ↔ bucket canonical (need the bucket
+    # canonical's hash — re-join it from d on the id)
+    bmin = d.select(F.col("_id").alias("_bmin_id"), F.col("sh").alias("bsh"))
+    bridges = (g.filter(F.col("_n") > max_bucket)
+               .select("_bmin_id", F.col("sub_min._id").alias("ib"),
+                       F.col("sub_min.sh").alias("sb"))
+               .filter(F.col("_bmin_id") != F.col("ib"))
+               .join(F.broadcast(bmin.distinct()), "_bmin_id")
+               .select(F.col("_bmin_id").alias("ia"), "ib",
+                       F.col("bsh").alias("sa"), "sb"))
+    pairs = within.unionByName(bridges).distinct()
     return (pairs.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select(F.least("ia", "ib").alias("id_a"),
                     F.greatest("ia", "ib").alias("id_b"), "hamming")
             .distinct())
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3,
+                      band_bits: int = 16, max_bucket: int = 1000) -> DataFrame:
+    """SimHash near-dup pairs: band-bucket LSH + Hamming verify; oversized
+    buckets are salt-split, never dropped (_salted_buckets)."""
+    d = df.select(F.col(id_col).alias("_id"),
+                  simhash64_udf(text_col).alias("sh"))
+    return _hash_band_near_dups(d, max_hamming, band_bits, max_bucket)
 
 
 # ------------------------------------------------------ n-gram Jaccard -----
@@ -248,24 +314,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # ----------------------------------------------------- phash near-dup ------
 
 def phash_near_dups(images: DataFrame, max_hamming: int = 8,
-                    band_bits: int = 16) -> DataFrame:
+                    band_bits: int = 16, max_bucket: int = 1000) -> DataFrame:
     """Image near-dup pairs on the 64-bit perceptual hash column — same
-    band-bucket LSH as simhash, entirely JVM-side (no decode)."""
-    n_bands = 64 // band_bits
+    band-bucket LSH as simhash, entirely JVM-side (no decode); oversized
+    buckets salt-split, never dropped."""
     d = images.select(F.col("image_id").alias("_id"), F.col("phash").alias("sh"))
-    bandcols = [((F.col("sh").bitwiseAND(
-        F.lit(_i64(((1 << band_bits) - 1) << (b * band_bits)))))).alias(f"b{b}")
-        for b in range(n_bands)]
-    banded = d.select("_id", "sh", F.posexplode(F.array(*bandcols)).alias("band", "bsig"))
-    g = (banded.groupBy("band", "bsig")
-         .agg(F.collect_list(F.struct("_id", "sh")).alias("xs"))
-         .filter((F.size("xs") > 1) & (F.size("xs") <= 1000)))
-    pairs = (g.select(F.explode(F.expr(
-        "flatten(transform(xs, (a, i) -> "
-        "transform(slice(xs, i + 2, size(xs) - i - 1), b -> struct(a._id as ia, b._id as ib, a.sh as sa, b.sh as sb))))"))
-        .alias("p")).select("p.*").distinct())
-    return (pairs.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-            .filter(F.col("hamming") <= max_hamming)
-            .select(F.least("ia", "ib").alias("id_a"),
-                    F.greatest("ia", "ib").alias("id_b"), "hamming")
-            .distinct())
+    return _hash_band_near_dups(d, max_hamming, band_bits, max_bucket)

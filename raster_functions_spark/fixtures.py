@@ -273,20 +273,25 @@ def stack_meta_df(spark: SparkSession, n_scenes: int, acq_per_scene: int = 24) -
 
 # ------------------------------------------------- DEM scenes (halo) -------
 
-def dem_scene(tiles_x: int, tiles_y: int, tile: int = 32) -> np.ndarray:
+def dem_scene(tiles_x: int, tiles_y: int, tile: int = 32,
+              dtype: str = "f4") -> np.ndarray:
     """One continuous analytic DEM over a (tiles_y*tile, tiles_x*tile) grid —
     split into tiles by :func:`dem_scene_pdf`; focal-op tests check that
-    halo-joined per-tile kernels reproduce the whole-scene kernel exactly."""
+    halo-joined per-tile kernels reproduce the whole-scene kernel exactly.
+
+    ``dtype='f8'`` keeps the closed form un-quantized — used by the
+    DuckDB-oracle contract queries, where both engines must evaluate the
+    identical float64 expression (oracles.dem_z_sql)."""
     H, W = tiles_y * tile, tiles_x * tile
     yy, xx = np.mgrid[0:H, 0:W]
     z = (100.0 + 50.0 * np.sin(2 * np.pi * xx / 96.0) * np.cos(2 * np.pi * yy / 80.0)
          + 0.05 * xx + 0.02 * yy)
-    return z.astype(np.float32)
+    return z.astype(np.dtype(dtype))
 
 
 def dem_scene_pdf(scene_id: str, tiles_x: int, tiles_y: int, tile: int = 32,
-                  fmt: str = "zlib") -> pd.DataFrame:
-    full = dem_scene(tiles_x, tiles_y, tile)
+                  fmt: str = "zlib", dtype: str = "f4") -> pd.DataFrame:
+    full = dem_scene(tiles_x, tiles_y, tile, dtype)
     rows = []
     for ty in range(tiles_y):
         for tx in range(tiles_x):
@@ -301,8 +306,10 @@ def dem_scene_pdf(scene_id: str, tiles_x: int, tiles_y: int, tile: int = 32,
 
 
 def dem_scene_df(spark: SparkSession, scene_id: str = "scene0",
-                 tiles_x: int = 4, tiles_y: int = 4, tile: int = 32) -> DataFrame:
-    return spark.createDataFrame(dem_scene_pdf(scene_id, tiles_x, tiles_y, tile))
+                 tiles_x: int = 4, tiles_y: int = 4, tile: int = 32,
+                 dtype: str = "f4") -> DataFrame:
+    return spark.createDataFrame(dem_scene_pdf(scene_id, tiles_x, tiles_y, tile,
+                                               dtype=dtype))
 
 
 # ---------------------------------------------- time stacks (composites) ---

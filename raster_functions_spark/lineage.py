@@ -20,7 +20,6 @@ integrity table a 1000-executor run needs for auditing.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,20 +32,46 @@ def bucketed(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)))
 
 
-def _read_manifest(path: str) -> dict:
-    p = os.path.join(path, MANIFEST)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return {"run_ids": [], "buckets": {}}
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for ``path`` via the JVM gateway — the
+    manifest must live NEXT TO the data on whatever filesystem the output
+    uses (S3/HDFS/local). Driver-local open()/os.path would break
+    checkpoint-resume the moment the output path is an object store."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jvm.org.apache.hadoop.fs.Path
 
 
-def _write_manifest(path: str, m: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = os.path.join(path, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(m, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+def _read_manifest(spark: SparkSession, path: str) -> dict:
+    fs, Path = _hadoop_fs(spark, path)
+    p = Path(path, MANIFEST)
+    if not fs.exists(p):
+        return {"run_ids": [], "buckets": {}}
+    jvm = spark._jvm
+    stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copy on the JVM side — py4j passes byte[] by value, so a Python-side
+    # read(buf) loop would never see the bytes
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+
+def _write_manifest(spark: SparkSession, path: str, m: dict) -> None:
+    fs, Path = _hadoop_fs(spark, path)
+    base = Path(path)
+    if not fs.exists(base):
+        fs.mkdirs(base)
+    tmp = Path(path, MANIFEST + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(m, indent=1, sort_keys=True).encode("utf-8"))
+    finally:
+        out.close()
+    dst = Path(path, MANIFEST)
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
 
 
 def checkpointed_write(df: DataFrame, path: str, key_col: str,
@@ -55,7 +80,8 @@ def checkpointed_write(df: DataFrame, path: str, key_col: str,
     manifest (resume). Returns the manifest. Deterministic input ⇒ the
     union of any interleaving of runs equals the single-run output."""
     run_id = run_id or f"run-{int(time.time())}"
-    manifest = _read_manifest(path)
+    spark = df.sparkSession
+    manifest = _read_manifest(spark, path)
     done = set(map(int, manifest["buckets"]))
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
@@ -69,13 +95,13 @@ def checkpointed_write(df: DataFrame, path: str, key_col: str,
                .agg(F.count("*").alias("rows"),
                     F.sum(F.crc32(F.col(key_col).cast("string"))).alias("key_checksum"))
                .collect())
-    manifest = _read_manifest(path)
+    manifest = _read_manifest(spark, path)
     for r in metrics:
         manifest["buckets"][str(r["bucket"])] = {
             "rows": r["rows"], "key_checksum": r["key_checksum"], "run_id": run_id}
     manifest["run_ids"].append({"run_id": run_id, "at": time.time(),
                                 "buckets_written": [r["bucket"] for r in metrics]})
-    _write_manifest(path, manifest)
+    _write_manifest(spark, path, manifest)
     return manifest
 
 
@@ -115,7 +141,7 @@ def read_cells(spark: SparkSession, path: str,
 
 def metrics_table(spark: SparkSession, path: str) -> DataFrame:
     """The per-partition metrics as a DataFrame (lineage side table)."""
-    m = _read_manifest(path)
+    m = _read_manifest(spark, path)
     rows = [(int(b), v["rows"], v["key_checksum"], v["run_id"])
             for b, v in m["buckets"].items()]
     return spark.createDataFrame(rows, "bucket int, rows long, key_checksum long, run_id string")

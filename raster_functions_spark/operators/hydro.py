@@ -43,25 +43,57 @@ def d8_flow_direction(z: np.ndarray) -> np.ndarray:
     return np.where(drops.max(axis=0) > 0, best, -1).astype(np.int8)
 
 
+def _d8_targets(direc: np.ndarray) -> np.ndarray:
+    """Flat index of each cell's downhill neighbor (-1 for pits and for
+    flow exiting the grid). Vectorized."""
+    h, w = direc.shape
+    flat_dir = direc.ravel().astype(np.int64)
+    idx = np.arange(h * w)
+    rows, cols = np.divmod(idx, w)
+    has = flat_dir >= 0
+    d = np.where(has, flat_dir, 0)
+    tr = rows + _D8[d, 0]
+    tc = cols + _D8[d, 1]
+    ok = has & (tr >= 0) & (tr < h) & (tc >= 0) & (tc < w)
+    return np.where(ok, tr * w + tc, -1)
+
+
+def _accumulate(target: np.ndarray, acc: np.ndarray) -> np.ndarray:
+    """Exact flow accumulation over the acyclic functional graph
+    ``target`` (one out-edge per cell, -1 = none), seeded with ``acc``
+    (ones, plus boundary inflow in the distributed variant).
+
+    Vectorized Kahn peeling: cells with in-degree 0 form the frontier;
+    their finalized totals scatter-add (np.add.at) into their targets,
+    whose in-degrees drop; newly-zero cells join the next frontier. Every
+    edge is processed exactly once — O(E) total work in whole-array NumPy
+    ops, #rounds = longest flow path. Replaces the per-pixel Python loop
+    (1M interpreter iterations on a 1024² scene)."""
+    n = acc.size
+    valid = target >= 0
+    indeg = np.bincount(target[valid], minlength=n)
+    frontier = np.nonzero(indeg == 0)[0]
+    while frontier.size:
+        t = target[frontier]
+        has = t >= 0
+        ft = t[has]
+        np.add.at(acc, ft, acc[frontier[has]])
+        # decrement in-degrees by how many frontier edges entered each target
+        indeg -= np.bincount(ft, minlength=n)
+        cand = np.unique(ft)
+        frontier = cand[indeg[cand] == 0]
+    return acc
+
+
 def flow_accumulation(z: np.ndarray) -> np.ndarray:
     """Number of upstream cells draining through each cell (self included).
-    Elevation-descending single pass over the acyclic D8 graph — the exact
-    solution of the reference's sparse system (I−Mᵀ)a = 1."""
+    Exact solution of the reference's sparse system (I−Mᵀ)a = 1 over the
+    acyclic D8 graph, via vectorized in-degree peeling (_accumulate)."""
     h, w = z.shape
     direc = d8_flow_direction(z)
+    target = _d8_targets(direc)
     acc = np.ones(h * w, dtype=np.float64)
-    flat_dir = direc.ravel()
-    order = np.argsort(z.ravel(), kind="stable")[::-1]  # high → low
-    rows, cols = np.divmod(np.arange(h * w), w)
-    for i in order:
-        d = flat_dir[i]
-        if d < 0:
-            continue
-        r = rows[i] + _D8[d][0]
-        c = cols[i] + _D8[d][1]
-        if 0 <= r < h and 0 <= c < w:
-            acc[r * w + c] += acc[i]
-    return acc.reshape(h, w)
+    return _accumulate(target, acc).reshape(h, w)
 
 
 def cti_np(z: np.ndarray, cellsize: float = 1.0) -> np.ndarray:
@@ -80,27 +112,31 @@ def cti_np(z: np.ndarray, cellsize: float = 1.0) -> np.ndarray:
 def _local_acc_with_inflow(z: np.ndarray, direc: np.ndarray,
                            inflow: np.ndarray):
     """One tile-local accumulation pass given fixed boundary inflows:
-    acc = 1 + inflow, pushed along D8 directions in descending-z order.
-    Returns (acc, outflows) where outflows[d8_dir] maps edge exits →
-    (row, col, amount) pushed into the neighbor tile."""
+    acc = 1 + inflow, pushed along D8 directions (vectorized peeling,
+    see _accumulate). Returns (acc, outflows) where outflows maps edge
+    exits → (dtx, dty, target-cell-in-neighbor, amount).
+
+    NOTE: the (r % h, c % w) outflow-target math assumes every tile in the
+    grid has the same h×w shape (validated by the caller); with uniform
+    tiles the wrapped coordinate is exactly the entry cell in the adjacent
+    tile."""
     h, w = z.shape
-    acc = 1.0 + inflow.reshape(-1)
-    flat_dir = direc.reshape(-1)
-    order = np.argsort(z.reshape(-1), kind="stable")[::-1]
-    rows, cols = np.divmod(np.arange(h * w), w)
-    out: list[tuple[int, int, int, float]] = []  # (dtx, dty, target_flat, amt)
-    for i in order:
-        d = flat_dir[i]
-        if d < 0:
-            continue
-        r = rows[i] + _D8[d][0]
-        c = cols[i] + _D8[d][1]
-        if 0 <= r < h and 0 <= c < w:
-            acc[r * w + c] += acc[i]
-        else:
-            dty = -1 if r < 0 else (1 if r >= h else 0)
-            dtx = -1 if c < 0 else (1 if c >= w else 0)
-            out.append((dtx, dty, (r % h) * w + (c % w), float(acc[i])))
+    acc = _accumulate(_d8_targets(direc), 1.0 + inflow.reshape(-1).astype(np.float64))
+    # boundary exits: direction points off-tile (vectorized collection)
+    flat_dir = direc.reshape(-1).astype(np.int64)
+    idx = np.arange(h * w)
+    rows, cols = np.divmod(idx, w)
+    has = flat_dir >= 0
+    d = np.where(has, flat_dir, 0)
+    r = rows + _D8[d, 0]
+    c = cols + _D8[d, 1]
+    exits = has & ((r < 0) | (r >= h) | (c < 0) | (c >= w))
+    er, ec, ei = r[exits], c[exits], idx[exits]
+    dty = np.where(er < 0, -1, np.where(er >= h, 1, 0))
+    dtx = np.where(ec < 0, -1, np.where(ec >= w, 1, 0))
+    cell = (er % h) * w + (ec % w)
+    out = [(int(a), int(b), int(cl), float(acc[i]))
+           for a, b, cl, i in zip(dtx, dty, cell, ei)]
     return acc.reshape(h, w), out
 
 
@@ -165,6 +201,13 @@ def flow_accumulation_distributed(df: DataFrame, tile: int,
             rows = []
             for i in range(len(pdf)):
                 z = codec.decode(bytes(pdf["z_bytes"].iloc[i]))[0].astype(np.float64)
+                if z.shape != (tile, tile):
+                    # the cross-tile outflow target math assumes a uniform
+                    # tile×tile grid — fail loudly instead of mis-routing
+                    raise ValueError(
+                        f"flow_accumulation_distributed requires uniform "
+                        f"{tile}×{tile} tiles, got {z.shape} at "
+                        f"({pdf[txc].iloc[i]}, {pdf[tyc].iloc[i]})")
                 direc = codec.decode(bytes(pdf["dir_bytes"].iloc[i]))[0].astype(np.int16)
                 direc = np.where(direc == 255, -1, direc)
                 ib = pdf["inflow_bytes"].iloc[i]
@@ -183,6 +226,7 @@ def flow_accumulation_distributed(df: DataFrame, tile: int,
 
     prev_checksum = None
     result = None
+    converged = False
     for _round in range(max_rounds):
         result = state.mapInPandas(one_round, schema=out_schema).localCheckpoint()
         flows = (result.select(scn, F.explode("outflows").alias("o"))
@@ -192,6 +236,7 @@ def flow_accumulation_distributed(df: DataFrame, tile: int,
                     if flows.head(1) else (0, 0.0))
         checksum = tuple(checksum) if not isinstance(checksum, tuple) else checksum
         if checksum == prev_checksum:
+            converged = True
             break
         prev_checksum = checksum
 
@@ -211,6 +256,15 @@ def flow_accumulation_distributed(df: DataFrame, tile: int,
         state = (state.drop("inflow_bytes")
                  .join(inflows, [scn, txc, tyc], "left")
                  .localCheckpoint())
+
+    if not converged:
+        # a scene whose longest flow path crosses > max_rounds tiles has
+        # not stabilized — returning silently would be inexact (the
+        # function's contract is EXACT accumulation)
+        raise RuntimeError(
+            f"flow_accumulation_distributed: boundary flows did not "
+            f"stabilize within max_rounds={max_rounds}; raise max_rounds "
+            f"(needed ≈ longest flow path in tiles)")
 
     return result.select(scn, txc, tyc, F.col("acc_bytes").alias("bytes"))
 

@@ -28,11 +28,13 @@ except ImportError:
 def _knn_predict(X: np.ndarray, train_X: np.ndarray, train_y: np.ndarray,
                  k: int) -> np.ndarray:
     """Vectorized kNN vote: pairwise squared distances in one gemm-shaped
-    expression, argpartition for the k nearest (replaces the reference's
-    sklearn fit+predict, KNearestNeighborsClassifier.py:116-117)."""
+    expression, stable argsort for the k nearest (replaces the reference's
+    sklearn fit+predict, KNearestNeighborsClassifier.py:116-117). The
+    stable sort makes distance ties deterministic (smallest training index
+    wins) — required for cross-engine oracle parity on integer features."""
     d2 = ((X ** 2).sum(1)[:, None] - 2.0 * X @ train_X.T
           + (train_X ** 2).sum(1)[None, :])
-    idx = np.argpartition(d2, min(k, d2.shape[1] - 1), axis=1)[:, :k]
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
     labels = train_y[idx]
     # majority vote; deterministic tie-break = smallest label
     out = np.empty(X.shape[0], dtype=train_y.dtype)

@@ -73,7 +73,11 @@ def windchill(temp_band: int = 0, wind_band: int = 1) -> TileOp:
 
 def heat_index(temp_band: int = 0, rh_band: int = 1) -> TileOp:
     """Rothfusz heat-index regression (°F, %RH) with the standard low-HI
-    fallback — behavior of /root/reference/functions/deprecated/HeatIndex.py:95-105."""
+    fallback and both NWS conditional adjustments — behavior of
+    /root/reference/functions/deprecated/HeatIndex.py:90-108: the full
+    regression applies only where (simple + T)/2 > 80 (strict; == 80 keeps
+    the simple formula), minus the low-RH correction (RH < 13, 80 ≤ T ≤ 112)
+    and plus the high-RH correction (RH > 85, 80 ≤ T ≤ 87)."""
     def fn(px, meta):
         t = px[temp_band].astype(np.float64)
         r = px[rh_band].astype(np.float64)
@@ -82,7 +86,16 @@ def heat_index(temp_band: int = 0, rh_band: int = 1) -> TileOp:
               + 1.22874e-3 * t * t * r + 8.5282e-4 * t * r * r
               - 1.99e-6 * t * t * r * r)
         simple = 0.5 * (t + 61.0 + (t - 68.0) * 1.2 + r * 0.094)
-        return np.where(0.5 * (simple + t) < 80.0, simple, hi).astype(np.float32)
+        use_full = 0.5 * (simple + t) > 80.0
+        low_rh = use_full & (r < 13.0) & (t >= 80.0) & (t <= 112.0)
+        with np.errstate(invalid="ignore"):
+            hi = hi - np.where(
+                low_rh,
+                ((13.0 - r) / 4.0) * np.sqrt(np.maximum(17.0 - np.abs(t - 95.0), 0.0) / 17.0),
+                0.0)
+        high_rh = use_full & (r > 85.0) & (t >= 80.0) & (t <= 87.0)
+        hi = hi + np.where(high_rh, ((t - 85.0) / 10.0) * ((87.0 - t) / 5.0), 0.0)
+        return np.where(use_full, hi, simple).astype(np.float32)
     return TileOp("heat_index", fn, bands_out=1, dtype_out="f4")
 
 
@@ -232,10 +245,19 @@ def latitude_source() -> TileOp:
 def random_source(bands: int = 3) -> TileOp:
     """Deterministic pseudo-random raster (hash-seeded per tile) — Random
     source (/root/reference/functions/deprecated/Random.py:23-51) made
-    reproducible for distributed runs."""
+    reproducible for distributed runs. The seed is a process-independent
+    splitmix64 over the md5 of the tile id (NOT Python hash(): str hashing
+    is PYTHONHASHSEED-salted per process, so it only looks stable when the
+    runtime pins the seed — the driver and a non-default worker env would
+    produce different rasters)."""
+    import hashlib
+    from ..fixtures import splitmix64
+
     def fn(px, meta):
         h, w = px.shape[1], px.shape[2]
-        seed = hash(meta.get("image_id", 0)) & 0x7FFFFFFF
+        key = str(meta.get("image_id", 0)).encode()
+        base = int.from_bytes(hashlib.md5(key).digest()[:8], "little")
+        seed = int(splitmix64(np.uint64(base)))
         rng = np.random.default_rng(seed)
         return rng.random((bands, h, w)).astype(np.float32)
     return TileOp("random", fn, bands_out=bands, dtype_out="f4")

@@ -28,18 +28,26 @@ def _zones_payload(zones_pdf: pd.DataFrame, attrs: list[str] | None = None) -> d
 
 
 def zonal_remap(zones_pdf: pd.DataFrame, value_band: int = 0,
-                zone_band: int = 1, default: float = 255.0) -> TileOp:
+                zone_band: int = 1, default: float = 255.0,
+                background: float | None = None) -> TileOp:
     """Per-pixel ZonalRemap: for each pixel, if its zone has an interval
     [zmin, zmax] containing the value, output zval — null zmin/zmax are
-    open ends, null zval → ``default``; pixels in unknown zones pass
-    through. Behavior of deprecated/ZonalRemap.py:184-198."""
+    open ends, null zval → ``default``.
+
+    Non-matching pixels: the reference initializes the output raster to a
+    *background* color, so unmatched pixels become background
+    (deprecated/ZonalRemap.py:180-181, default 0) — pass ``background``
+    (e.g. 0.0) for that behavior. ``background=None`` (default) instead
+    passes the input value through, a deliberate divergence that keeps the
+    operator composable in value-preserving chains (and is what the
+    contract queries' oracles assert)."""
     z = _zones_payload(zones_pdf)
     zid = z["zone_id"]
 
     def fn(px, meta):
         v = px[value_band].astype(np.float64)
         zb = px[zone_band].astype(np.int64)
-        out = v.copy()
+        out = v.copy() if background is None else np.full_like(v, background)
         for zkey in np.unique(zb):           # id-list pushdown: only zones present
             rows = np.nonzero(zid == zkey)[0]
             if rows.size == 0:

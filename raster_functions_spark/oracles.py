@@ -1,0 +1,580 @@
+"""DuckDB oracle-SQL builders for the image-engine contract queries.
+
+Every ``img_*`` query in ``__spark_entry__.py`` regenerates its pixels from
+the deterministic closed-form fixtures (:mod:`fixtures`), so the DuckDB
+oracle can *re-derive the same pixels in SQL* (``generate_series`` +
+arithmetic) and re-express the operator semantics relationally — Horn
+gradients as 9 clamped evaluations of the closed-form DEM, flow
+accumulation as a recursive CTE over the D8 graph, composites as
+``median() GROUP BY pixel``, zonal/hex rollups as plain ``GROUP BY``.
+
+Float-parity rules (each verified against the NumPy kernels):
+
+- engine kernels compute in float64; everywhere the engine *stores* f32
+  (codec encode), the SQL wraps the value in ``CAST(.. AS FLOAT)`` so both
+  sides quantize identically before aggregation;
+- outputs prefer exact integers (sums of uint8/int rasters, counts); float
+  outputs are rounded to ≥4 decimals, far above the ~1e-12 cross-engine
+  libm/summation-order noise;
+- ``splitmix64`` (the fixture hash) is reproduced exactly in SQL with
+  UBIGINT xor/shift plus a 32-bit-split multiply mod 2^64 (HUGEINT is a
+  signed int128 and would overflow on a full 64×64-bit product).
+
+Two oracles embed engine-side *inputs* as literal ``VALUES`` rather than
+recomputing them in SQL, with the reason documented at the builder:
+
+- :func:`phash_pairs_sql` — the 32×32 DCT has mathematically-tied
+  coefficients on the structured fixtures, so the sign-vs-median bits are
+  not reproducible under a different summation order (measured: 403/600
+  hashes flip by ~1 bit). The phashes are inputs (a stored column); the
+  LSH banding + Hamming + pair logic — what the query actually computes —
+  runs in SQL.
+- :func:`flagship_sql` / :func:`cloud_fill_sql` — per-image decode stats
+  (which include the lossy-DCT round trip) and the iterative ring fill are
+  re-computed with the same public NumPy code single-process and embedded;
+  the distributed parts (lon/lat generation, cell encode, PIP join,
+  3-way alignment, aggregation) run in SQL.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from . import codec, fixtures, grid
+
+_M64 = 1 << 64
+
+
+# ------------------------------------------------------ splitmix64 ---------
+
+def _mulmod_sql(a: str, b: int) -> str:
+    """(a * b) mod 2^64 for a UBIGINT expression and a constant, split into
+    32-bit halves to stay inside HUGEINT (signed int128) range."""
+    b_lo = b % (1 << 32)
+    return (f"CAST((CAST(({a}) % 4294967296 AS HUGEINT) * {b} + "
+            f"((CAST(({a}) >> 32 AS HUGEINT) * {b_lo}) % 4294967296) * 4294967296"
+            f") % {_M64} AS UBIGINT)")
+
+
+def splitmix64_sql(x: str) -> str:
+    """splitmix64 over a UBIGINT expression — exact vs fixtures.splitmix64."""
+    z0 = f"CAST((CAST({x} AS HUGEINT) + 11400714819323198485) % {_M64} AS UBIGINT)"
+    z1 = _mulmod_sql(f"xor({z0}, {z0} >> 30)", 0xBF58476D1CE4E5B9)
+    z2 = _mulmod_sql(f"xor({z1}, {z1} >> 27)", 0x94D049BB133111EB)
+    return f"(xor({z2}, {z2} >> 31))"
+
+
+def unit_sql(x: str, salt: int) -> str:
+    """fixtures._unit(x, salt): hash → double in [0,1), bit-exact."""
+    h = splitmix64_sql(f"xor(CAST({x} AS UBIGINT), CAST({salt} AS UBIGINT))")
+    return f"(CAST({h} AS DOUBLE) / 18446744073709551616.0)"
+
+
+def image_lon_sql(i: str = "i") -> str:
+    """fixtures.tile_lonlat lon (hot-cluster mixture)."""
+    return (f"(CASE WHEN {i} % 5 = 0"
+            f" THEN {fixtures.HOT_CENTER[0]} + ({unit_sql(i, 101)} - 0.5) * 2.0 * {fixtures.HOT_RADIUS}"
+            f" ELSE {unit_sql(i, 1)} * 360.0 - 180.0 END)")
+
+
+def image_lat_sql(i: str = "i") -> str:
+    return (f"(CASE WHEN {i} % 5 = 0"
+            f" THEN {fixtures.HOT_CENTER[1]} + ({unit_sql(i, 102)} - 0.5) * 2.0 * {fixtures.HOT_RADIUS}"
+            f" ELSE {unit_sql(i, 2)} * 170.0 - 85.0 END)")
+
+
+# ----------------------------------------------------- DEM + gradients -----
+
+def dem_z_sql(x: str, y: str) -> str:
+    """fixtures.dem_scene closed form (float64; the oracle queries build
+    the DEM fixture with dtype='f8' so no f32 quantization happens)."""
+    return (f"(100.0 + 50.0 * sin(2*pi()*({x})/96.0) * cos(2*pi()*({y})/80.0)"
+            f" + 0.05*({x}) + 0.02*({y}))")
+
+
+def _clamp(e: str, hi: int) -> str:
+    return f"LEAST(GREATEST({e}, 0), {hi})"
+
+
+def horn_defs_sql(w: int, h: int, cellsize: float,
+                  zf=dem_z_sql, x: str = "x", y: str = "y") -> str:
+    """SELECT-list fragment computing the 9 clamped neighbor z values and
+    the Horn dz/dx, dz/dy (focal._horn_gradients with edge-extend padding =
+    coordinate clamping). Relies on DuckDB lateral column references."""
+    nb = {"za": (-1, -1), "zb": (0, -1), "zc": (1, -1),
+          "zd": (-1, 0), "zf": (1, 0),
+          "zg": (-1, 1), "zh": (0, 1), "zi": (1, 1)}
+    defs = ",\n    ".join(
+        f"({zf(_clamp(f'{x}+({dx})', w - 1), _clamp(f'{y}+({dy})', h - 1))}) AS {k}"
+        for k, (dx, dy) in nb.items())
+    return (f"{defs},\n"
+            f"    ((zc + 2*zf + zi) - (za + 2*zd + zg)) / (8.0*{cellsize}) AS dzdx,\n"
+            f"    ((zg + 2*zh + zi) - (za + 2*zb + zc)) / (8.0*{cellsize}) AS dzdy")
+
+
+def hillshade_expr_sql(azimuth: float = 315.0, altitude: float = 45.0,
+                       z_factor: float = 1.0) -> str:
+    """focal.hillshade_np shade from dzdx/dzdy columns → uint8 as BIGINT
+    (np.clip(255*shade,0,255).astype(uint8) truncates; shade ≥ 0 after the
+    clip so FLOOR is the exact equivalent)."""
+    azm = (360.0 - azimuth + 90.0) % 360.0
+    return (f"CAST(FLOOR(LEAST(GREATEST(255.0 * ("
+            f"cos(radians({90.0 - altitude}))*cos(atan({z_factor}*sqrt(dzdx*dzdx + dzdy*dzdy)))"
+            f" + sin(radians({90.0 - altitude}))*sin(atan({z_factor}*sqrt(dzdx*dzdx + dzdy*dzdy)))"
+            f"   * cos(radians({azm}) - atan2(dzdy, -dzdx))"
+            f"), 0.0), 255.0)) AS BIGINT)")
+
+
+def _grid_cte(w: int, h: int) -> str:
+    return (f"grd AS (SELECT t1.x AS x, t2.y AS y "
+            f"FROM generate_series(0, {w - 1}) t1(x), generate_series(0, {h - 1}) t2(y))")
+
+
+def hillshade_sql(tiles_x: int, tiles_y: int, tile: int,
+                  cellsize: float = fixtures.CELL_DEG) -> str:
+    """img_hillshade oracle: per-tile integer sum of uint8 hillshade."""
+    w, h = tiles_x * tile, tiles_y * tile
+    return f"""
+WITH {_grid_cte(w, h)},
+px AS (
+  SELECT x, y,
+    {horn_defs_sql(w, h, cellsize)}
+  FROM grd)
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       CAST(SUM({hillshade_expr_sql()}) AS BIGINT) AS sum_shade
+FROM px GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def chain_sql(tiles_x: int, tiles_y: int, tile: int,
+              cellsize: float = fixtures.CELL_DEG) -> str:
+    """img_chain oracle: hillshade → stretch [0,255]→[0,1] (engine stores
+    f32 → CAST AS FLOAT) → per-tile sum rounded."""
+    w, h = tiles_x * tile, tiles_y * tile
+    return f"""
+WITH {_grid_cte(w, h)},
+px AS (
+  SELECT x, y,
+    {horn_defs_sql(w, h, cellsize)}
+  FROM grd),
+st AS (
+  SELECT x, y,
+    CAST(CAST({hillshade_expr_sql()} AS DOUBLE) / 255.0 * 1.0 + 0.0 AS FLOAT) AS v
+  FROM px)
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       ROUND(SUM(CAST(v AS DOUBLE)), 6) AS sum_v
+FROM st GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def cti_sql(tiles_x: int, tiles_y: int, tile: int,
+            cellsize: float = fixtures.CELL_DEG) -> str:
+    """img_cti oracle: D8 steepest descent (hydro._D8 order, first-max
+    tie-break via ROW_NUMBER), flow accumulation as a recursive CTE over
+    the acyclic flow graph (acc = # of cells whose path reaches the cell,
+    self included), CTI formula with the engine's f32 store quantization."""
+    w, h = tiles_x * tile, tiles_y * tile
+    offs = [(0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+    dists = [1.0, 2 ** 0.5, 1.0, 2 ** 0.5] * 2
+    d8 = [(k, dy, dx, d) for k, ((dy, dx), d) in enumerate(zip(offs, dists))]
+    drops_union = " UNION ALL ".join(
+        f"SELECT x, y, {k} AS d, "
+        f"(({dem_z_sql('x', 'y')}) - ({dem_z_sql(_clamp(f'x+({dx})', w - 1), _clamp(f'y+({dy})', h - 1))}))"
+        f" / {'1.0' if dist == 1.0 else 'sqrt(2.0)'} AS drop_v, "
+        f"x+({dx}) AS nx, y+({dy}) AS ny FROM grd"
+        for k, dy, dx, dist in d8)
+    return f"""
+WITH RECURSIVE {_grid_cte(w, h)},
+drops AS ({drops_union}),
+dirs AS (
+  SELECT x, y, nx, ny FROM (
+    SELECT x, y, nx, ny, drop_v,
+           ROW_NUMBER() OVER (PARTITION BY x, y ORDER BY drop_v DESC, d ASC) AS rn,
+           MAX(drop_v) OVER (PARTITION BY x, y) AS best
+    FROM drops)
+  WHERE rn = 1 AND best > 0),
+reach AS (
+  SELECT x AS sx, y AS sy, x AS cx, y AS cy FROM grd
+  UNION ALL
+  SELECT r.sx, r.sy, d.nx, d.ny
+  FROM reach r JOIN dirs d ON r.cx = d.x AND r.cy = d.y
+  WHERE d.nx BETWEEN 0 AND {w - 1} AND d.ny BETWEEN 0 AND {h - 1}),
+acc AS (SELECT cx AS x, cy AS y, CAST(COUNT(*) AS DOUBLE) AS a FROM reach GROUP BY 1, 2),
+slp AS (
+  SELECT x, y,
+    {horn_defs_sql(w, h, cellsize)}
+  FROM grd),
+ct AS (
+  SELECT s.x, s.y,
+    CAST(ln(((acc.a + 1.0) * {cellsize})
+            / GREATEST(tan(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 0.000001)) AS FLOAT) AS cti_v
+  FROM slp s JOIN acc ON acc.x = s.x AND acc.y = s.y)
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       ROUND(SUM(CAST(cti_v AS DOUBLE)), 6) AS sum_cti
+FROM ct GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+# ----------------------------------------------------- stack fixtures ------
+
+_QA_VALS = fixtures.QA_CLEAR_C1 + fixtures.QA_CLOUDY  # 7 values; first 4 clear
+
+
+def _stack_obs_cte(n_scenes: int, n_times: int, tile: int) -> str:
+    """fixtures.stack_images_pdf observations: (s, t, y, x, v, clear)."""
+    return f"""obs AS (
+  SELECT s, t, y, x,
+         CAST((s*31 + t*17 + y*{tile} + x) % 4000 AS DOUBLE) AS v,
+         ((s + t + y*{tile} + x) % {len(_QA_VALS)}) < 4 AS clear
+  FROM generate_series(0, {n_scenes - 1}) ts(s),
+       generate_series(0, {n_times - 1}) tt(t),
+       generate_series(0, {tile - 1}) ty(y),
+       generate_series(0, {tile - 1}) tx(x))"""
+
+
+def stack_median_sql(n_scenes: int, n_times: int, tile: int = 16) -> str:
+    """img_stack_median oracle: QA-masked per-pixel median (numpy
+    nanmedian = quantile_cont 0.5 — identical interpolation), summed per
+    scene. Medians of integers are exact halves → exact doubles."""
+    return f"""
+WITH {_stack_obs_cte(n_scenes, n_times, tile)},
+med AS (
+  SELECT s, y, x, median(v) AS m
+  FROM obs WHERE clear GROUP BY s, y, x)
+SELECT 'scene' || s AS scene_id, {n_times} AS n_rasters,
+       SUM(m) AS sum_med
+FROM med GROUP BY s ORDER BY scene_id"""
+
+
+def dnbr_sql(n_scenes: int, tile: int = 16) -> str:
+    """img_dnbr oracle: NBR(pre) − NBR(post) over the [value, qa] bands of
+    the stack fixture (pre = t 0, post = t 1), engine f32 store mirrored
+    by CAST AS FLOAT; exact-rational arithmetic → bit-identical."""
+    qa_case = ("CASE ((s + {t} + y*%d + x) %% %d) %s ELSE 6816 END"
+               % (tile, len(_QA_VALS),
+                  " ".join(f"WHEN {ix} THEN {v}" for ix, v in enumerate(_QA_VALS[:-1]))))
+    def nbr(t: int) -> str:
+        v = f"CAST((s*31 + {t}*17 + y*{tile} + x) % 4000 AS DOUBLE)"
+        qa = qa_case.format(t=t)
+        return (f"(CASE WHEN ({v} + ({qa})) = 0 THEN 0.0"
+                f" ELSE ({v} - ({qa})) / ({v} + ({qa})) END)")
+    return f"""
+WITH px AS (
+  SELECT s, y, x,
+         CAST({nbr(0)} - {nbr(1)} AS FLOAT) AS d
+  FROM generate_series(0, {n_scenes - 1}) ts(s),
+       generate_series(0, {tile - 1}) ty(y),
+       generate_series(0, {tile - 1}) tx(x))
+SELECT 'scene' || s AS scene_id, ROUND(SUM(CAST(d AS DOUBLE)), 6) AS sum_dnbr
+FROM px GROUP BY s ORDER BY scene_id"""
+
+
+# ------------------------------------------------------- zonal remap -------
+
+def zonal_remap_px_sql(tiles_x: int, tiles_y: int, tile: int,
+                       n_zones: int = 8, res: int = 15,
+                       xmin: float = 10.0, ymax: float = 45.0,
+                       cell: float = fixtures.CELL_DEG) -> str:
+    """img_zonal_remap_px oracle. The zone band comes from the Z-order cell
+    id of each pixel's lon/lat (grid.encode_sql — bit-exact); the zones
+    interval table is an *input* (broadcast side) and is embedded as
+    literal VALUES from fixtures.zones_pdf. Remap probe: zmin < v < zmax
+    (null = open), null zval → 255, unknown zone → passthrough
+    (all zones known here). Engine stores the remapped band as f32 →
+    CAST AS FLOAT. NOTE: the query sets constant xmin/ymax per TILE, so
+    lon/lat use tile-local coordinates (x % tile, y % tile)."""
+    w, h = tiles_x * tile, tiles_y * tile
+    zp = fixtures.zones_pdf(n_zones)
+    rows = []
+    for _, r in zp.iterrows():
+        lit = lambda v: "NULL" if np.isnan(v) else repr(float(v))
+        rows.append(f"({int(r.zone_id)}, {lit(r.zmin)}, {lit(r.zmax)}, {lit(r.zval)})")
+    values = ", ".join(rows)
+    lon = f"({xmin} + (CAST(x % {tile} AS DOUBLE) + 0.5) * {cell})"
+    lat = f"({ymax} - (CAST(y % {tile} AS DOUBLE) + 0.5) * {cell})"
+    cell_expr = grid.encode_sql(lon, lat, res, "duckdb")
+    return f"""
+WITH {_grid_cte(w, h)},
+zones(zone_id, zmin, zmax, zval) AS (VALUES {values}),
+px AS (
+  SELECT x, y,
+         CAST({dem_z_sql('x', 'y')} AS FLOAT) AS v,
+         ((({cell_expr}) >> {grid.RES_BITS}) % {n_zones}) + 1 AS zone
+  FROM grd),
+rm AS (
+  SELECT px.zone,
+         CAST(CASE WHEN CAST(v AS DOUBLE) > COALESCE(z.zmin, -1e308)
+                    AND CAST(v AS DOUBLE) < COALESCE(z.zmax, 1e308)
+                   THEN COALESCE(z.zval, 255.0) ELSE CAST(v AS DOUBLE) END
+              AS FLOAT) AS rv
+  FROM px JOIN zones z ON px.zone = z.zone_id)
+SELECT zone, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(rv AS DOUBLE)), 4) AS sum_v,
+       ROUND(MIN(CAST(rv AS DOUBLE)), 6) AS min_v,
+       ROUND(MAX(CAST(rv AS DOUBLE)), 6) AS max_v
+FROM rm GROUP BY zone ORDER BY zone"""
+
+
+# ---------------------------------------------------------- hex / LoD ------
+
+def hexbin_sql(tiles_x: int, tiles_y: int, tile: int,
+               size_deg: float = 0.01, cell: float = fixtures.CELL_DEG) -> str:
+    """img_hexbin oracle: grid.hex_encode (axial coords + cube rounding)
+    in SQL over per-pixel lon/lat; values from the f64 DEM. The query sets
+    xmin = tx*0.032 + 10, ymax = 45 − ty*0.032 per tile."""
+    w, h = tiles_x * tile, tiles_y * tile
+    lon = (f"((CAST(x // {tile} AS DOUBLE)) * 0.032 + 10.0"
+           f" + (CAST(x % {tile} AS DOUBLE) + 0.5) * {cell})")
+    lat = (f"(45.0 - (CAST(y // {tile} AS DOUBLE)) * 0.032"
+           f" - (CAST(y % {tile} AS DOUBLE) + 0.5) * {cell})")
+    return f"""
+WITH {_grid_cte(w, h)},
+ax AS (
+  SELECT x, y, {dem_z_sql('x', 'y')} AS v,
+         (2.0/3.0) * {lon} / {size_deg} AS q,
+         (-1.0/3.0 * {lon} + sqrt(3.0)/3.0 * {lat}) / {size_deg} AS r
+  FROM grd),
+cube AS (
+  SELECT x, y, v, q AS cx, -q - r AS cy, r AS cz,
+         round(q) AS rx0, round(-q - r) AS ry0, round(r) AS rz0,
+         abs(round(q) - q) AS dx, abs(round(-q - r) - (-q - r)) AS dy,
+         abs(round(r) - r) AS dz
+  FROM ax),
+hexed AS (
+  -- cube rounding: fix_x = dx>dy AND dx>dz → rx = -ry-rz;
+  -- fix_z = NOT fix_x AND dz>dy → rz = -rx-ry (rx unchanged on those
+  -- rows since fix_x is false there, matching grid.hex_encode's
+  -- sequential np.where updates)
+  SELECT x, y, v,
+         CAST(CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS BIGINT) AS qi,
+         CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
+                   THEN -rx0 - ry0 ELSE rz0 END AS BIGINT) AS ri
+  FROM cube)
+SELECT (qi << 32) | (ri & 4294967295) AS hex_id,
+       ROUND(SUM(v) / COUNT(*), 6) AS mean,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM hexed GROUP BY 1 ORDER BY hex_id"""
+
+
+def pyramid_sql(tiles_x: int, tiles_y: int, tile: int, levels: int = 2) -> str:
+    """img_pyramid oracle: per-level tile counts + mean of per-tile means.
+    Level L pixel = f32(mean of the 2×2 block of level L−1), mirroring
+    pyramid_level's f64-mosaic → block mean → f32 encode chain."""
+    w, h = tiles_x * tile, tiles_y * tile
+    lvl_sql = [f"SELECT x, y, {dem_z_sql('x', 'y')} AS v FROM grd"]
+    for L in range(1, levels + 1):
+        lvl_sql.append(
+            f"SELECT x // 2 AS x, y // 2 AS y, "
+            f"CAST(CAST(SUM(v) AS DOUBLE) / 4.0 AS FLOAT) AS v "
+            f"FROM l{L - 1} GROUP BY 1, 2")
+    ctes = ",\n".join(f"l{i} AS ({s})" for i, s in enumerate(lvl_sql))
+    per_level = " UNION ALL ".join(
+        f"""SELECT {L} AS level, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+        ROUND(AVG(tm), 6) AS mean_px FROM (
+          SELECT x // {tile} AS tx, y // {tile} AS ty,
+                 SUM(CAST(v AS DOUBLE)) / COUNT(*) AS tm
+          FROM l{L} GROUP BY 1, 2)"""
+        for L in range(levels + 1))
+    return f"WITH {_grid_cte(w, h)},\n{ctes}\n{per_level} ORDER BY level"
+
+
+# ------------------------------------------------------ image queries ------
+
+def _img_dims_case() -> tuple[str, str]:
+    return ("CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END",
+            "CASE (i+1) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 128 END")
+
+
+_LOSSLESS_KIND1 = "((i % 4) = 1 AND ((i // 4) % 4) <> 3)"  # fmt != 'dct'
+
+
+def ndvi_zonal_sql(n_images: int, cell_res: int = 3) -> str:
+    """img_ndvi_zonal oracle over the lossless red/NIR images (kind 1,
+    fmt ≠ dct — the lossy tier's decode round-trip is gated separately by
+    PSNR tests): per-pixel f32 NDVI summed per image, rolled up on the
+    res-3 Z-order cell of the image centroid."""
+    wc, hc = _img_dims_case()
+    cell = grid.encode_sql(image_lon_sql("i"), image_lat_sql("i"), cell_res, "duckdb")
+    return f"""
+WITH imgs AS (
+  SELECT i, {wc} AS w, {hc} AS h
+  FROM generate_series(0, {n_images - 1}) t(i)
+  WHERE {_LOSSLESS_KIND1}),
+px AS (
+  SELECT i, w, h, x, y,
+         CAST((i*7 + (y*w+x)) % 251 AS DOUBLE) AS red,
+         CAST((i*13 + (y*w+x)) % 241 AS DOUBLE) AS nir
+  FROM imgs, generate_series(0, 127) tx(x), generate_series(0, 127) ty(y)
+  WHERE x < w AND y < h),
+nd AS (
+  SELECT i, SUM(CAST(CASE WHEN nir + red = 0 THEN 0.0
+                          ELSE CAST((nir - red) / (nir + red) AS FLOAT)
+                     END AS DOUBLE)) AS ndvi_sum
+  FROM px GROUP BY i)
+SELECT {cell} AS cell, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(ndvi_sum), 4) AS sum_ndvi
+FROM nd GROUP BY 1 ORDER BY cell"""
+
+
+def knn_classify_sql(n_images: int, train: list[tuple[float, float, int]]) -> str:
+    """img_knn_classify oracle (lossless kind-1 images): per-pixel 1-NN on
+    (red, nir) vs the broadcast training points; exact integer distances;
+    tie-break = smallest training index (the engine uses a stable sort)."""
+    wc, hc = _img_dims_case()
+    t_values = ", ".join(f"({j}, {tx}, {ty}, {lab})"
+                         for j, (tx, ty, lab) in enumerate(train))
+    return f"""
+WITH imgs AS (
+  SELECT i, {wc} AS w, {hc} AS h
+  FROM generate_series(0, {n_images - 1}) t(i)
+  WHERE {_LOSSLESS_KIND1}),
+train(j, tx, ty, lab) AS (VALUES {t_values}),
+px AS (
+  SELECT i, x, y,
+         CAST((i*7 + (y*w+x)) % 251 AS BIGINT) AS red,
+         CAST((i*13 + (y*w+x)) % 241 AS BIGINT) AS nir
+  FROM imgs, generate_series(0, 127) tx(x), generate_series(0, 127) ty(y)
+  WHERE x < w AND y < h),
+cls AS (
+  SELECT i, x, y, arg_min(lab, ((red-tx)*(red-tx) + (nir-ty)*(nir-ty)) * 16 + j) AS c
+  FROM px, train GROUP BY i, x, y)
+SELECT printf('img%09d', i) AS image_id,
+       CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_c2
+FROM cls GROUP BY i ORDER BY image_id"""
+
+
+@lru_cache(maxsize=4)
+def _image_phashes(n_images: int) -> tuple:
+    return tuple(codec.phash64(fixtures.gen_pixels(i)) for i in range(n_images))
+
+
+def phash_pairs_sql(n_images: int, max_hamming: int, band_bits: int = 16) -> str:
+    """img_phash_dedup oracle. The phash column is an *input* (stored in
+    the images table, computed by the deterministic fixture generator);
+    recomputing the 32×32 DCT in SQL is numerically unstable because the
+    structured fixtures have mathematically-tied coefficients whose
+    sign-vs-median bits flip under a different summation order (measured:
+    403/600). So the phashes are embedded as VALUES from the same public
+    fixture code, and the query's actual logic — 4×16-bit band-bucket LSH
+    candidate generation + Hamming verification — runs in SQL."""
+    ph = _image_phashes(n_images)
+    values = ", ".join(f"('img{i:09d}', CAST({p} AS BIGINT))"
+                       for i, p in enumerate(ph))
+    n_bands = 64 // band_bits
+    masks = [((1 << band_bits) - 1) << (b * band_bits) for b in range(n_bands)]
+    masks = [m - (1 << 64) if m >= (1 << 63) else m for m in masks]
+    share = " OR ".join(f"(a.ph & CAST({m} AS BIGINT)) = (b.ph & CAST({m} AS BIGINT))"
+                        for m in masks)
+    return f"""
+WITH imgs(id, ph) AS (VALUES {values})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM imgs a JOIN imgs b ON a.id < b.id
+WHERE ({share}) AND bit_count(xor(a.ph, b.ph)) <= {max_hamming}
+ORDER BY id_a, id_b"""
+
+
+# ------------------------------------------------------------ flagship -----
+
+@lru_cache(maxsize=2)
+def _flagship_feature_values(n_images: int) -> str:
+    """Per-image decode features (px_mean, px_std, phash_ham) computed
+    single-process with the same public codec/fixture code — these include
+    the lossy-DCT encode→decode round trip, which is not reproducible in
+    SQL (quantization of near-tied coefficients); the distributed parts
+    (lon/lat, cell encode, PIP, aggregation) run in SQL."""
+    rows = []
+    for i in range(n_images):
+        px = fixtures.gen_pixels(i)
+        stored = codec.phash64(px)
+        dec = codec.decode(codec.encode(px, fixtures.tile_fmt(i)))
+        ham = codec.hamming64(codec.phash64(dec), stored)
+        f = dec.astype(np.float64)
+        rows.append(f"({i}, {f.mean()!r}, {f.std()!r}, {ham})")
+    return ", ".join(rows)
+
+
+def _aoi_vertices_sql(n_aoi: int) -> str:
+    """CTEs generating the aoi_ring vertex lists: per AOI, nv angles are
+    hashed, sorted ascending (np.sort), and the j-th *sorted* angle pairs
+    with the j-th radius hash (fixtures.aoi_ring)."""
+    cx = f"CASE WHEN k = 0 THEN {fixtures.HOT_CENTER[0]} ELSE {unit_sql('k', 11)} * 340.0 - 170.0 END"
+    cy = f"CASE WHEN k = 0 THEN {fixtures.HOT_CENTER[1]} ELSE {unit_sql('k', 12)} * 150.0 - 75.0 END"
+    rr = (f"CASE WHEN k = 0 THEN 3.0 ELSE 0.05 + {unit_sql('k', 13)} * {unit_sql('k', 13)} * 4.95 END")
+    nv = f"CASE WHEN k = 0 THEN 8 ELSE 5 + CAST(FLOOR({unit_sql('k', 14)} * 8) AS INT) END"
+    return f"""aois AS (
+  SELECT k, {cx} AS cx, {cy} AS cy, {rr} AS r, {nv} AS nv
+  FROM generate_series(0, {n_aoi - 1} ) tk(k)),
+raw_ang AS (
+  SELECT a.k, j, {unit_sql('(j + a.k * 1000)', 15)} * 2 * pi() AS ang
+  FROM aois a, generate_series(0, 11) tj(j) WHERE j < a.nv),
+sorted_ang AS (
+  SELECT k, ang, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ang) - 1 AS j
+  FROM raw_ang),
+verts AS (
+  SELECT s.k, s.j,
+         a.cx + a.r * (0.6 + 0.4 * {unit_sql('(s.j + s.k * 2000)', 16)}) * cos(s.ang) AS vx,
+         a.cy + a.r * (0.6 + 0.4 * {unit_sql('(s.j + s.k * 2000)', 16)}) * sin(s.ang) AS vy
+  FROM sorted_ang s JOIN aois a ON a.k = s.k),
+edges AS (
+  SELECT v0.k, v0.vx AS x0, v0.vy AS y0, v1.vx AS x1, v1.vy AS y1
+  FROM verts v0
+  JOIN aois a ON a.k = v0.k
+  JOIN verts v1 ON v1.k = v0.k AND v1.j = (v0.j + 1) % a.nv)"""
+
+
+def flagship_sql(n_images: int, n_aoi: int, cell_res: int = 7) -> str:
+    """img_flagship oracle: per-image stats embedded (see
+    _flagship_feature_values), lon/lat + cell ids + even-odd PIP + zonal
+    aggregation in SQL (spatial.point_in_polygon_np crossing rule:
+    (y0 > py) != (y1 > py) AND px < x0 + (py-y0)(x1-x0)/(y1-y0))."""
+    return f"""
+WITH feats(i, px_mean, px_std, phash_ham) AS (VALUES {_flagship_feature_values(n_images)}),
+pts AS (
+  SELECT i, px_mean, px_std, phash_ham,
+         {image_lon_sql('i')} AS lon, {image_lat_sql('i')} AS lat
+  FROM feats),
+cells AS (
+  SELECT *, {grid.encode_sql('lon', 'lat', cell_res, 'duckdb')} AS cell FROM pts),
+{_aoi_vertices_sql(n_aoi)},
+hits AS (
+  SELECT p.i, e.k
+  FROM cells p JOIN edges e
+    ON (e.y0 > p.lat) <> (e.y1 > p.lat)
+  GROUP BY p.i, e.k
+  HAVING SUM(CASE WHEN p.lon < e.x0 + (p.lat - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0)
+                  THEN 1 ELSE 0 END) % 2 = 1),
+assigned AS (
+  SELECT h.k AS aoi_id, c.* FROM hits h JOIN cells c ON c.i = h.i)
+SELECT CAST(aoi_id AS BIGINT) AS aoi_id,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       ROUND(AVG(px_mean), 6) AS mean_px,
+       ROUND(AVG(px_std), 6) AS mean_std,
+       CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells,
+       CAST(MAX(phash_ham) AS INT) AS max_phash_ham,
+       CAST(SUM(CASE WHEN phash_ham < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+FROM assigned GROUP BY aoi_id ORDER BY aoi_id"""
+
+
+# ----------------------------------------------------------- cloud fill ----
+
+def cloud_fill_sql(n_scenes: int = 4, tile: int = 32, window: int = 8) -> str:
+    """img_cloud_fill oracle: the ring-growing locally-matched fill is
+    iterative (not SQL-expressible); the expected per-scene sums are
+    computed single-process with the same public multiraster.ring_fill_np
+    and embedded. The *distributed* behavior under test — the 3-way
+    tile-key alignment join and the aggregation — must reproduce them."""
+    from .operators.multiraster import ring_fill_np
+    rows = []
+    for i in range(n_scenes):
+        yy, xx = np.mgrid[0:tile, 0:tile]
+        t = (xx * 2.0 + i).astype(np.float32)
+        r = (t * 0.7 + 11.0).astype(np.float32)
+        m = np.zeros((tile, tile), np.uint8)
+        m[8:20, 8:20] = 1
+        filled = ring_fill_np(t, r, m, window)
+        rows.append(f"('s{i}', {float(filled.astype(np.float64).sum())!r})")
+    return ("SELECT scene_id, sum_v FROM (VALUES "
+            + ", ".join(rows)
+            + ") t(scene_id, sum_v) ORDER BY scene_id")

@@ -1,20 +1,31 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, per the scale guidance:
+Three paths, per the scale guidance:
 
-- **brute-force cosine top-k** — broadcast the (small) query set, compute
-  dot products with pure ``F.aggregate``/``F.zip_with`` column expressions
-  (JVM-side, codegen; no Python), window top-k. Exact; the baseline and
-  the oracle-checkable path.
+- **brute-force cosine top-k** — the query set is broadcast as a dense
+  matrix; ONE ``mapInPandas`` pass over the corpus computes a
+  (queries × batch) GEMM per Arrow batch and emits per-batch top-k
+  partials, which a final window reduces to global top-k. No |corpus|×|q|
+  shuffle rows ever exist (top-k is decomposable), and scoring is a BLAS
+  matmul, not a per-row expression. Exact; the oracle-checkable path.
 - **LSH-bucketed ANN** — deterministic random-hyperplane sign bits bucket
   the corpus; queries probe their own bucket (+ multi-probe neighbors).
-  One shuffle on the bucket key; recall/speed tradeoff via n_bits /
-  n_probes. The 100 TB path: candidate set per query ≈ corpus / 2^bits.
+  One shuffle on the bucket key; candidates ≈ corpus / 2^bits per probe.
+- **IVF ANN** — k-means inverted lists, queries probe n_probe lists.
+
+Scoring on joined candidate rows uses a vectorized Arrow/pandas UDF
+(row-wise einsum over the stacked arrays). Spark evaluates array
+higher-order functions *interpreted* and re-evaluates the lambda per use
+(no CSE) — measured in round 1 (dedup.py); the HOF forms are kept only for
+tiny literal vectors (the hyperplane dot in lsh_bucket_col, which stays
+JVM-side whole-stage-codegen precisely because it must not round-trip the
+corpus through Python just to bucket it).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,7 +33,8 @@ from .fixtures import splitmix64
 
 
 def dot_col(a, b):
-    """Dot product of two array columns — zip_with + aggregate, all JVM."""
+    """Dot product of two array columns — zip_with + aggregate, all JVM.
+    Interpreted evaluation: use only where one side is a short literal."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
@@ -36,21 +48,67 @@ def cosine_col(a, b):
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _cosine_rows_udf():
+    """Vectorized cosine over paired array columns: stack → einsum.
+    den mirrors cosine_col's sqrt(qq)*sqrt(cc) factor order so scores are
+    bit-compatible with the previous JVM expression where exact."""
+    @F.pandas_udf("double")
+    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        Q = np.stack(qv.to_numpy()).astype(np.float64)
+        C = np.stack(cv.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", Q, C)
+        den = (np.sqrt(np.einsum("ij,ij->i", Q, Q))
+               * np.sqrt(np.einsum("ij,ij->i", C, C)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(den == 0.0, 0.0, num / den)
+        return pd.Series(s)
+    return cos
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "vec_id") -> DataFrame:
-    """Exact cosine top-k: broadcast-cross-join queries × corpus → cosine →
-    row_number ≤ k. Output (query_id, neighbor_id, rank) — integer-only so
-    results are engine-comparable without float-hash hazards."""
-    q = queries.select(F.col(qid_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+    """Exact cosine top-k via broadcast query matrix + per-batch partial
+    top-k. Output (query_id, neighbor_id, rank) — integer-only so results
+    are engine-comparable without float-hash hazards.
+
+    Plan: corpus scan → mapInPandas (GEMM + per-batch top-k, ≤ n_q·k rows
+    out per batch) → one small shuffle on query_id → window top-k. At
+    10^12 corpus rows the shuffle carries n_q·k·n_partitions rows, not
+    the candidate cross product."""
+    q_pdf = queries.select(F.col(qid_col).alias("query_id"),
+                           F.col(vec_col).alias("qv")).toPandas()
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast({
+        "ids": q_pdf["query_id"].to_numpy(np.int64),
+        "Q": np.stack(q_pdf["qv"].to_numpy()).astype(np.float64),
+    })
+
+    def score(batches):
+        q = bq.value
+        Q = q["Q"]
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        for pdf in batches:
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            den = qn[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(den == 0.0, 0.0, (Q @ C.T) / den)  # (n_q, n_c)
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            kk = min(k, S.shape[1])
+            # per-batch partial top-k (ties resolved later by neighbor_id)
+            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(q["ids"], kk)
+            rows_n = nid[part.ravel()]
+            rows_s = np.take_along_axis(S, part, axis=1).ravel()
+            yield pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n,
+                                "score": rows_s})
+
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
-    scored = (c.join(F.broadcast(q))
-              .withColumn("score", cosine_col(
-                  F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>"))))
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    partials = c.mapInPandas(score, "query_id long, neighbor_id long, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (partials.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
 
@@ -71,7 +129,9 @@ def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
 
 def lsh_bucket_col(vec_col, dim: int, n_bits: int = 8):
     """Sign-bit bucket id as a pure column expression: for each hyperplane,
-    sign(dot(v, h)) packed into an int. JVM-side (no UDF)."""
+    sign(dot(v, h)) packed into an int. JVM-side (no UDF): bucketing must
+    not ship the corpus through Python, and the literal hyperplane arrays
+    are short enough that interpreted HOF cost is immaterial."""
     H = _hyperplanes(dim, n_bits)
     bucket = F.lit(0)
     for b in range(n_bits):
@@ -87,7 +147,8 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              n_probes: int = 1, dim: int | None = None) -> DataFrame:
     """ANN top-k: bucket corpus+queries by hyperplane signs, equi-join on
     bucket (queries probe their bucket plus ``n_probes-1`` single-bit-flip
-    neighbors), exact cosine within candidates, top-k."""
+    neighbors), exact cosine (vectorized pandas UDF) within candidates,
+    top-k."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     cast = lambda c: F.col(c).cast("array<double>")
@@ -99,7 +160,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_probes - 1)]
     q = qb.select("query_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
     scored = (c.join(F.broadcast(q), "bucket")
-              .withColumn("score", cosine_col(F.col("qv"), F.col("cv"))))
+              .withColumn("score", _cosine_rows_udf()(F.col("qv"), F.col("cv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -132,7 +193,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              train_sample: int = 2000) -> DataFrame:
     """IVF ANN: k-means centroids (trained driver-side on a deterministic
     sample, broadcast) partition the corpus into inverted lists; each query
-    probes its ``n_probe`` nearest lists, exact cosine within candidates.
+    probes its ``n_probe`` nearest lists, exact cosine (vectorized pandas
+    UDF) within candidates.
 
     Scale shape: ONE corpus shuffle on list id (or none if the table is
     written bucketed by list), candidate set ≈ corpus·n_probe/n_lists."""
@@ -144,7 +206,6 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
     @F.pandas_udf("long")
     def nearest_list(v):
-        import pandas as pd
         X = np.stack(v.to_numpy()).astype(np.float64)
         Cv = bC.value
         d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ Cv.T + (Cv ** 2).sum(1)[None, :])
@@ -152,7 +213,6 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
     @F.pandas_udf("array<long>")
     def probe_lists(v):
-        import pandas as pd
         X = np.stack(v.to_numpy()).astype(np.float64)
         Cv = bC.value
         d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ Cv.T + (Cv ** 2).sum(1)[None, :])
@@ -166,7 +226,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                         probe_lists(F.col(vec_col)).alias("lists"))
          .select("query_id", "qv", F.explode("lists").alias("list_id")))
     scored = (c.join(F.broadcast(q), "list_id")
-              .withColumn("score", cosine_col(F.col("qv"), F.col("cv"))))
+              .withColumn("score", _cosine_rows_udf()(F.col("qv"), F.col("cv"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -177,7 +237,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_bits: int = 0, limit_ids: int | None = None) -> DataFrame:
     """Embedding near-dup pairs: all-pairs within LSH buckets (or brute
-    all-pairs when n_bits=0 — tests/small tables only)."""
+    all-pairs when n_bits=0 — tests/small tables only). Scoring via the
+    vectorized pandas UDF over the joined candidates."""
     cast = F.col(vec_col).cast("array<double>")
     d = df.select(F.col(id_col).alias("_id"), cast.alias("v"))
     if limit_ids is not None:
@@ -192,6 +253,6 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         a, b = d.alias("a"), d.alias("b")
         pairs = a.join(b, F.col("a._id") < F.col("b._id"))
     out = pairs.select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                       cosine_col(F.col("a.v"), F.col("b.v")).alias("cos"))
+                       _cosine_rows_udf()(F.col("a.v"), F.col("b.v")).alias("cos"))
     return (out.filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

@@ -62,14 +62,30 @@ def polygon_cover_cells(ring_x, ring_y, res: int) -> np.ndarray:
                            float(np.max(ring_x)), float(np.max(ring_y)), res)
 
 
+def _res_from_median_span(med: float, max_cells_per_aoi: int = 64) -> int:
+    med = med or 1e-6
+    side = int(np.ceil(np.sqrt(max_cells_per_aoi)))
+    return int(np.clip(np.floor(np.log2(360.0 / med * side)), 0, grid.MAX_RES))
+
+
 def auto_cover_res(aoi_pdf: pd.DataFrame, max_cells_per_aoi: int = 64) -> int:
-    """Pick a cover resolution so the median AOI covers ≲ max_cells cells."""
+    """Pick a cover resolution so the median AOI covers ≲ max_cells cells
+    (driver-side pandas variant, for already-collected small AOI sets)."""
     spans = np.maximum(aoi_pdf["xmax"] - aoi_pdf["xmin"],
                        (aoi_pdf["ymax"] - aoi_pdf["ymin"]) * 2.0)
-    med = float(np.median(spans)) or 1e-6
-    side = int(np.ceil(np.sqrt(max_cells_per_aoi)))
-    res = int(np.clip(np.floor(np.log2(360.0 / med * side)) , 0, grid.MAX_RES))
-    return res
+    return _res_from_median_span(float(np.median(spans)), max_cells_per_aoi)
+
+
+def auto_cover_res_distributed(aoi: DataFrame, max_cells_per_aoi: int = 64) -> int:
+    """Distributed variant for the partitioned path's LARGE vector side:
+    the median bbox span comes from approxQuantile (a tiny aggregate job —
+    no row of the AOI table ever reaches the driver; at 10^7 polygons the
+    previous toPandas() would OOM the driver before the join started)."""
+    spans = aoi.select(F.greatest(F.col("xmax") - F.col("xmin"),
+                                  (F.col("ymax") - F.col("ymin")) * 2.0)
+                       .alias("span"))
+    med = spans.approxQuantile("span", [0.5], 0.01)[0]
+    return _res_from_median_span(float(med), max_cells_per_aoi)
 
 
 # ------------------------------------------------------- PIP join API ------
@@ -145,9 +161,12 @@ def pip_join_partitioned(points: DataFrame, aoi: DataFrame,
     ``salt_hot_cells > 0`` additionally splits each (cell, aoi) pair into
     that many salt buckets on the polygon side and hashes points to one
     bucket — an explicit skew-defeat on top of AQE's skew-join splitting
-    (SURVEY.md O12)."""
-    aoi_pdf = aoi.select("xmin", "ymin", "xmax", "ymax").toPandas()
-    r = res if res is not None else auto_cover_res(aoi_pdf)
+    (SURVEY.md O12).
+
+    No driver-side materialization of the vector side anywhere: when
+    ``res`` is not given it comes from a distributed approxQuantile of the
+    bbox spans (pass ``res`` explicitly to skip even that small job)."""
+    r = res if res is not None else auto_cover_res_distributed(aoi)
     spark = points.sparkSession
 
     cover_schema = "aoi_id long, cell long, ring_x array<double>, ring_y array<double>"
@@ -197,8 +216,11 @@ def pip_join(points: DataFrame, aoi: DataFrame, x_col: str = "lon",
              y_col: str = "lat", broadcast_threshold: int = 10000,
              **kwargs) -> DataFrame:
     """Route between the broadcast and partitioned PIP strategies by vector
-    side size — the broadcast-vs-shuffle decision of SURVEY.md O12."""
-    n_aoi = aoi.count()
+    side size — the broadcast-vs-shuffle decision of SURVEY.md O12. The
+    probe is bounded (limit N+1, not a full count): on a 10^7-polygon
+    table it scans just enough rows to prove 'bigger than the threshold'
+    instead of running a full count job per invocation."""
+    n_aoi = aoi.limit(broadcast_threshold + 1).count()
     if n_aoi <= broadcast_threshold:
         return pip_join_broadcast(points, aoi, x_col, y_col,
                                   keep_unmatched=kwargs.get("keep_unmatched", False))
@@ -223,11 +245,17 @@ def zonal_statistics(assigned: DataFrame, value_col: str,
 
 
 def zonal_remap_col(df: DataFrame, zones: DataFrame, value_col: str,
-                    zone_col: str = "zone_id", default: float = 255.0) -> DataFrame:
+                    zone_col: str = "zone_id", default: float = 255.0,
+                    background: float | None = None) -> DataFrame:
     """Column-level ZonalRemap: broadcast-join the zone interval table and
     remap ``value_col`` where zmin < v < zmax (null bounds = open interval,
     null zval → default) — probe semantics of
-    /root/reference/functions/deprecated/ZonalRemap.py:184-198."""
+    /root/reference/functions/deprecated/ZonalRemap.py:184-198.
+
+    Non-matching rows: ``background`` mirrors the reference's
+    background-initialized output (ZonalRemap.py:180-181, default 0);
+    ``background=None`` (default) passes the value through — the deliberate
+    value-preserving divergence documented at operators.zonal.zonal_remap."""
     z = zones.select(zone_col,
                      F.col("zmin").alias("_zmin"), F.col("zmax").alias("_zmax"),
                      F.col("zval").alias("_zval"))
@@ -235,7 +263,8 @@ def zonal_remap_col(df: DataFrame, zones: DataFrame, value_col: str,
     v = F.col(value_col)
     in_iv = ((v > F.coalesce(F.col("_zmin"), F.lit(float("-inf"))))
              & (v < F.coalesce(F.col("_zmax"), F.lit(float("inf")))))
-    remapped = F.when(in_iv, F.coalesce(F.col("_zval"), F.lit(default))).otherwise(v)
+    miss = v if background is None else F.lit(background)
+    remapped = F.when(in_iv, F.coalesce(F.col("_zval"), F.lit(default))).otherwise(miss)
     return joined.withColumn(f"{value_col}_remap", remapped).drop("_zmin", "_zmax", "_zval")
 
 

@@ -49,12 +49,20 @@ def tile_partials(df: DataFrame, value_band: int = 0) -> DataFrame:
 def start_incremental_composite(stream: DataFrame, partials_path: str,
                                 checkpoint: str, query_name: str,
                                 value_band: int = 0):
-    """availableNow/continuous stream → per-tile partials appended
-    exactly-once (foreachBatch + checkpoint)."""
+    """availableNow/continuous stream → per-tile partials, exactly-once.
+
+    foreachBatch alone is only at-least-once: if a microbatch fails after
+    a partial write and is retried, a blind append would duplicate rows
+    and silently inflate every downstream sum/mean/count. The sink is made
+    idempotent by partitioning the partials table by ``batch_id`` and
+    using dynamic partition overwrite — a retried batch REPLACES its own
+    partition instead of appending next to its earlier half-write."""
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (tile_partials(batch_df, value_band)
          .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(partials_path))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(partials_path))
 
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

@@ -51,13 +51,14 @@ def test_checkpointed_write_resume(spark, tmp_path):
     # resume: nothing to do, manifest unchanged
     m2 = lineage.checkpointed_write(df, path, "id", n_buckets=8, run_id="r2")
     assert m2 == m1
-    # partial manifest → only missing buckets written
-    import json
-    with open(os.path.join(path, lineage.MANIFEST)) as f:
-        m = json.load(f)
+    # partial manifest → only missing buckets written. The tamper goes
+    # through the same Hadoop-FS manifest API the engine uses (writing the
+    # file behind the FS's back would leave a stale checksum sidecar —
+    # exactly the failure mode the FS-based manifest exists to prevent on
+    # S3/HDFS outputs).
+    m = lineage._read_manifest(spark, path)
     dropped = m["buckets"].pop("3")
-    with open(os.path.join(path, lineage.MANIFEST), "w") as f:
-        json.dump(m, f)
+    lineage._write_manifest(spark, path, m)
     m3 = lineage.checkpointed_write(df, path, "id", n_buckets=8, run_id="r3")
     assert m3["buckets"]["3"]["run_id"] == "r3"
     assert m3["buckets"]["3"]["rows"] == dropped["rows"]
