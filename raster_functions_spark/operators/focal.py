@@ -34,24 +34,53 @@ from ..raster import TileOp
 # the reference's updatePixels (Hillshade.py:89 crops [1:-1, 1:-1]).
 
 
-def _horn_gradients(z: np.ndarray, cellsize: float):
+def _horn_gradients(z: np.ndarray, cellsize: float, cellsize_y: float | None = None):
     """Horn 3×3 gradients on a 1-pad 2-D array → (dz/dx, dz/dy) cropped.
 
     Same stencil the reference uses for slope/aspect/hillshade
     (/root/reference/functions/deprecated/Hillshade.py:115-116,
-    deprecated/AspectSlope.py:80-81), written as shifted sums."""
+    deprecated/AspectSlope.py:80-81), written as shifted sums.
+    ``cellsize_y`` allows anisotropic spacing (geographic-CRS dx shrinks
+    with latitude)."""
+    cy = cellsize if cellsize_y is None else cellsize_y
     a = z[:-2, :-2]; b = z[:-2, 1:-1]; c = z[:-2, 2:]
     d = z[1:-1, :-2];                  f = z[1:-1, 2:]
     g = z[2:, :-2];  h8 = z[2:, 1:-1]; i = z[2:, 2:]
     dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * cellsize)
-    dzdy = ((g + 2 * h8 + i) - (a + 2 * b + c)) / (8.0 * cellsize)
+    dzdy = ((g + 2 * h8 + i) - (a + 2 * b + c)) / (8.0 * cy)
     return dzdx, dzdy
 
 
-def slope_aspect_np(z_padded: np.ndarray, cellsize: float = 1.0, z_factor: float = 1.0):
+DEG_TO_M = 1.11e5  # the reference's degrees→meters factor (Hillshade.py:126)
+
+
+def effective_cellsize(cs_deg: float, meta: dict | None = None,
+                       geographic: bool = False, lat_correct: bool = False,
+                       h: int | None = None) -> tuple[float, float]:
+    """(dx, dy) in the unit the z values use. For geographic-CRS DEMs the
+    reference converts degrees→meters with a constant 1.11e5 factor before
+    the gradient division (deprecated/Hillshade.py:124-127,
+    utils.py:54-83 projectCellSize); without it, slopes on a degree-grid
+    DEM with meter elevations are wrong by ~1e5×. ``lat_correct``
+    additionally shrinks dx by cos(latitude of the tile center) — more
+    accurate than the reference's isotropic constant; requires meta
+    ``ymax`` (+ ``cell_dy``) and the tile height."""
+    if not geographic:
+        return cs_deg, cs_deg
+    dy_m = cs_deg * DEG_TO_M
+    dx_m = dy_m
+    if lat_correct and meta is not None and "ymax" in meta and h:
+        dy_deg = float(meta.get("cell_dy", cs_deg))
+        lat_c = float(meta["ymax"]) - 0.5 * h * dy_deg
+        dx_m = dy_m * float(np.cos(np.radians(lat_c)))
+    return dx_m, dy_m
+
+
+def slope_aspect_np(z_padded: np.ndarray, cellsize: float = 1.0, z_factor: float = 1.0,
+                    cellsize_y: float | None = None):
     """(slope_deg, aspect_deg) from a 1-padded 2-D float array.
     Aspect in compass degrees (0=N, clockwise), flat = -1."""
-    dzdx, dzdy = _horn_gradients(z_padded.astype(np.float64), cellsize)
+    dzdx, dzdy = _horn_gradients(z_padded.astype(np.float64), cellsize, cellsize_y)
     slope = np.degrees(np.arctan(z_factor * np.hypot(dzdx, dzdy)))
     aspect = np.degrees(np.arctan2(dzdy, -dzdx))  # math angle from east
     aspect = np.where(aspect < 90.0, 90.0 - aspect, 450.0 - aspect)  # → compass
@@ -60,10 +89,11 @@ def slope_aspect_np(z_padded: np.ndarray, cellsize: float = 1.0, z_factor: float
 
 
 def hillshade_np(z_padded: np.ndarray, cellsize: float = 1.0, z_factor: float = 1.0,
-                 azimuth: float = 315.0, altitude: float = 45.0) -> np.ndarray:
+                 azimuth: float = 315.0, altitude: float = 45.0,
+                 cellsize_y: float | None = None) -> np.ndarray:
     """Classic single-source hillshade (uint8 0..255) — behavior of
     /root/reference/functions/deprecated/Hillshade.py:108-133."""
-    dzdx, dzdy = _horn_gradients(z_padded.astype(np.float64), cellsize)
+    dzdx, dzdy = _horn_gradients(z_padded.astype(np.float64), cellsize, cellsize_y)
     zen = np.radians(90.0 - altitude)
     azm = np.radians((360.0 - azimuth + 90.0) % 360.0)
     slope = np.arctan(z_factor * np.hypot(dzdx, dzdy))
@@ -146,11 +176,15 @@ def block_statistics_np(band: np.ndarray, measure: str, factor: int) -> np.ndarr
 # -------------------------------------------------------- TileOp wrap ------
 
 def hillshade(cellsize: float = 1.0, z_factor: float = 1.0,
-              azimuth: float = 315.0, altitude: float = 45.0) -> TileOp:
+              azimuth: float = 315.0, altitude: float = 45.0,
+              geographic: bool = False, lat_correct: bool = False) -> TileOp:
     def fn(px, meta):
         cs = float(meta.get("cell_dx", cellsize))
-        return np.stack([hillshade_np(b.astype(np.float64), cs, z_factor,
-                                      azimuth, altitude) for b in px])
+        dx, dy = effective_cellsize(cs, meta, geographic, lat_correct,
+                                    px.shape[1] - 2)
+        return np.stack([hillshade_np(b.astype(np.float64), dx, z_factor,
+                                      azimuth, altitude, cellsize_y=dy)
+                         for b in px])
     return TileOp("hillshade", fn, padding=1, dtype_out="u1")
 
 
@@ -162,18 +196,26 @@ def multidirectional_hillshade(cellsize: float = 1.0, z_factor: float = 1.0) -> 
     return TileOp("mdhillshade", fn, padding=1, dtype_out="u1")
 
 
-def slope(cellsize: float = 1.0, z_factor: float = 1.0) -> TileOp:
+def slope(cellsize: float = 1.0, z_factor: float = 1.0,
+          geographic: bool = False, lat_correct: bool = False) -> TileOp:
     def fn(px, meta):
         cs = float(meta.get("cell_dx", cellsize))
-        return np.stack([slope_aspect_np(b.astype(np.float64), cs, z_factor)[0]
+        dx, dy = effective_cellsize(cs, meta, geographic, lat_correct,
+                                    px.shape[1] - 2)
+        return np.stack([slope_aspect_np(b.astype(np.float64), dx, z_factor,
+                                         cellsize_y=dy)[0]
                          for b in px]).astype(np.float32)
     return TileOp("slope", fn, padding=1, dtype_out="f4")
 
 
-def aspect(cellsize: float = 1.0, z_factor: float = 1.0) -> TileOp:
+def aspect(cellsize: float = 1.0, z_factor: float = 1.0,
+           geographic: bool = False, lat_correct: bool = False) -> TileOp:
     def fn(px, meta):
         cs = float(meta.get("cell_dx", cellsize))
-        return np.stack([slope_aspect_np(b.astype(np.float64), cs, z_factor)[1]
+        dx, dy = effective_cellsize(cs, meta, geographic, lat_correct,
+                                    px.shape[1] - 2)
+        return np.stack([slope_aspect_np(b.astype(np.float64), dx, z_factor,
+                                         cellsize_y=dy)[1]
                          for b in px]).astype(np.float32)
     return TileOp("aspect", fn, padding=1, dtype_out="f4")
 

@@ -210,52 +210,215 @@ def random_forest_classifier(train_X: np.ndarray, train_y: np.ndarray,
     return TileOp("random_forest", fn, bands_out=3, dtype_out="f4")
 
 
-def gradient_boosted_classifier(train_X: np.ndarray, train_y: np.ndarray,
-                                n_rounds: int = 20, max_depth: int = 3,
-                                lr: float = 0.3) -> TileOp:
-    """Binary gradient-boosted stumps (logit boosting, from scratch) —
-    capability analog of GradientBoostedClassifier.py:95-112 (binary case)."""
-    X = np.asarray(train_X, dtype=np.float64)
-    yy = np.asarray(train_y)
-    classes = np.unique(yy)
-    if classes.size != 2:
-        raise ValueError("from-scratch GBT supports binary labels")
-    y01 = (yy == classes[1]).astype(np.float64)
-    f0 = 0.0
+def _fit_binary_boost(X: np.ndarray, y01: np.ndarray, n_rounds: int,
+                      max_depth: int, lr: float, seed: int):
+    """One binary logit-boosting ensemble; returns the tree list."""
     trees = []
-    pred = np.full(X.shape[0], f0)
+    pred = np.zeros(X.shape[0])
     for r in range(n_rounds):
         p = 1.0 / (1.0 + np.exp(-pred))
         resid = y01 - p
-        tree = _Tree(max_depth, rng=np.random.default_rng(1000 + r))
+        tree = _Tree(max_depth, rng=np.random.default_rng(seed + r))
         tree.fit(X, (resid > 0).astype(np.int64))
         # leaf value = mean residual of samples routed to each side (stump-ish)
         step = tree.predict(X) * 2 - 1
         gamma = (resid * step).sum() / max((np.abs(step)).sum(), 1e-12)
         trees.append((tree, gamma))
         pred = pred + lr * gamma * step
+    return trees
+
+
+def _boost_score(trees, Xp: np.ndarray, lr: float) -> np.ndarray:
+    acc = np.zeros(Xp.shape[0])
+    for tree, gamma in trees:
+        acc += lr * gamma * (tree.predict(Xp) * 2 - 1)
+    return 1.0 / (1.0 + np.exp(-acc))
+
+
+def gradient_boosted_classifier(train_X: np.ndarray, train_y: np.ndarray,
+                                n_rounds: int = 20, max_depth: int = 3,
+                                lr: float = 0.3) -> TileOp:
+    """Gradient-boosted stumps (logit boosting, from scratch) — capability
+    analog of GradientBoostedClassifier.py:95-112. Binary labels use one
+    ensemble (output bands [class, p]); K>2 classes train one-vs-rest
+    ensembles with softmax-normalized scores (output bands
+    [class, p_class0, …, p_classK-1], matching the reference's
+    pred + predict_proba band layout)."""
+    X = np.asarray(train_X, dtype=np.float64)
+    yy = np.asarray(train_y)
+    classes = np.unique(yy)
+    if classes.size == 2:
+        trees = _fit_binary_boost(X, (yy == classes[1]).astype(np.float64),
+                                  n_rounds, max_depth, lr, 1000)
+
+        def fn(px, meta):
+            bands, h, w = px.shape
+            Xp = px.reshape(bands, -1).T.astype(np.float64)
+            p = _boost_score(trees, Xp, lr)
+            cls = np.where(p >= 0.5, classes[1], classes[0]).astype(np.float64)
+            return np.stack([cls.reshape(h, w), p.reshape(h, w)]).astype(np.float32)
+
+        return TileOp("gbt_classifier", fn, bands_out=2, dtype_out="f4")
+
+    # one-vs-rest: K ensembles, normalized per-class probabilities
+    ensembles = [
+        _fit_binary_boost(X, (yy == c).astype(np.float64),
+                          n_rounds, max_depth, lr, 1000 + 7919 * k)
+        for k, c in enumerate(classes)]
 
     def fn(px, meta):
         bands, h, w = px.shape
         Xp = px.reshape(bands, -1).T.astype(np.float64)
-        acc = np.full(Xp.shape[0], f0)
-        for tree, gamma in trees:
-            acc += lr * gamma * (tree.predict(Xp) * 2 - 1)
-        p = 1.0 / (1.0 + np.exp(-acc))
-        cls = np.where(p >= 0.5, classes[1], classes[0]).astype(np.float64)
-        return np.stack([cls.reshape(h, w), p.reshape(h, w)]).astype(np.float32)
+        P = np.stack([_boost_score(t, Xp, lr) for t in ensembles], axis=1)
+        P = P / np.maximum(P.sum(axis=1, keepdims=True), 1e-12)
+        cls = classes[P.argmax(axis=1)].astype(np.float64)
+        out = [cls.reshape(h, w)] + [P[:, k].reshape(h, w)
+                                     for k in range(classes.size)]
+        return np.stack(out).astype(np.float32)
 
-    return TileOp("gbt_classifier", fn, bands_out=2, dtype_out="f4")
+    return TileOp("gbt_classifier", fn, bands_out=1 + classes.size,
+                  dtype_out="f4")
 
 
 # ------------------------------------------------ seasonal forecast --------
 
+def sarima_css_fit_batch(Y: np.ndarray, period: int = 12,
+                         iters: int = 25) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Conditional-sum-of-squares fit of SARIMA (1,0,0)×(1,0,0,s) with a
+    constant, from scratch, VECTORIZED over many series at once
+    (Y: (n_series, T)) — the role statsmodels SARIMAX plays in
+    SeasonalARIMA.py:199-204 (order + seasonal order + trend='c').
+
+    Model:  y_t = c + φ·y_{t-1} + Φ·y_{t-s} − φΦ·y_{t-s-1} + e_t
+    (the multiplicative AR polynomial (1−φB)(1−ΦB^s)).
+
+    CSS is quadratic in (c, φ) for fixed Φ and in (c, Φ) for fixed φ, so
+    coordinate descent alternates two exact OLS solves — each step is
+    closed-form sums over t, so the whole fit is whole-array NumPy with no
+    per-series Python loop, and CSS decreases monotonically.
+
+    Returns (c, phi, Phi), each shape (n_series,)."""
+    Y = np.asarray(Y, dtype=np.float64)
+    s = period
+    yt = Y[:, s + 1:]
+    y1 = Y[:, s:-1]         # y_{t-1}
+    ys = Y[:, 1:-s]         # y_{t-s}
+    ys1 = Y[:, :-s - 1]     # y_{t-s-1}
+    n = Y.shape[0]
+    phi = np.zeros(n)
+    Phi = np.zeros(n)
+
+    def _ols(u, v):
+        """Per-series OLS of u on v with intercept → (slope, intercept)."""
+        mu_u = u.mean(axis=1)
+        mu_v = v.mean(axis=1)
+        cov = ((u - mu_u[:, None]) * (v - mu_v[:, None])).mean(axis=1)
+        var = ((v - mu_v[:, None]) ** 2).mean(axis=1)
+        slope = np.where(var > 1e-12, cov / np.maximum(var, 1e-12), 0.0)
+        return slope, mu_u - slope * mu_v
+
+    c = np.zeros(n)
+    for _ in range(iters):
+        # solve (phi, c) | Phi:  u = y_t − Φ y_{t-s},  v = y_{t-1} − Φ y_{t-s-1}
+        u = yt - Phi[:, None] * ys
+        v = y1 - Phi[:, None] * ys1
+        phi, c = _ols(u, v)
+        # solve (Phi, c) | phi:  u = y_t − φ y_{t-1},  v = y_{t-s} − φ y_{t-s-1}
+        u = yt - phi[:, None] * y1
+        v = ys - phi[:, None] * ys1
+        Phi, c = _ols(u, v)
+    # clamp to the (open) stationarity box — CSS without the constraint can
+    # wander for short noisy series, matching enforce_stationarity=False
+    # would allow it, but forecasts then explode; clamp like a practitioner
+    phi = np.clip(phi, -0.999, 0.999)
+    Phi = np.clip(Phi, -0.999, 0.999)
+    return c, phi, Phi
+
+
+def sarima_forecast_batch(Y: np.ndarray, horizon: int, period: int = 12,
+                          iters: int = 25) -> np.ndarray:
+    """Fit + recursive h-step forecast for a batch of series: returns
+    (n_series, horizon). Forecast recursion uses actuals where available
+    and prior forecasts beyond the sample (standard SARIMA prediction)."""
+    Y = np.asarray(Y, dtype=np.float64)
+    c, phi, Phi = sarima_css_fit_batch(Y, period, iters)
+    s = period
+    T = Y.shape[1]
+    buf = np.concatenate([Y, np.zeros((Y.shape[0], horizon))], axis=1)
+    for h in range(horizon):
+        t = T + h
+        buf[:, t] = (c + phi * buf[:, t - 1] + Phi * buf[:, t - s]
+                     - phi * Phi * buf[:, t - s - 1])
+    return buf[:, T:]
+
+
+def sarima_forecast_by_group(df, group_cols: list[str], value_col: str,
+                             time_col: str, period: int = 12,
+                             horizon: int = 1):
+    """Per-group SARIMA (1,0,0)×(1,0,0,s)+c forecast via applyInPandas —
+    the true-SARIMA upgrade of seasonal_forecast_by_group (A11/M5,
+    SeasonalARIMA.py:192-216): same distributed shape, CSS-fit model."""
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType([df.schema[c] for c in group_cols] + [
+        T.StructField("forecast", T.DoubleType()),
+        T.StructField("delta", T.DoubleType()),
+        T.StructField("n_obs", T.LongType())])
+
+    def per_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        vals = pdf[value_col].to_numpy(np.float64)
+        if vals.size < 2 * period + 2:
+            fc = float(vals[-1])                 # too short: naive hold
+        else:
+            fc = float(sarima_forecast_batch(vals[None], horizon, period)[0, -1])
+        row = {c: key[i] for i, c in enumerate(group_cols)}
+        row.update({"forecast": fc, "delta": fc - float(vals[-1]),
+                    "n_obs": len(vals)})
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(per_group, schema=out_schema)
+
+
+def sarima_stack_delta(df, period: int = 12, horizon: int = 12,
+                       group_cols: list[str] = ["scene_id"],
+                       order_col: str = "t", value_band: int = 0,
+                       fmt_out: str = "zlib"):
+    """Per-PIXEL SARIMA delta over a co-registered time stack — the
+    reference's actual shape (SeasonalARIMA.py:192-216 loops pixels and
+    fits one SARIMAX each; here sarima_css_fit_batch fits EVERY pixel of
+    the tile simultaneously as one whole-array solve). Output band =
+    forecast(t+horizon) − last observation (its 'delta' product)."""
+    from pyspark.sql import types as T
+    from .. import codec
+
+    out_schema = T.StructType([df.schema[c] for c in group_cols] + [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()), T.StructField("dtype", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_obs", T.IntegerType())])
+
+    def per_scene(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        stack = np.stack([codec.decode(bytes(b))[value_band] for b in pdf["bytes"]])
+        n_t, h, w = stack.shape
+        Y = stack.reshape(n_t, -1).T.astype(np.float64)   # (pixels, T)
+        fc = sarima_forecast_batch(Y, horizon, period)[:, -1]
+        delta = (fc - Y[:, -1]).reshape(h, w).astype(np.float32)
+        row = {c: key[i] for i, c in enumerate(group_cols)}
+        row.update({"bytes": codec.encode(delta[None], fmt_out), "w": w, "h": h,
+                    "bands": 1, "dtype": "f4", "fmt": fmt_out, "n_obs": n_t})
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(per_scene, schema=out_schema)
+
+
 def seasonal_forecast(period: int = 12, horizon: int = 1):
     """Per-group seasonal forecast for applyInPandas — SeasonalARIMA's
-    slot (SeasonalARIMA.py:192-216). statsmodels SARIMAX is unavailable, so
-    the model is seasonal-naive + linear trend (deterministic, closed
-    form): forecast = last same-season value + OLS trend × horizon.
-    Returns fn(pdf) -> pdf with columns (group cols..., forecast, delta)."""
+    slot (SeasonalARIMA.py:192-216). The cheap deterministic stand-in
+    (seasonal-naive + linear trend); sarima_forecast_by_group is the full
+    CSS-SARIMA model. Returns fn(values) -> (forecast, delta)."""
 
     def fit_predict(values: np.ndarray) -> tuple[float, float]:
         n = values.size

@@ -234,13 +234,61 @@ def ring_fill_np(target: np.ndarray, replacement: np.ndarray,
     return t.astype(np.float32)
 
 
+def cloud_fill_scene(target: DataFrame, replacement: DataFrame, mask: DataFrame,
+                     tile: int,
+                     grid_cols: tuple[str, str, str] = ("scene_id", "tx", "ty"),
+                     window: int = 8, fmt_out: str = "zlib") -> DataFrame:
+    """Whole-scene cloud fill: the 3 tile tables are aligned by tile key,
+    then ONE applyInPandas group per scene assembles the mosaics and runs
+    ring_fill_np across the full scene — fill regions that cross tile
+    boundaries grow correctly (the reference's ProcessFullImage semantics,
+    StepwiseLocalRadiometricAdjustment.py:67-234). Scene size is bounded
+    by executor memory, exactly the cti_scene tradeoff; use per-tile
+    :func:`cloud_fill` when masks never span tiles."""
+    scn, txc, tyc = grid_cols
+    t = target.select(*grid_cols, F.col("bytes").alias("b_t"))
+    r = replacement.select(*grid_cols, F.col("bytes").alias("b_r"))
+    m = mask.select(*grid_cols, F.col("bytes").alias("b_m"))
+    joined = t.join(r, list(grid_cols)).join(m, list(grid_cols))
+    out_schema = T.StructType([target.schema[c] for c in grid_cols] + [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()), T.StructField("dtype", T.StringType()),
+        T.StructField("fmt", T.StringType())])
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        txs = pdf[txc].to_numpy()
+        tys = pdf[tyc].to_numpy()
+        W = (txs.max() + 1) * tile
+        H = (tys.max() + 1) * tile
+        full = {c: np.zeros((H, W), np.float64) for c in ("t", "r", "m")}
+        for i in range(len(pdf)):
+            sl = (slice(tys[i] * tile, (tys[i] + 1) * tile),
+                  slice(txs[i] * tile, (txs[i] + 1) * tile))
+            full["t"][sl] = codec.decode(bytes(pdf["b_t"].iloc[i]))[0]
+            full["r"][sl] = codec.decode(bytes(pdf["b_r"].iloc[i]))[0]
+            full["m"][sl] = codec.decode(bytes(pdf["b_m"].iloc[i]))[0]
+        filled = ring_fill_np(full["t"], full["r"], full["m"], window)
+        rows = []
+        for i in range(len(pdf)):
+            t_out = filled[tys[i] * tile:(tys[i] + 1) * tile,
+                           txs[i] * tile:(txs[i] + 1) * tile]
+            rows.append({scn: key[0], txc: int(txs[i]), tyc: int(tys[i]),
+                         "bytes": codec.encode(np.ascontiguousarray(t_out)[None], fmt_out),
+                         "w": tile, "h": tile, "bands": 1, "dtype": "f4",
+                         "fmt": fmt_out})
+        return pd.DataFrame(rows)
+
+    return joined.groupBy(scn).applyInPandas(run, schema=out_schema)
+
+
 def cloud_fill(target: DataFrame, replacement: DataFrame, mask: DataFrame,
                key_cols: list[str], window: int = 8,
                fmt_out: str = "zlib") -> DataFrame:
     """3-way aligned join (target, replacement, mask) + per-tile ring fill
-    — the distributed shape of SURVEY.md J9 (per-tile here; the reference
-    forces whole-image, which maps to the per-scene assembly used by
-    hydro.cti_scene when cross-tile fill regions matter)."""
+    — the distributed shape of SURVEY.md J9 (per-tile; use
+    :func:`cloud_fill_scene` when fill regions cross tile boundaries —
+    the reference forces whole-image processing for exactly that reason)."""
     t = target.select(*key_cols, F.col("bytes").alias("b_t"))
     r = replacement.select(*key_cols, F.col("bytes").alias("b_r"))
     m = mask.select(*key_cols, F.col("bytes").alias("b_m"))

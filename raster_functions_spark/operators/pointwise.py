@@ -278,6 +278,42 @@ def vineyard_suitability(elev_band: int = 0, slope_band: int = 1,
     return TileOp("vineyard", fn, bands_out=1, dtype_out="u1")
 
 
+def _piecewise_suitability(x: np.ndarray, min_a: float, min_p: float,
+                           max_p: float, max_a: float) -> np.ndarray:
+    """Trapezoidal membership: 0 at/below min_a, ramp up to 1 at min_p,
+    1 on the [min_p, max_p] plateau, ramp down to 0 at max_a — the
+    putmask cascade of FishHabitatSuitability.py:75-96 (values beyond the
+    absolute bounds go negative on the ramps and are clipped to 0, exactly
+    like the reference's final ``t < 0 → 0`` mask)."""
+    out = np.where(x <= min_p, (x - min_a) / (min_p - min_a), 1.0)
+    out = np.where(x >= max_p, (x - max_a) / (max_p - max_a), out)
+    return np.where(out < 0, 0.0, out)
+
+
+def fish_habitat_suitability(depth: float, temp_band: int = 0,
+                             salinity_band: int = 1) -> TileOp:
+    """F7 FishHabitatSuitability: product of piecewise-linear temperature
+    and salinity memberships with a scalar depth score — the exact
+    parameters and putmask semantics of
+    /root/reference/functions/FishHabitatSuitability.py:52-99 (shark
+    habitat model: T 17.99/26.37/29.15/33.35 °C, S 28.81/32.27/35.81/36.79
+    PSU, depth 0/2/11/20 m; depth outside [0, 20] → 0)."""
+    d = abs(float(depth))
+    if d < 0.0 or d > 20.0:
+        d_score = 0.0
+    else:
+        d_score = float(_piecewise_suitability(np.asarray(d), 0.0, 2.0, 11.0, 20.0))
+
+    def fn(px, meta):
+        t = _piecewise_suitability(px[temp_band].astype(np.float64),
+                                   17.99, 26.37, 29.15, 33.35)
+        s = _piecewise_suitability(px[salinity_band].astype(np.float64),
+                                   28.81, 32.27, 35.81, 36.79)
+        return (t * s * d_score).astype(np.float32)
+
+    return TileOp("fish_habitat", fn, bands_out=1, dtype_out="f4")
+
+
 def per_second_to_per_month(band: int = 0) -> TileOp:
     """Scale a rate by seconds-in-acquisition-month — ConvertPerSecondToPerMonth
     (/root/reference/functions/deprecated/ConvertPerSecondToPerMonth.py:43-75).

@@ -49,7 +49,7 @@ def _out_schema(group_cols: list[str], df: DataFrame) -> T.StructType:
 
 
 def _reduce_group(key, pdf, group_cols, reducer, fmt_out, value_band, qa_band,
-                  clear_values, order_col):
+                  clear_values, order_col, nodata=None):
     if order_col is not None:
         pdf = pdf.sort_values(order_col)  # time-ordering, SeasonalARIMA.py:162-163
     stack = np.stack([codec.decode(bytes(b)) for b in pdf["bytes"]])  # (n,b,h,w)
@@ -65,7 +65,14 @@ def _reduce_group(key, pdf, group_cols, reducer, fmt_out, value_band, qa_band,
         red = reducer(data)          # (bands, h, w)
     if red.ndim == 2:
         red = red[None]
-    red = np.nan_to_num(red, nan=0.0).astype(np.float32)
+    # never-clear pixels stay INVALID (NaN in the f4 output) — the
+    # reference's mask model keeps them out of downstream statistics
+    # (Reference.py:100-105,212-216); pass ``nodata`` to substitute an
+    # explicit sentinel instead (the pre-round-2 behavior used 0.0, which
+    # silently fed fake zeros into downstream stats)
+    if nodata is not None:
+        red = np.nan_to_num(red, nan=nodata)
+    red = red.astype(np.float32)
     row = {c: key[i] for i, c in enumerate(group_cols)}
     row.update({"bytes": codec.encode(red, fmt_out), "w": red.shape[2],
                 "h": red.shape[1], "bands": red.shape[0], "dtype": "f4",
@@ -77,21 +84,26 @@ def stack_composite(df: DataFrame, measure: str, group_cols: list[str] = ["scene
                     fmt_out: str = "zlib", value_band: int = 0,
                     qa_band: int | None = None,
                     clear_values: tuple[int, ...] = (),
-                    order_col: str | None = None) -> DataFrame:
+                    order_col: str | None = None,
+                    nodata: float | None = None) -> DataFrame:
     """Per-pixel composite across a stack: Aggregate (A1) / LandsatMedianImage
-    (A5) / Landsat_Image_Synthesis mean (A6) depending on measure + QA args."""
+    (A5) / Landsat_Image_Synthesis mean (A6) depending on measure + QA args.
+    Never-clear pixels stay NaN (invalid) unless ``nodata`` substitutes a
+    sentinel — see _reduce_group."""
     reducer = _MEASURES[measure]
     schema = _out_schema(group_cols, df)
     def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
-                             value_band, qa_band, clear_values, order_col)
+                             value_band, qa_band, clear_values, order_col,
+                             nodata)
     return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
 
 
 def stack_percentile(df: DataFrame, q: float, group_cols: list[str] = ["scene_id"],
                      fmt_out: str = "zlib", value_band: int = 0,
                      qa_band: int | None = None,
-                     clear_values: tuple[int, ...] = ()) -> DataFrame:
+                     clear_values: tuple[int, ...] = (),
+                     nodata: float | None = None) -> DataFrame:
     """Per-pixel percentile across a QA-filtered stack — LandsatPixelPercentile
     (A4), with np.nanpercentile over axis 0 replacing the reference's
     per-pixel loop (LandsatPixelPercentile.py:175-190; same math)."""
@@ -99,7 +111,7 @@ def stack_percentile(df: DataFrame, q: float, group_cols: list[str] = ["scene_id
     schema = _out_schema(group_cols, df)
     def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
-                             value_band, qa_band, clear_values, None)
+                             value_band, qa_band, clear_values, None, nodata)
     return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
 
 

@@ -46,6 +46,7 @@ REGISTRY: dict[str, Callable[..., TileOp]] = {
     "latitude": pointwise.latitude_source,
     "random": pointwise.random_source,
     "vineyard": pointwise.vineyard_suitability,
+    "fish_habitat": pointwise.fish_habitat_suitability,
     "per_second_to_per_month": pointwise.per_second_to_per_month,
     "stretch": pointwise.stretch,
     "remap": pointwise.remap,

@@ -33,9 +33,35 @@ def test_stack_qa_masked_median(spark):
         clear = np.isin(stk[:, 1], np.asarray(fixtures.QA_CLEAR_C1))
         masked = np.where(clear, vals, np.nan)
         with np.errstate(all="ignore"):
-            want = np.nan_to_num(np.nanmedian(masked, axis=0), nan=0.0)
+            want = np.nanmedian(masked, axis=0)
         got = codec.decode(bytes(out[f"scene{s}"]["bytes"]))[0]
-        assert np.allclose(got, want, atol=1e-4)
+        assert np.allclose(got, want, atol=1e-4, equal_nan=True)
+
+
+def test_stack_composite_never_clear_stays_invalid(spark):
+    """Pixels with NO clear observation must come out NaN (invalid), not a
+    fake 0.0 — the reference's mask model (Reference.py:212-216). A nodata
+    sentinel is opt-in."""
+    import pandas as pd
+    rows = []
+    for t in range(4):
+        vals = np.full((4, 4), 10.0 + t, np.uint16)
+        qa = np.full((4, 4), fixtures.QA_CLEAR_C1[0], np.uint16)
+        qa[0, 0] = fixtures.QA_CLOUDY[0]          # pixel (0,0): never clear
+        rows.append({"scene_id": "s", "bytes": codec.encode(np.stack([vals, qa]))})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = S.stack_composite(df, "median", qa_band=1,
+                            clear_values=fixtures.QA_CLEAR_C1,
+                            fmt_out="raw").collect()[0]
+    px = codec.decode(bytes(out["bytes"]))[0]
+    assert np.isnan(px[0, 0])
+    assert np.allclose(px[0, 1:], 11.5)
+    # explicit sentinel path
+    out2 = S.stack_composite(df, "median", qa_band=1,
+                             clear_values=fixtures.QA_CLEAR_C1,
+                             nodata=-9999.0, fmt_out="raw").collect()[0]
+    px2 = codec.decode(bytes(out2["bytes"]))[0]
+    assert px2[0, 0] == -9999.0
 
 
 def test_stack_percentile(spark):
