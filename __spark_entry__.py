@@ -357,6 +357,26 @@ def q_sim_near_dup_pairs(spark, sf_dir):
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 
+def q_m5_sarima(spark, sf_dir):
+    """A11/M5 SeasonalARIMA: per-group CSS-fit SARIMA (1,0,0)×(1,0,0,24)+c
+    over hourly event counts, 24-step forecast. The DuckDB oracle replays
+    the IDENTICAL fit in SQL — the OLS covariances expand into
+    parameter-free data moments, the coordinate descent runs as a scalar
+    recursive CTE and the forecast as a rolling-list recursion
+    (oracles.sarima_by_group_sql)."""
+    from raster_functions_spark.operators import ml
+    _reg(spark, sf_dir, "events")
+    hourly = spark.sql("""
+      SELECT event_type, date_trunc('hour', ts) AS hb,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2""")
+    out = ml.sarima_forecast_by_group(hourly, ["event_type"], "n", "hb",
+                                      period=24, horizon=24)
+    return (out.select("event_type", F.round("forecast", 4).alias("forecast"),
+                       F.round("delta", 4).alias("delta"), "n_obs")
+            .orderBy("event_type"))
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: gap>30min session assignment via lag + cumsum."""
     _reg(spark, sf_dir, "events")
@@ -688,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
+        "m5_sarima": q_m5_sarima,
         "sessionize": q_sessionize,
         "stream_windowed": q_stream_windowed,
         # image-engine (rows-only)
@@ -751,6 +772,11 @@ def oracle_sql() -> dict[str, str]:
         "img_ndvi_zonal": _orc.ndvi_zonal_sql(800),
         "img_phash_dedup": _orc.phash_pairs_sql(600, 10),
         "img_flagship": _orc.flagship_sql(1000, 25),
+        "m5_sarima": _orc.sarima_by_group_sql(
+            """SELECT event_type, date_trunc('hour', ts) AS hb,
+                      CAST(COUNT(*) AS DOUBLE) AS n
+               FROM events GROUP BY 1, 2""",
+            "event_type", "n", "hb", period=24, horizon=24),
         "a1_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
                  ROUND(SUM(l_quantity), 4) AS sum_qty,

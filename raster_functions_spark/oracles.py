@@ -557,6 +557,106 @@ SELECT CAST(aoi_id AS BIGINT) AS aoi_id,
 FROM assigned GROUP BY aoi_id ORDER BY aoi_id"""
 
 
+# ----------------------------------------------------------- SARIMA --------
+
+def sarima_by_group_sql(series_sql: str, group_col: str, value_col: str,
+                        order_col: str, period: int, horizon: int,
+                        iters: int = 25) -> str:
+    """DuckDB oracle for ml.sarima_forecast_by_group — the full CSS fit in
+    SQL. Key identity: the per-iteration OLS solves are linear in one
+    parameter given the other, so every covariance/variance expands into
+    PARAMETER-FREE data moments (one aggregation per group); the 25
+    coordinate-descent iterations then run as a scalar recursive CTE over
+    (c, φ, Φ), and the h-step forecast as a recursive CTE carrying the
+    rolling last-(s+1)-values list. ``series_sql`` must yield
+    (group_col, order_col, value_col)."""
+    s = period
+    # lag frame: t runs over s+1 .. T-1 (engine: yt = Y[:, s+1:])
+    return f"""
+WITH RECURSIVE series AS MATERIALIZED ({series_sql}),
+lagged AS (
+  SELECT {group_col} AS g,
+         CAST({value_col} AS DOUBLE) AS yt,
+         LAG({value_col}, 1)       OVER w AS y1,
+         LAG({value_col}, {s})     OVER w AS ys,
+         LAG({value_col}, {s + 1}) OVER w AS ys1
+  FROM series
+  WINDOW w AS (PARTITION BY {group_col} ORDER BY {order_col})),
+mom AS MATERIALIZED (
+  SELECT g,
+         AVG(yt) AS m_t, AVG(y1) AS m_1, AVG(ys) AS m_s, AVG(ys1) AS m_s1,
+         AVG(yt*y1) AS m_t1, AVG(yt*ys) AS m_ts, AVG(yt*ys1) AS m_ts1,
+         AVG(y1*y1) AS m_11, AVG(y1*ys) AS m_1s, AVG(y1*ys1) AS m_1s1,
+         AVG(ys*ys) AS m_ss, AVG(ys*ys1) AS m_ss1, AVG(ys1*ys1) AS m_s1s1
+  FROM lagged WHERE ys1 IS NOT NULL GROUP BY g),
+fit AS (
+  -- coordinate descent on (φ, Φ); c is an output only (never fed back),
+  -- exactly like ml.sarima_css_fit_batch's loop
+  SELECT g, 0 AS it, CAST(0 AS DOUBLE) AS phi, CAST(0 AS DOUBLE) AS cphi
+  FROM mom
+  UNION ALL
+  SELECT g, it + 1, phi_n,
+         -- step 2: Φ' | φ':  u2 = yt − φ' y1, v2 = ys − φ' ys1
+         CASE WHEN (m_ss - 2*phi_n*m_ss1 + phi_n*phi_n*m_s1s1)
+                    - (m_s - phi_n*m_s1)*(m_s - phi_n*m_s1) > 1e-12
+              THEN ((m_ts - phi_n*m_1s - phi_n*m_ts1 + phi_n*phi_n*m_1s1)
+                    - (m_t - phi_n*m_1)*(m_s - phi_n*m_s1))
+                   / ((m_ss - 2*phi_n*m_ss1 + phi_n*phi_n*m_s1s1)
+                      - (m_s - phi_n*m_s1)*(m_s - phi_n*m_s1))
+              ELSE 0.0 END
+  FROM (
+    -- step 1: φ' | Φ:  u = yt − Φ ys, v = y1 − Φ ys1 (covariances expand
+    -- into the parameter-free moments)
+    SELECT f.g, f.it, m.* EXCLUDE (g),
+           CASE WHEN (m_11 - 2*f.cphi*m_1s1 + f.cphi*f.cphi*m_s1s1)
+                      - (m_1 - f.cphi*m_s1)*(m_1 - f.cphi*m_s1) > 1e-12
+                THEN ((m_t1 - f.cphi*m_ts1 - f.cphi*m_1s + f.cphi*f.cphi*m_ss1)
+                      - (m_t - f.cphi*m_s)*(m_1 - f.cphi*m_s1))
+                     / ((m_11 - 2*f.cphi*m_1s1 + f.cphi*f.cphi*m_s1s1)
+                        - (m_1 - f.cphi*m_s1)*(m_1 - f.cphi*m_s1))
+                ELSE 0.0 END AS phi_n
+    FROM fit f JOIN mom m ON m.g = f.g WHERE f.it < {iters}) q),
+params AS (
+  -- engine: c comes from the final step-2 OLS with the UNCLAMPED params
+  -- (c = mean(u2) − Φ·mean(v2)); the stationarity clamp applies only to
+  -- the φ/Φ used in the forecast recursion
+  SELECT f.g,
+         (m_t - f.phi*m_1) - f.cphi*(m_s - f.phi*m_s1) AS c_fin,
+         LEAST(GREATEST(f.phi, -0.999), 0.999) AS phi_c,
+         LEAST(GREATEST(f.cphi, -0.999), 0.999) AS cphi_c
+  FROM fit f
+  JOIN (SELECT g AS gg, MAX(it) AS mit FROM fit GROUP BY g) last
+    ON f.g = last.gg AND f.it = last.mit
+  JOIN mom m ON m.g = f.g),
+tails AS MATERIALIZED (
+  SELECT {group_col} AS g,
+         list(CAST({value_col} AS DOUBLE) ORDER BY {order_col}) AS ys_all,
+         COUNT(*) AS n_obs
+  FROM series GROUP BY {group_col}),
+fc AS (
+  -- rolling buffer of the last s+1 values: buf[1] = y_(t-s-1) …
+  -- buf[s+1] = y_(t-1); each step appends the 1-step forecast
+  SELECT g, 0 AS h,
+         list_slice(ys_all, n_obs - {s}, n_obs) AS buf,
+         ys_all[n_obs] AS last_obs
+  FROM tails
+  UNION ALL
+  SELECT g, h + 1,
+         list_append(list_slice(buf, 2, {s + 1}),
+                     c_fin + phi_c * buf[{s + 1}] + cphi_c * buf[2]
+                     - phi_c * cphi_c * buf[1]),
+         last_obs
+  FROM (SELECT fc.*, p.c_fin, p.phi_c, p.cphi_c
+        FROM fc JOIN params p ON p.g = fc.g WHERE fc.h < {horizon}) q)
+SELECT fc.g AS {group_col},
+       ROUND(fc.buf[{s + 1}], 4) AS forecast,
+       ROUND(fc.buf[{s + 1}] - fc.last_obs, 4) AS delta,
+       CAST(t.n_obs AS BIGINT) AS n_obs
+FROM fc JOIN tails t ON t.g = fc.g
+WHERE fc.h = {horizon}
+ORDER BY {group_col}"""
+
+
 # ----------------------------------------------------------- cloud fill ----
 
 def cloud_fill_sql(n_scenes: int = 4, tile: int = 32, window: int = 8) -> str:
