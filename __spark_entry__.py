@@ -618,6 +618,143 @@ def q_img_pyramid(spark, sf_dir):
     return out.orderBy("level")
 
 
+def q_w2_aspect_slope(spark, sf_dir):
+    """W2 AspectSlope classification: Horn slope/aspect → 2-digit class
+    codes via halo exchange; per-code pixel counts."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import focal, zonal
+    dem = fixtures.dem_scene_df(spark, "sceneW", 3, 2, 32, dtype="f8")
+    cls = focal.apply_focal(dem, focal.aspect_slope_class(cellsize=0.001),
+                            fmt_out="raw")
+    zs = zonal.zonal_statistics_px(cls, None, value_band=0, zone_band=0)
+    return zs.select("zone", "n").orderBy("zone")
+
+
+def q_w7_mdhillshade(spark, sf_dir):
+    """W7 multidirectional hillshade (6 weighted azimuths) → per-tile
+    integer brightness sums."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import focal
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneM", 3, 2, 32, dtype="f8")
+    hs = focal.apply_focal(dem, focal.multidirectional_hillshade(cellsize=0.001),
+                           fmt_out="zlib")
+    out = tile_stats(hs, [], {"sum_shade": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.col("sum_shade").cast("long").alias("sum_shade"))
+            .orderBy("tx", "ty"))
+
+
+def _kind1_lossless(spark, n):
+    from raster_functions_spark import fixtures
+    return (fixtures.images_df(spark, n)
+            .filter((F.col("bands") == 2) & (F.col("fmt") != "dct")))
+
+
+def q_f4_windchill(spark, sf_dir):
+    """F4 NWS windchill over red(°F)/NIR(mph) bands — per-image sums."""
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(_kind1_lossless(spark, 400), [pointwise.windchill()],
+                     {"sum_wc": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_wc", 3).alias("sum_wc"))
+            .orderBy("image_id"))
+
+
+def q_f5_heat_index(spark, sf_dir):
+    """F5 Rothfusz heat index (with both NWS adjustments and the strict
+    >80 gate) over rescaled red/NIR bands — per-image sums."""
+    import numpy as np
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import TileOp, tile_stats
+
+    def rescale(px, meta):
+        t = 60.0 + px[0].astype(np.float64) * 0.2          # 60..110 °F
+        r = px[1].astype(np.float64) * (100.0 / 240.0)     # 0..100 %RH
+        return np.stack([t, r])
+
+    ops = [TileOp("rescale", rescale), pointwise.heat_index()]
+    out = tile_stats(_kind1_lossless(spark, 400), ops,
+                     {"sum_hi": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_hi", 3).alias("sum_hi"))
+            .orderBy("image_id"))
+
+
+def q_f6_fuzzy_gaussian(spark, sf_dir):
+    """F6 FuzzyMembership (gaussian) on the f8 DEM — per-tile sums."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneF", 3, 2, 32, dtype="f8")
+    out = tile_stats(dem, [pointwise.fuzzy_membership(
+        "gaussian", midpoint=100.0, spread=0.001)],
+        {"sum_m": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_m", 5).alias("sum_m"))
+            .orderBy("tx", "ty"))
+
+
+def q_f8_vineyard(spark, sf_dir):
+    """F8 VineyardAnalysis threshold-score over kind-2 bands 0/1/2 —
+    integer per-image score sums."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    imgs = fixtures.images_df(spark, 400).filter(F.col("bands") == 6)
+    out = tile_stats(imgs, [pointwise.vineyard_suitability()],
+                     {"sum_score": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.col("sum_score").cast("long").alias("sum_score"))
+            .orderBy("image_id"))
+
+
+def q_f11_unmixing(spark, sf_dir):
+    """F11 LinearSpectralUnmixing, 2 endmembers over [red, NIR] (square
+    exact solve; oracle uses Cramer's rule) — per-image coefficient sums."""
+    import numpy as np
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    sig = np.array([[1.0, 0.2], [0.3, 1.0]])
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [pointwise.linear_unmixing(sig, residual_band=False)],
+                     {"sum_c0": lambda px, m: float(px[0].astype("float64").sum()),
+                      "sum_c1": lambda px, m: float(px[1].astype("float64").sum())},
+                     keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_c0", 3).alias("sum_c0"),
+                       F.round("sum_c1", 3).alias("sum_c1"))
+            .orderBy("image_id"))
+
+
+def q_f15_cubism(spark, sf_dir):
+    """F15 BasicCubism block-mean effect on the f8 DEM — per-tile sums."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import effects
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneB", 2, 2, 32, dtype="f8")
+    out = tile_stats(dem, [effects.cubism(block=8)],
+                     {"sum_v": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_v", 5).alias("sum_v"))
+            .orderBy("tx", "ty"))
+
+
+def q_a7_percent_above_px(spark, sf_dir):
+    """A7 PercentAboveThreshold over the image stack (pixel-side variant
+    of the relational a7): decomposable per-tile fractions."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import stack
+    st = fixtures.stack_images_df(spark, n_scenes=3, n_times=12)
+    out = stack.percent_above_threshold(st, 2000.0, group_cols=["scene_id"])
+    return out.select("scene_id", "pct", "n_rasters").orderBy("scene_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Dedup verification stage: exact 3-gram Jaccard on the MinHash-LSH
+    candidate pairs (never all-pairs)."""
+    from raster_functions_spark import dedup
+    docs = _t(spark, sf_dir, "documents")
+    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+            .select("id_a", "id_b"))
+    return (dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+            .orderBy("id_a", "id_b"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN top-k (k-means inverted lists + multi-probe) — integer ids."""
     from raster_functions_spark import similarity
@@ -726,6 +863,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_hexbin": q_img_hexbin,
         "img_pyramid": q_img_pyramid,
         "ann_ivf": q_ann_ivf,
+        # round-2 additions: previously pytest-only operators, now each
+        # with a DuckDB oracle (m5_sarima is registered above)
+        "w2_aspect_slope": q_w2_aspect_slope,
+        "w7_mdhillshade": q_w7_mdhillshade,
+        "f4_windchill": q_f4_windchill,
+        "f5_heat_index": q_f5_heat_index,
+        "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
+        "f8_vineyard": q_f8_vineyard,
+        "f11_unmixing": q_f11_unmixing,
+        "f15_cubism": q_f15_cubism,
+        "a7_percent_above_px": q_a7_percent_above_px,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     }.items()}
 
 
@@ -777,6 +926,22 @@ def oracle_sql() -> dict[str, str]:
                       CAST(COUNT(*) AS DOUBLE) AS n
                FROM events GROUP BY 1, 2""",
             "event_type", "n", "hb", period=24, horizon=24),
+        "w2_aspect_slope": _orc.aspect_slope_class_sql(3, 2, 32),
+        "w7_mdhillshade": _orc.mdhillshade_sql(3, 2, 32),
+        "f4_windchill": _orc.windchill_sql(400),
+        "f5_heat_index": _orc.heat_index_sql(400),
+        "f6_fuzzy_gaussian": _orc.fuzzy_gaussian_sql(3, 2, 32, 100.0, 0.001),
+        "f8_vineyard": _orc.vineyard_sql(400),
+        "f11_unmixing": _orc.unmixing_sql(400, 1.0, 0.2, 0.3, 1.0),
+        "f15_cubism": _orc.cubism_sql(2, 2, 32),
+        "a7_percent_above_px": _orc.percent_above_stack_sql(3, 12, 16, 2000.0),
+        "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
+          WITH bands AS ({bands_union}),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+          SELECT DISTINCT id_a, id_b FROM pairs"""),
         "a1_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
                  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -377,6 +377,249 @@ def pyramid_sql(tiles_x: int, tiles_y: int, tile: int, levels: int = 2) -> str:
     return f"WITH {_grid_cte(w, h)},\n{ctes}\n{per_level} ORDER BY level"
 
 
+# ---------------------------------------------- more terrain / pointwise ---
+
+def aspect_slope_class_sql(tiles_x: int, tiles_y: int, tile: int,
+                           cellsize: float = fixtures.CELL_DEG) -> str:
+    """w2_aspect_slope oracle: Horn slope/aspect → 2-digit class codes
+    (focal.aspect_slope_class_np edges), per-code pixel counts + code sums
+    (zonal_statistics_px over the code band)."""
+    w, h = tiles_x * tile, tiles_y * tile
+    # slope_deg = degrees(atan(hypot)); aspect compass; np.digitize edges
+    return f"""
+WITH {_grid_cte(w, h)},
+px AS (
+  SELECT x, y,
+    {horn_defs_sql(w, h, cellsize)}
+  FROM grd),
+sa AS (
+  SELECT x, y,
+    degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))) AS slope_deg,
+    CASE WHEN dzdx = 0 AND dzdy = 0 THEN -1.0
+         ELSE (CASE WHEN degrees(atan2(dzdy, -dzdx)) < 90.0
+                    THEN 90.0 - degrees(atan2(dzdy, -dzdx))
+                    ELSE 450.0 - degrees(atan2(dzdy, -dzdx)) END) % 360.0
+    END AS aspect_deg
+  FROM px),
+cls AS (
+  SELECT
+    CASE WHEN slope_deg < 1.0 THEN 10
+         ELSE (CASE WHEN slope_deg < 5.0 THEN 1
+                    WHEN slope_deg < 20.0 THEN 2 ELSE 3 END + 1) * 10
+              + ((CASE WHEN aspect_deg % 360.0 < 22.5 THEN 0
+                       WHEN aspect_deg % 360.0 < 67.5 THEN 1
+                       WHEN aspect_deg % 360.0 < 112.5 THEN 2
+                       WHEN aspect_deg % 360.0 < 157.5 THEN 3
+                       WHEN aspect_deg % 360.0 < 202.5 THEN 4
+                       WHEN aspect_deg % 360.0 < 247.5 THEN 5
+                       WHEN aspect_deg % 360.0 < 292.5 THEN 6
+                       WHEN aspect_deg % 360.0 < 337.5 THEN 7
+                       ELSE 8 END) % 8) + 1
+    END AS code
+  FROM sa)
+SELECT CAST(code AS BIGINT) AS zone, CAST(COUNT(*) AS BIGINT) AS n
+FROM cls GROUP BY code ORDER BY zone"""
+
+
+def mdhillshade_sql(tiles_x: int, tiles_y: int, tile: int,
+                    cellsize: float = fixtures.CELL_DEG) -> str:
+    """w7_mdhillshade oracle: weighted 6-azimuth hillshade, uint8 per
+    azimuth then trunc of the clipped weighted sum — term order mirrors
+    the engine's accumulation loop exactly."""
+    w, h = tiles_x * tile, tiles_y * tile
+    azs = (225.0, 270.0, 315.0, 360.0, 45.0, 90.0)
+    wts = (0.1, 0.2, 0.25, 0.2, 0.15, 0.1)
+    acc = " + ".join(f"{wt} * CAST({hillshade_expr_sql(azimuth=az)} AS DOUBLE)"
+                     for az, wt in zip(azs, wts))
+    return f"""
+WITH {_grid_cte(w, h)},
+px AS (
+  SELECT x, y,
+    {horn_defs_sql(w, h, cellsize)}
+  FROM grd),
+md AS (
+  SELECT x, y,
+    CAST(FLOOR(LEAST(GREATEST({acc}, 0.0), 255.0)) AS BIGINT) AS shade
+  FROM px)
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       CAST(SUM(shade) AS BIGINT) AS sum_shade
+FROM md GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def _kind1_px_cte(n_images: int) -> str:
+    """Lossless kind-1 (red/NIR) image pixels as a CTE."""
+    wc, hc = _img_dims_case()
+    return f"""imgs AS (
+  SELECT i, {wc} AS w, {hc} AS h
+  FROM generate_series(0, {n_images - 1}) t(i)
+  WHERE {_LOSSLESS_KIND1}),
+px AS (
+  SELECT i, x, y,
+         CAST((i*7 + (y*w+x)) % 251 AS DOUBLE) AS red,
+         CAST((i*13 + (y*w+x)) % 241 AS DOUBLE) AS nir
+  FROM imgs, generate_series(0, 127) tx(x), generate_series(0, 127) ty(y)
+  WHERE x < w AND y < h)"""
+
+
+def windchill_sql(n_images: int) -> str:
+    """f4_windchill oracle over kind-1 images (red = °F, nir = mph):
+    NWS regression where T ≤ 50 and wind > 3, else T; engine stores f32."""
+    wc_expr = ("35.74 + 0.6215*red - 35.75*pow(GREATEST(nir, 0.0), 0.16)"
+               " + 0.4275*red*pow(GREATEST(nir, 0.0), 0.16)")
+    return f"""
+WITH {_kind1_px_cte(n_images)},
+v AS (
+  SELECT i, CAST(CASE WHEN red <= 50.0 AND nir > 3.0
+                      THEN {wc_expr} ELSE red END AS FLOAT) AS wcv
+  FROM px)
+SELECT printf('img%09d', i) AS image_id,
+       ROUND(SUM(CAST(wcv AS DOUBLE)), 3) AS sum_wc
+FROM v GROUP BY i ORDER BY image_id"""
+
+
+def heat_index_sql(n_images: int) -> str:
+    """f5_heat_index oracle over kind-1 images rescaled to plausible
+    ranges (T = 60 + red·0.2 °F, RH = nir·(100/240) %), with the strict
+    >80 gate and both Rothfusz adjustments (pointwise.heat_index)."""
+    t = "(60.0 + red * 0.2)"
+    r = "(nir * (100.0/240.0))"
+    full = (f"-42.379 + 2.04901523*{t} + 10.14333127*{r} - 0.22475541*{t}*{r}"
+            f" - 6.83783e-3*{t}*{t} - 5.481717e-2*{r}*{r}"
+            f" + 1.22874e-3*{t}*{t}*{r} + 8.5282e-4*{t}*{r}*{r}"
+            f" - 1.99e-6*{t}*{t}*{r}*{r}")
+    simple = f"(0.5 * ({t} + 61.0 + ({t} - 68.0) * 1.2 + {r} * 0.094))"
+    low = (f"(CASE WHEN 0.5*({simple} + {t}) > 80.0 AND {r} < 13.0"
+           f" AND {t} >= 80.0 AND {t} <= 112.0"
+           f" THEN ((13.0 - {r})/4.0) * sqrt(GREATEST(17.0 - abs({t} - 95.0), 0.0)/17.0)"
+           f" ELSE 0.0 END)")
+    high = (f"(CASE WHEN 0.5*({simple} + {t}) > 80.0 AND {r} > 85.0"
+            f" AND {t} >= 80.0 AND {t} <= 87.0"
+            f" THEN (({t} - 85.0)/10.0) * ((87.0 - {t})/5.0) ELSE 0.0 END)")
+    return f"""
+WITH {_kind1_px_cte(n_images)},
+v AS (
+  SELECT i, CAST(CASE WHEN 0.5*({simple} + {t}) > 80.0
+                      THEN ({full}) - {low} + {high}
+                      ELSE {simple} END AS FLOAT) AS hi
+  FROM px)
+SELECT printf('img%09d', i) AS image_id,
+       ROUND(SUM(CAST(hi AS DOUBLE)), 3) AS sum_hi
+FROM v GROUP BY i ORDER BY image_id"""
+
+
+def unmixing_sql(n_images: int, a00: float, a01: float,
+                 a10: float, a11: float) -> str:
+    """f11_unmixing oracle: 2-endmember spectral unmixing of [red, nir] is
+    a square exact solve — Cramer's rule in SQL vs the engine's batched
+    lstsq (SVD) agree to ~1e-12, far inside the 3-decimal rounding."""
+    det = f"({a00}*{a11} - {a01}*{a10})"
+    c0 = f"(({a11}*red - {a01}*nir) / {det})"
+    c1 = f"((-{a10}*red + {a00}*nir) / {det})"
+    return f"""
+WITH {_kind1_px_cte(n_images)},
+v AS (SELECT i, CAST({c0} AS FLOAT) AS c0, CAST({c1} AS FLOAT) AS c1 FROM px)
+SELECT printf('img%09d', i) AS image_id,
+       ROUND(SUM(CAST(c0 AS DOUBLE)), 3) AS sum_c0,
+       ROUND(SUM(CAST(c1 AS DOUBLE)), 3) AS sum_c1
+FROM v GROUP BY i ORDER BY image_id"""
+
+
+def vineyard_sql(n_images: int) -> str:
+    """f8_vineyard oracle over kind-2 images (bands 0/1/2 as
+    elev/slope/aspect): integer threshold-score sums — exact."""
+    wc, hc = _img_dims_case()
+    e = "CAST((i*3 + (y*w+x)) % 10000 AS DOUBLE)"
+    s = "CAST((i*4 + (y*w+x)*2) % 10000 AS DOUBLE)"
+    a = "CAST((i*5 + (y*w+x)*3) % 10000 AS DOUBLE)"
+    return f"""
+WITH imgs AS (
+  SELECT i, {wc} AS w, {hc} AS h
+  FROM generate_series(0, {n_images - 1}) t(i) WHERE i % 4 = 2),
+px AS (
+  SELECT i,
+         (CASE WHEN {e} > 30 AND {e} < 400 THEN 1 ELSE 0 END
+          + CASE WHEN {s} > 5 AND {s} < 60 THEN 1 ELSE 0 END
+          + CASE WHEN {a} > 0 AND {a} < 200 THEN 1 ELSE 0 END) AS score
+  FROM imgs, generate_series(0, 127) tx(x), generate_series(0, 127) ty(y)
+  WHERE x < w AND y < h)
+SELECT printf('img%09d', i) AS image_id,
+       CAST(SUM(score) AS BIGINT) AS sum_score
+FROM px GROUP BY i ORDER BY image_id"""
+
+
+def fuzzy_gaussian_sql(tiles_x: int, tiles_y: int, tile: int,
+                       midpoint: float, spread: float) -> str:
+    """f6_fuzzy oracle: gaussian membership exp(−spread·(z−m)²) on the f8
+    DEM, clipped to [0,1], f32-stored, per-tile sums."""
+    w, h = tiles_x * tile, tiles_y * tile
+    return f"""
+WITH {_grid_cte(w, h)},
+v AS (
+  SELECT x, y,
+    CAST(LEAST(GREATEST(exp(-{spread} * ({dem_z_sql('x', 'y')} - {midpoint})
+                             * ({dem_z_sql('x', 'y')} - {midpoint})), 0.0), 1.0)
+         AS FLOAT) AS m
+  FROM grd)
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       ROUND(SUM(CAST(m AS DOUBLE)), 5) AS sum_m
+FROM v GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def cubism_sql(tiles_x: int, tiles_y: int, tile: int, block: int = 8) -> str:
+    """f15_cubism oracle: every block×block cell painted with its mean
+    (f32) — per-tile sum = Σ_blocks n_px·f32(block mean). Blocks are
+    tile-local (the engine op runs per tile)."""
+    w, h = tiles_x * tile, tiles_y * tile
+    return f"""
+WITH {_grid_cte(w, h)},
+b AS (
+  SELECT x // {tile} AS tx, y // {tile} AS ty,
+         (x % {tile}) // {block} AS bx, (y % {tile}) // {block} AS by,
+         COUNT(*) AS n,
+         CAST(SUM({dem_z_sql('x', 'y')}) / COUNT(*) AS FLOAT) AS bm
+  FROM grd GROUP BY 1, 2, 3, 4)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       ROUND(SUM(CAST(bm AS DOUBLE) * n), 5) AS sum_v
+FROM b GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def percent_above_stack_sql(n_scenes: int, n_times: int, tile: int,
+                            threshold: float) -> str:
+    """a7_percent_above_px oracle: mean over acquisitions of the per-tile
+    fraction of pixels ≥ threshold, ×100 (stack.percent_above_threshold)."""
+    return f"""
+WITH {_stack_obs_cte(n_scenes, n_times, tile)},
+fr AS (
+  SELECT s, t, AVG(CASE WHEN v >= {threshold} THEN 1.0 ELSE 0.0 END) AS frac
+  FROM obs GROUP BY s, t)
+SELECT 'scene' || s AS scene_id, ROUND(AVG(frac) * 100.0, 6) AS pct,
+       CAST(COUNT(*) AS BIGINT) AS n_rasters
+FROM fr GROUP BY s ORDER BY scene_id"""
+
+
+def ngram_jaccard_sql(minhash_pairs_sql: str, k: int = 3,
+                      threshold: float = 0.5) -> str:
+    """dedup_ngram_jaccard oracle: exact character-k-gram Jaccard on the
+    MinHash-LSH candidate pairs (never all-pairs) — list_distinct/
+    list_intersect mirror array_distinct/array_intersect."""
+    grams = (f"list_distinct(list_transform(range(1, greatest(length(text) - {k - 1}, 1) + 1),"
+             f" j -> substring(text, j, {k})))")
+    return f"""
+WITH cand AS ({minhash_pairs_sql}),
+g AS (SELECT doc_id, {grams} AS grams FROM documents),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS inter,
+         CAST(len(ga.grams) + len(gb.grams)
+              - len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) AS uni
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.id_a
+  JOIN g gb ON gb.doc_id = c.id_b)
+SELECT id_a, id_b, ROUND(inter / uni, 6) AS jaccard
+FROM j WHERE ROUND(inter / uni, 6) >= {threshold}
+ORDER BY id_a, id_b"""
+
+
 # ------------------------------------------------------ image queries ------
 
 def _img_dims_case() -> tuple[str, str]:
