@@ -1,11 +1,15 @@
 """Multimodal (image/audio/video) column plumbing for training pipelines.
 
 Opaque ``binary`` payload columns with typed metadata, driven through
-``mapInPandas`` batch kernels. The engine's own container format (codec.py)
-is fully implemented; EXTERNAL formats (JPEG/PNG/WAV/MP4) need codec
-libraries that are not in this container — those decode steps are STUBBED
-behind import-tries and a deterministic fake, while all Spark-side plumbing
-(schemas, batching, partitioning, UDF signatures) is real and tested.
+``mapInPandas`` batch kernels. Real decode paths, all from scratch:
+
+- the engine container (codec.py: raw/rle/zlib/dct),
+- BMP, PPM/PGM and RIFF-PCM WAV (formats.py — pure struct+NumPy, no
+  external libraries).
+
+Transform-coded formats (JPEG/PNG/MP4) need codec libraries absent from
+this container — those go through PIL when available, else a
+NotImplementedError with a deterministic fake for plumbing tests.
 """
 
 from __future__ import annotations
@@ -16,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import codec
+from . import codec, formats
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image as _PIL_Image  # noqa: N813
@@ -25,13 +29,17 @@ except ImportError:
 
 
 def decode_external_image(buf: bytes) -> np.ndarray:
-    """Decode a JPEG/PNG payload. Real implementation requires PIL (absent
-    here); a deterministic fake stands in so pipelines are testable."""
+    """Decode an external image payload to (bands, h, w). BMP/PNM decode
+    from scratch (formats.py); JPEG/PNG need PIL (absent here)."""
+    kind = formats.sniff(bytes(buf))
+    if kind in ("bmp", "pnm", "rf"):
+        return formats.decode_image_any(buf)
     if _PIL_Image is not None:  # pragma: no cover
         return np.asarray(_PIL_Image.open(__import__("io").BytesIO(buf)))
     raise NotImplementedError(
-        "external image codecs unavailable in this environment; use the "
-        "engine container format (codec.py) or fake_decode for plumbing tests")
+        "JPEG/PNG codecs unavailable in this environment; BMP/PNM and the "
+        "engine container format decode natively (formats.py), or use "
+        "fake_decode for plumbing tests")
 
 
 def fake_decode(buf: bytes, h: int = 8, w: int = 8, bands: int = 3) -> np.ndarray:
@@ -69,6 +77,8 @@ def image_features(df: DataFrame, bytes_col: str = "bytes",
                 fmt = pdf[fmt_col].iloc[i] if fmt_col in pdf else "raw"
                 if fmt in codec.FMT_CODES:
                     px = codec.decode(buf).astype(np.float64)
+                elif formats.sniff(buf) in ("bmp", "pnm", "rf"):
+                    px = formats.decode_image_any(buf).astype(np.float64)
                 elif use_fake:
                     px = fake_decode(buf).astype(np.float64)
                 else:
