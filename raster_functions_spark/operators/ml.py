@@ -16,12 +16,6 @@ import pandas as pd
 
 from ..raster import TileOp
 
-try:  # pragma: no cover — not present in this container
-    import sklearn  # noqa: F401
-    HAVE_SKLEARN = True
-except ImportError:
-    HAVE_SKLEARN = False
-
 
 # ------------------------------------------------------------- kNN ---------
 

@@ -146,16 +146,25 @@ def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
                 except Exception:
                     ham[i] = -1
                     mean[i] = np.nan; std[i] = np.nan
-            cand = ((x[:, None] >= a["xmin"][None, :]) & (x[:, None] <= a["xmax"][None, :])
-                    & (y[:, None] >= a["ymin"][None, :]) & (y[:, None] <= a["ymax"][None, :]))
+            # bbox prefilter in AOI chunks: the N×K candidate matrix is
+            # ~(batch × n_aoi) bytes — chunking the AOI axis bounds the
+            # transient at ~16 MB regardless of how many polygons are
+            # broadcast (a 10k-AOI broadcast at 2048-row batches would
+            # otherwise allocate ~80 MB per batch)
             ridx_list, aid_list = [], []
-            for k in np.unique(np.nonzero(cand)[1]):
-                pts = np.nonzero(cand[:, k])[0]
-                rx, ry = a["rings"][k]
-                hit = spatial.point_in_polygon_np(x[pts], y[pts], rx, ry)
-                sel = pts[hit]
-                ridx_list.append(sel)
-                aid_list.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
+            chunk = max(1, (16 << 20) // max(8 * n, 1))
+            for k0 in range(0, a["aoi_id"].size, chunk):
+                sl = slice(k0, k0 + chunk)
+                cand = ((x[:, None] >= a["xmin"][None, sl]) & (x[:, None] <= a["xmax"][None, sl])
+                        & (y[:, None] >= a["ymin"][None, sl]) & (y[:, None] <= a["ymax"][None, sl]))
+                for kk in np.unique(np.nonzero(cand)[1]):
+                    k = k0 + kk
+                    pts = np.nonzero(cand[:, kk])[0]
+                    rx, ry = a["rings"][k]
+                    hit = spatial.point_in_polygon_np(x[pts], y[pts], rx, ry)
+                    sel = pts[hit]
+                    ridx_list.append(sel)
+                    aid_list.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
             if ridx_list:
                 ridx = np.concatenate(ridx_list)
                 aid = np.concatenate(aid_list)
@@ -219,16 +228,22 @@ def flagship_from_seed(spark: SparkSession, n_images: int, aoi: DataFrame,
                 except Exception:
                     ham[i] = -1
                     mean[i] = np.nan; std[i] = np.nan
-            cand = ((x[:, None] >= a["xmin"][None, :]) & (x[:, None] <= a["xmax"][None, :])
-                    & (y[:, None] >= a["ymin"][None, :]) & (y[:, None] <= a["ymax"][None, :]))
+            # AOI-chunked bbox prefilter (see flagship: bounds the N×K
+            # transient at ~16 MB for arbitrarily large AOI broadcasts)
             ridx_list, aid_list = [], []
-            for k in np.unique(np.nonzero(cand)[1]):
-                pts = np.nonzero(cand[:, k])[0]
-                rx, ry = a["rings"][k]
-                hit = spatial.point_in_polygon_np(x[pts], y[pts], rx, ry)
-                sel = pts[hit]
-                ridx_list.append(sel)
-                aid_list.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
+            chunk = max(1, (16 << 20) // max(8 * n, 1))
+            for k0 in range(0, a["aoi_id"].size, chunk):
+                sl = slice(k0, k0 + chunk)
+                cand = ((x[:, None] >= a["xmin"][None, sl]) & (x[:, None] <= a["xmax"][None, sl])
+                        & (y[:, None] >= a["ymin"][None, sl]) & (y[:, None] <= a["ymax"][None, sl]))
+                for kk in np.unique(np.nonzero(cand)[1]):
+                    k = k0 + kk
+                    pts = np.nonzero(cand[:, kk])[0]
+                    rx, ry = a["rings"][k]
+                    hit = spatial.point_in_polygon_np(x[pts], y[pts], rx, ry)
+                    sel = pts[hit]
+                    ridx_list.append(sel)
+                    aid_list.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
             ridx = (np.concatenate(ridx_list) if ridx_list else np.empty(0, np.int64))
             aid = (np.concatenate(aid_list) if aid_list else np.empty(0, np.int64))
             yield pd.DataFrame({

@@ -1,0 +1,91 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState`` —
+SURVEY.md §2.10's "custom stateful operator" slot.
+
+The batch engine sessionizes with a lag+cumsum window (contract query
+``sessionize``); on an unbounded stream the same semantics need per-key
+state that survives microbatches. ``sessionize_stream`` keeps one open
+session per key in the state store and emits a session row whenever a gap
+closes it — the canonical applyInPandasWithState shape (Arrow-batched,
+one state object per group, timeout hook for idle keys).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("closed_by", T.StringType()),   # 'gap' | 'timeout'
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1000)
+
+
+def _ts(us: int):
+    return _dt.datetime.utcfromtimestamp(us / 1e6)
+
+
+def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
+                      idle_timeout_sec: int | None = 3600,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Gap-based sessionization over a stream: one open session per user
+    lives in the state store; events more than ``gap_sec`` after the
+    session's last event close it (emitting a row) and start a new one.
+    Idle keys flush through the processing-time timeout — without it an
+    abandoned session would sit in state forever.
+
+    Matches the batch ``sessionize`` contract semantics: a session's
+    events are those with inter-event gaps ≤ gap_sec."""
+    gap_us = gap_sec * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": user, "session_start": _ts(start_us),
+                                 "session_end": _ts(last_us), "n_events": n,
+                                 "closed_by": "timeout"}])
+            return
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        out = []
+        for pdf in pdf_iter:
+            for ts in sorted(_us(t) for t in pdf[ts_col]):
+                if start_us is None:
+                    start_us, last_us, n = ts, ts, 1
+                elif ts - last_us > gap_us:
+                    out.append({"user_id": user, "session_start": _ts(start_us),
+                                "session_end": _ts(last_us), "n_events": n,
+                                "closed_by": "gap"})
+                    start_us, last_us, n = ts, ts, 1
+                else:
+                    last_us = max(last_us, ts)
+                    n += 1
+        state.update((start_us, last_us, n))
+        if idle_timeout_sec is not None:
+            state.setTimeoutDuration(idle_timeout_sec * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if idle_timeout_sec is not None else GroupStateTimeout.NoTimeout)
+    return (events.groupBy(user_col)
+            .applyInPandasWithState(fn, SESSION_SCHEMA, _STATE_SCHEMA,
+                                    "update", timeout))

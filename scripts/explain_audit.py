@@ -122,13 +122,39 @@ def main() -> int:
     checks.append(("bucketed tables sort-merge join with ZERO shuffle", ok))
     out += ["\n## bucketed co-located join\n", p]
 
+    # 9. brute-force kNN: no cross join / nested loop anywhere — the
+    # candidate cross product was replaced by GEMM partial top-k partials
+    from raster_functions_spark import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=3))
+    ok = ("NestedLoop" not in p and "CartesianProduct" not in p
+          and "MapInPandas" in p)
+    checks.append(("knn top-k has no candidate cross product (GEMM partials)", ok))
+    out += ["\n## brute_force_topk\n", p]
+
+    # 10. salted minhash: the banded table is shuffled ONCE on (band, bsig)
+    # for the size join, and the (band, bsig, salt) pairing groupBy reuses
+    # that partitioning (grouping keys ⊇ partitioning keys → no second
+    # banded shuffle). Count Exchanges carrying the banded row width.
+    p = plan_of(dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2))
+    n_band_exchanges = p.count("Exchange hashpartitioning(band")
+    ok = n_band_exchanges <= 2  # banded rows + the small sizes aggregate
+    checks.append(("salted minhash adds no extra banded-table shuffle", ok))
+
+    # 11. SARIMA hourly pre-aggregation keeps partial aggregation
+    p = plan_of(em.q_m5_sarima(spark, SF))
+    ok = "HashAggregate" in p and "FlatMapGroupsInPandas" in p
+    checks.append(("sarima: codegen pre-agg + single applyInPandas", ok))
+    out += ["\n## m5_sarima\n", p]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
         out.append(f"- {'PASS' if ok else 'FAIL'}: {name}\n")
         print(("PASS " if ok else "FAIL ") + name)
         failed += not ok
-    with open("BENCH/explain_r1.txt", "w") as f:
+    with open("BENCH/explain_audit.txt", "w") as f:
         f.writelines(out)
     spark.stop()
     return 1 if failed else 0

@@ -1,0 +1,88 @@
+"""applyInPandasWithState custom stateful operator: cross-batch session
+stitching (sessions spanning microbatch boundaries come out as ONE row)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raster_functions_spark.streaming import stateful
+
+
+def test_sessionize_stream_stitches_across_batches(spark, tmp_path):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    # batch 1: user 1 starts a session; user 2 completes one
+    b1 = pd.DataFrame({
+        "user_id": [1, 1, 2, 2],
+        "ts": [base, base + 5 * m, base, base + 2 * m],
+    })
+    # batch 2: user 1 continues the SAME session (gap 10min < 30min),
+    # then a >gap jump closes it and opens a second one
+    b2 = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": [base + 15 * m, base + 100 * m, base + 101 * m],
+    })
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sessions = stateful.sessionize_stream(stream, gap_sec=1800,
+                                          idle_timeout_sec=None)
+    q = (sessions.writeStream.outputMode("update").format("memory")
+         .queryName("sessions_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("sessions_out").toPandas()
+
+    # exactly ONE closed session: user 1's first (stitched across the two
+    # microbatches: events at 0,5 from batch 1 + 15 from batch 2 → closed
+    # by the 100min event). user 2's session and user 1's second stay open
+    # in state (no timeout configured).
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row.user_id == 1 and row.closed_by == "gap"
+    assert row.n_events == 3            # 0, 5, 15 — crosses the batch boundary
+    assert pd.Timestamp(row.session_start) == base
+    assert pd.Timestamp(row.session_end) == base + 15 * m
+
+
+def test_sessionize_stream_matches_batch_contract(spark, tmp_path):
+    """Total (closed + open-in-state) session count equals the batch
+    lag+cumsum sessionization on the same data."""
+    src = tmp_path / "ev2"
+    src.mkdir()
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for u in range(6):
+        t = base
+        for _ in range(40):
+            t = t + pd.Timedelta(seconds=int(rng.integers(60, 4000)))
+            rows.append({"user_id": u, "ts": t})
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("append").parquet(str(src))
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sessions = stateful.sessionize_stream(stream, gap_sec=1800,
+                                          idle_timeout_sec=None)
+    q = (sessions.writeStream.outputMode("update").format("memory")
+         .queryName("sessions_out2")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    closed = spark.table("sessions_out2").toPandas()
+
+    # batch golden: per-user session count via gap rule
+    want_total = 0
+    for u, g in pdf.groupby("user_id"):
+        ts = g["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[s]").astype(int)
+        want_total += 1 + int((gaps > 1800).sum())
+    # one session per user remains open in state
+    assert len(closed) + 6 == want_total
+    assert (closed.n_events >= 1).all()
