@@ -392,6 +392,39 @@ def q_sessionize(spark, sf_dir):
       FROM g GROUP BY user_id ORDER BY user_id""")
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): gap-
+    based sessionization of the events stream, two microbatches so state
+    must stitch sessions across batch boundaries. Emits CLOSED sessions;
+    the DuckDB oracle computes the same gap-partitioned sessions and drops
+    each user's final (still-open) one."""
+    import os
+    import tempfile
+    from raster_functions_spark.streaming import stateful
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    td = tempfile.mkdtemp(prefix="sess_stream_")
+    src = os.path.join(td, "in")
+    # two files → two availableNow microbatches (maxFilesPerTrigger=1):
+    # sessions spanning the split exercise cross-batch state
+    ev.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.dayofmonth("ts") > 15).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sessions = stateful.sessionize_stream(stream, gap_sec=1800,
+                                          idle_timeout_sec=None)
+    qname = "stream_sessionize_out"
+    q = (sessions.writeStream.outputMode("update").format("memory")
+         .queryName(qname).option("checkpointLocation", os.path.join(td, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(qname)
+            .select("user_id",
+                    F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+                    F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+                    "n_events")
+            .orderBy("user_id", "s_start"))
+
+
 def q_stream_windowed(spark, sf_dir):
     """Structured Streaming: availableNow ingest of the events table →
     1-hour tumbling event-time windows (batch-equivalent oracle below)."""
@@ -744,6 +777,21 @@ def q_a7_percent_above_px(spark, sf_dir):
     return out.select("scene_id", "pct", "n_rasters").orderBy("scene_id")
 
 
+def q_s3_feature_envelope(spark, sf_dir):
+    """S2/S3 feature-service scan: Esri-JSON features parsed into rows,
+    where-clause + envelope-intersects pushdown, attribute rollup. The
+    oracle parses the identical JSON document with DuckDB's JSON functions."""
+    from raster_functions_spark import oracles as orc
+    from raster_functions_spark.sources import feature_service as fs
+    df = fs.features_from_service_json(
+        spark, orc.esri_points_doc(200), where="pop > 500",
+        envelope=(-50.0, -20.0, 80.0, 60.0))
+    return (df.groupBy("category")
+            .agg(F.count("*").alias("n"),
+                 F.sum("pop").cast("long").alias("sum_pop"))
+            .orderBy("category"))
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Dedup verification stage: exact 3-gram Jaccard on the MinHash-LSH
     candidate pairs (never all-pairs)."""
@@ -847,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "m5_sarima": q_m5_sarima,
         "sessionize": q_sessionize,
+        "stream_sessionize": q_stream_sessionize,
         "stream_windowed": q_stream_windowed,
         # image-engine (rows-only)
         "img_flagship": q_img_flagship,
@@ -875,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f15_cubism": q_f15_cubism,
         "a7_percent_above_px": q_a7_percent_above_px,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "s3_feature_envelope": q_s3_feature_envelope,
     }.items()}
 
 
@@ -935,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "f11_unmixing": _orc.unmixing_sql(400, 1.0, 0.2, 0.3, 1.0),
         "f15_cubism": _orc.cubism_sql(2, 2, 32),
         "a7_percent_above_px": _orc.percent_above_stack_sql(3, 12, 16, 2000.0),
+        "s3_feature_envelope": _orc.feature_service_sql(200, 500, (-50.0, -20.0, 80.0, 60.0)),
         "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
           WITH bands AS ({bands_union}),
           pairs AS (
@@ -1141,4 +1192,31 @@ def oracle_sql() -> dict[str, str]:
           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_block,
                  event_type, COUNT(*) AS n
           FROM events GROUP BY 1, 2 ORDER BY hour_block, event_type""",
+        # stateful streaming sessionizer: closed sessions = gap-partitioned
+        # sessions minus each user's final (still-open-in-state) one
+        "stream_sessionize": """
+          WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch(ts - LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          s AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g),
+          agg AS (
+            SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid),
+          last_s AS (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY user_id)
+          SELECT a.user_id,
+                 strftime(a.st, '%Y-%m-%d %H:%M:%S') AS s_start,
+                 strftime(a.en, '%Y-%m-%d %H:%M:%S') AS s_end,
+                 a.n_events
+          FROM agg a JOIN last_s l
+            ON a.user_id = l.user_id AND a.sid < l.last_sid
+          ORDER BY a.user_id, s_start""",
     }

@@ -800,6 +800,46 @@ SELECT CAST(aoi_id AS BIGINT) AS aoi_id,
 FROM assigned GROUP BY aoi_id ORDER BY aoi_id"""
 
 
+# ------------------------------------------------------ feature service ----
+
+@lru_cache(maxsize=2)
+def esri_points_doc(n: int = 200) -> str:
+    """Deterministic Esri-JSON point feature collection (attributes +
+    geometry) shared by the engine query and the DuckDB oracle."""
+    import json
+    feats = []
+    for i in range(n):
+        feats.append({
+            "attributes": {"fid": i, "pop": (i * 37) % 1000,
+                           "category": f"c{i % 5}"},
+            "geometry": {"x": (i * 7919 % 36000) / 100.0 - 180.0,
+                         "y": (i * 104729 % 17000) / 100.0 - 85.0},
+        })
+    return json.dumps({"features": feats})
+
+
+def feature_service_sql(n: int, pop_gt: int,
+                        env: tuple[float, float, float, float]) -> str:
+    """s3_feature_envelope oracle: DuckDB parses the SAME Esri-JSON
+    document (positional unnest zip over JSONPath wildcard lists) and
+    applies the where + envelope pushdown relationally."""
+    doc = esri_points_doc(n)
+    xmin, ymin, xmax, ymax = env
+    return f"""
+WITH feats AS (
+  SELECT
+    unnest(CAST(json_extract(j, '$.features[*].attributes.pop') AS BIGINT[])) AS pop,
+    unnest(json_extract_string(j, '$.features[*].attributes.category')) AS category,
+    unnest(CAST(json_extract(j, '$.features[*].geometry.x') AS DOUBLE[])) AS x,
+    unnest(CAST(json_extract(j, '$.features[*].geometry.y') AS DOUBLE[])) AS y
+  FROM (SELECT '{doc}'::JSON AS j))
+SELECT category, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pop) AS BIGINT) AS sum_pop
+FROM feats
+WHERE pop > {pop_gt}
+  AND x >= {xmin} AND x <= {xmax} AND y >= {ymin} AND y <= {ymax}
+GROUP BY category ORDER BY category"""
+
+
 # ----------------------------------------------------------- SARIMA --------
 
 def sarima_by_group_sql(series_sql: str, group_col: str, value_col: str,

@@ -197,9 +197,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     UDF) within candidates.
 
     Scale shape: ONE corpus shuffle on list id (or none if the table is
-    written bucketed by list), candidate set ≈ corpus·n_probe/n_lists."""
+    written bucketed by list), candidate set ≈ corpus·n_probe/n_lists.
+
+    The k-means training sample is the train_sample LOWEST ids (a TakeOrdered
+    top-K, not a full sort) — a bare limit() is partition-order-dependent and
+    would train different centroids at different parallelism, breaking the
+    byte-identical-at-any-cluster-size property (list assignments and, for
+    n_probe < n_lists, results would drift between runs)."""
     sample = np.stack(
-        corpus.select(vec_col).limit(train_sample).toPandas()[vec_col].to_numpy())
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
+        .toPandas()[vec_col].to_numpy())
     C = _kmeans_fit(sample.astype(np.float64), n_lists)
     spark = corpus.sparkSession
     bC = spark.sparkContext.broadcast(C)
