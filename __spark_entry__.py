@@ -777,6 +777,128 @@ def q_a7_percent_above_px(spark, sf_dir):
     return out.select("scene_id", "pct", "n_rasters").orderBy("scene_id")
 
 
+def q_w4_rank_median_px(spark, sf_dir):
+    """W4 RankFilter(median, 3×3) on the image side via halo exchange —
+    complements the relational w4_window_rank."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import focal
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneR", 2, 2, 32, dtype="f8")
+    rf = focal.apply_focal(dem, focal.rank_filter("median", 3), fmt_out="raw")
+    out = tile_stats(rf, [], {"sum_med": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_med", 5).alias("sum_med"))
+            .orderBy("tx", "ty"))
+
+
+def q_f13_calculator(spark, sf_dir):
+    """F13 RasterCalculator expression language over [red, nir]."""
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    op = pointwise.calculator("Sin(a) * Cos(b) + Sqrt(Abs(a - b))",
+                              {"a": 0, "b": 1})
+    out = tile_stats(_kind1_lossless(spark, 400), [op],
+                     {"sum_c": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_c", 3).alias("sum_c"))
+            .orderBy("image_id"))
+
+
+def q_f14_remap(spark, sf_dir):
+    """F14 RemapFunction: interval remap on the f8 DEM (integer targets —
+    exact sums; sequential interval assignment mirrored by the oracle)."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneRm", 3, 2, 32, dtype="f8")
+    op = pointwise.remap([(0.0, 100.0, 1.0), (100.0, 130.0, 2.0),
+                          (130.0, 1000.0, 3.0)], default=0.0)
+    out = tile_stats(dem, [op], {"sum_r": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.col("sum_r").cast("long").alias("sum_r"))
+            .orderBy("tx", "ty"))
+
+
+def q_f14_vector_field(spark, sf_dir):
+    """F14 VectorFieldFunction: (u, v) → magnitude + compass direction."""
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    import numpy as np
+    out = tile_stats(_kind1_lossless(spark, 400), [pointwise.vector_field()],
+                     {"sum_mag": lambda px, m: float(px[0].astype(np.float64).sum()),
+                      "sum_dir": lambda px, m: float(px[1].astype(np.float64).sum())},
+                     keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_mag", 3).alias("sum_mag"),
+                       F.round("sum_dir", 3).alias("sum_dir"))
+            .orderBy("image_id"))
+
+
+def q_f3_arith_div(spark, sf_dir):
+    """F3 Arithmetic: red/nir band ratio with nan/inf→0 policy."""
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [pointwise.band_arithmetic("div")],
+                     {"sum_q": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_q", 3).alias("sum_q"))
+            .orderBy("image_id"))
+
+
+def q_a6_month_synthesis(spark, sf_dir):
+    """A6 Landsat_Image_Synthesis: mean composite of one calendar month's
+    acquisitions (time filter + stack mean)."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import stack
+    import numpy as np
+    st = (fixtures.stack_images_df(spark, n_scenes=3, n_times=24)
+          .filter(F.col("acq_month") == 1))
+    med = stack.stack_composite(st, "mean")   # no QA mask → all bands kept
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(med, [], {"sum_m": lambda px, m: float(
+        px[0].astype(np.float64).sum())},     # band 0 = values (band 1 = QA)
+        keep_cols=["scene_id", "n_rasters"])
+    return out.orderBy("scene_id")
+
+
+def q_a10_fuzzy_mssmall(spark, sf_dir):
+    """A10 stats-dependent fuzzy (MSSmall): pass 1 computes dataset μ/σ as
+    a decomposable aggregate; pass 2 maps the membership with the scalars
+    broadcast — the two-pass plan of SURVEY.md A10."""
+    import numpy as np
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneS", 3, 2, 32, dtype="f8")
+    parts = tile_stats(dem, [], {
+        "s1": _px_sum,
+        "s2": lambda px, m: float((px.astype(np.float64) ** 2).sum()),
+        "n": lambda px, m: float(px.size)}, keep_cols=["tx", "ty"])
+    tot = parts.agg(F.sum("s1").alias("s1"), F.sum("s2").alias("s2"),
+                    F.sum("n").alias("n")).first()
+    mu = tot["s1"] / tot["n"]
+    sd = float(np.sqrt(tot["s2"] / tot["n"] - mu * mu))
+    out = tile_stats(dem, [pointwise.fuzzy_membership(
+        "mssmall", mean=mu, std=sd, spread=2.0)],
+        {"sum_m": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_m", 5).alias("sum_m"))
+            .orderBy("tx", "ty"))
+
+
+def q_j6_nearest_labels(spark, sf_dir):
+    """J6/J7 NearestNeighbors: the k=2 nearest training labels per pixel
+    as bands (exact integer distances, stable tie-break)."""
+    import numpy as np
+    from raster_functions_spark.operators import ml
+    from raster_functions_spark.raster import tile_stats
+    tX = np.array([[40.0, 40.0], [200.0, 200.0], [40.0, 200.0], [200.0, 40.0]])
+    ty = np.array([1.0, 2.0, 3.0, 4.0])
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [ml.nearest_neighbors(tX, ty, k=2)],
+                     {"sum_b0": lambda px, m: float(px[0].astype(np.float64).sum()),
+                      "sum_b1": lambda px, m: float(px[1].astype(np.float64).sum())},
+                     keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_b0", 1).alias("sum_b0"),
+                       F.round("sum_b1", 1).alias("sum_b1"))
+            .orderBy("image_id"))
+
+
 def q_s3_feature_envelope(spark, sf_dir):
     """S2/S3 feature-service scan: Esri-JSON features parsed into rows,
     where-clause + envelope-intersects pushdown, attribute rollup. The
@@ -925,6 +1047,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_percent_above_px": q_a7_percent_above_px,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "s3_feature_envelope": q_s3_feature_envelope,
+        "w4_rank_median_px": q_w4_rank_median_px,
+        "f13_calculator": q_f13_calculator,
+        "f14_remap": q_f14_remap,
+        "f14_vector_field": q_f14_vector_field,
+        "f3_arith_div": q_f3_arith_div,
+        "a6_month_synthesis": q_a6_month_synthesis,
+        "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
+        "j6_nearest_labels": q_j6_nearest_labels,
     }.items()}
 
 
@@ -986,6 +1116,15 @@ def oracle_sql() -> dict[str, str]:
         "f15_cubism": _orc.cubism_sql(2, 2, 32),
         "a7_percent_above_px": _orc.percent_above_stack_sql(3, 12, 16, 2000.0),
         "s3_feature_envelope": _orc.feature_service_sql(200, 500, (-50.0, -20.0, 80.0, 60.0)),
+        "w4_rank_median_px": _orc.rank_median_sql(2, 2, 32),
+        "f13_calculator": _orc.calculator_sql(400),
+        "f14_remap": _orc.remap_sql(3, 2, 32, [(0.0, 100.0, 1.0), (100.0, 130.0, 2.0), (130.0, 1000.0, 3.0)]),
+        "f14_vector_field": _orc.vector_field_sql(400),
+        "f3_arith_div": _orc.arith_div_sql(400),
+        "a6_month_synthesis": _orc.month_synthesis_sql(3, 24, 16, 1),
+        "a10_fuzzy_mssmall": _orc.fuzzy_mssmall_sql(3, 2, 32, 2.0),
+        "j6_nearest_labels": _orc.nearest_labels_sql(
+            400, [(40.0, 40.0, 1), (200.0, 200.0, 2), (40.0, 200.0, 3), (200.0, 40.0, 4)], 2),
         "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
           WITH bands AS ({bands_union}),
           pairs AS (

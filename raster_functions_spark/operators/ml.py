@@ -63,7 +63,8 @@ def nearest_neighbors(train_X: np.ndarray, train_y: np.ndarray, k: int = 3) -> T
         bands, h, w = px.shape
         X = px.reshape(bands, -1).T.astype(np.float64)
         d2 = ((X ** 2).sum(1)[:, None] - 2.0 * X @ tX.T + (tX ** 2).sum(1)[None, :])
-        idx = np.argsort(d2, axis=1)[:, :k]
+        # stable: distance ties break on training index (cross-engine parity)
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
         return ty[idx].T.reshape(k, h, w).astype(np.float32)
 
     return TileOp("nearest_neighbors", fn, bands_out=k, dtype_out="f4")

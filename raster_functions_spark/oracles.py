@@ -800,6 +800,152 @@ SELECT CAST(aoi_id AS BIGINT) AS aoi_id,
 FROM assigned GROUP BY aoi_id ORDER BY aoi_id"""
 
 
+# ------------------------------------------------- batch-2 widened ops -----
+
+def rank_median_sql(tiles_x: int, tiles_y: int, tile: int) -> str:
+    """w4_rank_median_px oracle: 3×3 focal median over the f8 DEM. The
+    median of 9 values is the 5th order statistic exactly (np.median on an
+    odd count picks the middle element — no interpolation), so
+    list_sort(...)[5] is bit-exact."""
+    w, h = tiles_x * tile, tiles_y * tile
+    nine = ", ".join(
+        dem_z_sql(_clamp(f"x+({dx})", w - 1), _clamp(f"y+({dy})", h - 1))
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+WITH {_grid_cte(w, h)},
+m AS (
+  SELECT x, y, CAST(list_sort([{nine}])[5] AS FLOAT) AS med
+  FROM grd)
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       ROUND(SUM(CAST(med AS DOUBLE)), 5) AS sum_med
+FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def calculator_sql(n_images: int, expr: str = None) -> str:
+    """f13_calculator oracle: the RasterCalculator expression
+    Sin(a)·Cos(b) + Sqrt(Abs(a−b)) over [red, nir]."""
+    return f"""
+WITH {_kind1_px_cte(n_images)},
+v AS (SELECT i, CAST(sin(red)*cos(nir) + sqrt(abs(red - nir)) AS FLOAT) AS c
+      FROM px)
+SELECT printf('img%09d', i) AS image_id,
+       ROUND(SUM(CAST(c AS DOUBLE)), 3) AS sum_c
+FROM v GROUP BY i ORDER BY image_id"""
+
+
+def remap_sql(tiles_x: int, tiles_y: int, tile: int,
+              intervals: list[tuple[float, float, float]],
+              default: float = 0.0) -> str:
+    """f14_remap oracle: interval remap on the f8 DEM; the engine assigns
+    intervals sequentially (later intervals overwrite), so the CASE checks
+    them in REVERSE order. Integer targets → exact sums."""
+    w, h = tiles_x * tile, tiles_y * tile
+    z = dem_z_sql("x", "y")
+    cases = " ".join(f"WHEN {z} >= {lo} AND {z} < {hi} THEN {val}"
+                     for lo, hi, val in reversed(intervals))
+    return f"""
+WITH {_grid_cte(w, h)},
+v AS (SELECT x, y, CASE {cases} ELSE {default} END AS r FROM grd)
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       CAST(SUM(r) AS BIGINT) AS sum_r
+FROM v GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def vector_field_sql(n_images: int) -> str:
+    """f14_vector_field oracle: (u, v) = (red, nir) → magnitude +
+    meteorological direction, engine f32 stores."""
+    return f"""
+WITH {_kind1_px_cte(n_images)},
+v AS (
+  SELECT i,
+         CAST(sqrt(red*red + nir*nir) AS FLOAT) AS mag,
+         CAST((degrees(atan2(red, nir)) + 180.0) % 360.0 AS FLOAT) AS dir
+  FROM px)
+SELECT printf('img%09d', i) AS image_id,
+       ROUND(SUM(CAST(mag AS DOUBLE)), 3) AS sum_mag,
+       ROUND(SUM(CAST(dir AS DOUBLE)), 3) AS sum_dir
+FROM v GROUP BY i ORDER BY image_id"""
+
+
+def arith_div_sql(n_images: int) -> str:
+    """f3_arith_div oracle: red/nir band ratio with the engine's
+    nan/inf→0 policy (nir = 0 → 0)."""
+    return f"""
+WITH {_kind1_px_cte(n_images)},
+v AS (SELECT i, CAST(CASE WHEN nir = 0 THEN 0.0 ELSE red / nir END AS FLOAT) AS q
+      FROM px)
+SELECT printf('img%09d', i) AS image_id,
+       ROUND(SUM(CAST(q AS DOUBLE)), 3) AS sum_q
+FROM v GROUP BY i ORDER BY image_id"""
+
+
+def month_synthesis_sql(n_scenes: int, n_times: int, tile: int,
+                        month: int) -> str:
+    """a6_month_synthesis oracle: mean composite over the acquisitions of
+    one calendar month (acq_month = t%12 + 1); u2 means are exact halves."""
+    ts = [t for t in range(n_times) if t % 12 + 1 == month]
+    avg = "(" + " + ".join(
+        f"CAST((s*31 + {t}*17 + y*{tile} + x) % 4000 AS DOUBLE)" for t in ts) \
+        + f") / {float(len(ts))}"
+    return f"""
+WITH px AS (
+  SELECT s, y, x, CAST({avg} AS FLOAT) AS m
+  FROM generate_series(0, {n_scenes - 1}) ts(s),
+       generate_series(0, {tile - 1}) ty(y),
+       generate_series(0, {tile - 1}) tx(x))
+SELECT 'scene' || s AS scene_id, {len(ts)} AS n_rasters,
+       SUM(CAST(m AS DOUBLE)) AS sum_m
+FROM px GROUP BY s ORDER BY scene_id"""
+
+
+def fuzzy_mssmall_sql(tiles_x: int, tiles_y: int, tile: int,
+                      spread: float = 2.0) -> str:
+    """a10_fuzzy_mssmall oracle: the two-pass stats-dependent fuzzy — μ, σ
+    are population stats over ALL scene pixels (pass 1), the membership is
+    where(x ≤ μ, 1, s·σ/(|x−μ|+s·σ)) (pass 2). Both passes in one SQL via
+    a cross-joined scalar aggregate."""
+    w, h = tiles_x * tile, tiles_y * tile
+    z = dem_z_sql("x", "y")
+    return f"""
+WITH {_grid_cte(w, h)},
+stats AS (
+  SELECT AVG({z}) AS mu,
+         sqrt(AVG(({z}) * ({z})) - AVG({z}) * AVG({z})) AS sd
+  FROM grd),
+v AS (
+  SELECT x, y,
+    CAST(LEAST(GREATEST(
+      CASE WHEN {z} <= mu THEN 1.0
+           ELSE ({spread} * sd) / GREATEST(abs({z} - mu) + {spread} * sd, 1e-12)
+      END, 0.0), 1.0) AS FLOAT) AS m
+  FROM grd, stats)
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       ROUND(SUM(CAST(m AS DOUBLE)), 5) AS sum_m
+FROM v GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def nearest_labels_sql(n_images: int,
+                       train: list[tuple[float, float, int]], k: int) -> str:
+    """j6_nearest_labels oracle: the k nearest training labels per pixel
+    (exact integer distances, ties by training index — the engine's
+    stable argsort), summed per image per rank band."""
+    t_values = ", ".join(f"({j}, {tx}, {ty}, {lab})"
+                         for j, (tx, ty, lab) in enumerate(train))
+    band_cols = ", ".join(
+        f"ROUND(SUM(CASE WHEN rn = {r + 1} THEN CAST(lab AS DOUBLE) ELSE 0 END), 1) AS sum_b{r}"
+        for r in range(k))
+    return f"""
+WITH {_kind1_px_cte(n_images)},
+train(j, tx, ty, lab) AS (VALUES {t_values}),
+ranked AS (
+  SELECT i, x, y, lab,
+         ROW_NUMBER() OVER (PARTITION BY i, x, y
+             ORDER BY (red-tx)*(red-tx) + (nir-ty)*(nir-ty), j) AS rn
+  FROM px, train)
+SELECT printf('img%09d', i) AS image_id, {band_cols}
+FROM ranked WHERE rn <= {k} GROUP BY i ORDER BY image_id"""
+
+
 # ------------------------------------------------------ feature service ----
 
 @lru_cache(maxsize=2)
