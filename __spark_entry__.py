@@ -377,6 +377,24 @@ def q_m5_sarima(spark, sf_dir):
             .orderBy("event_type"))
 
 
+def q_m5_sarima_px(spark, sf_dir):
+    """A11/M5 per-PIXEL SARIMA — the reference's actual shape (one model
+    per pixel of the time stack, SeasonalARIMA.py:192-216), fitted for
+    EVERY pixel simultaneously by the batch-vectorized CSS solver; delta
+    band summed per scene. Oracle: the same fit replayed per pixel via
+    the recursive-CTE machinery."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import ml
+    from raster_functions_spark.raster import tile_stats
+    st = fixtures.stack_images_df(spark, n_scenes=3, n_times=24)
+    out = ml.sarima_stack_delta(st, period=12, horizon=6)
+    agg = tile_stats(out, [], {"sum_delta": _px_sum},
+                     keep_cols=["scene_id", "n_obs"])
+    return (agg.select("scene_id", "n_obs",
+                       F.round("sum_delta", 3).alias("sum_delta"))
+            .orderBy("scene_id"))
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: gap>30min session assignment via lag + cumsum."""
     _reg(spark, sf_dir, "events")
@@ -899,6 +917,71 @@ def q_j6_nearest_labels(spark, sf_dir):
             .orderBy("image_id"))
 
 
+def q_f15_chuck_close(spark, sf_dir):
+    """F15 BasicChuckClose: tile block means quantized to 4 gray levels."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import effects
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneCC", 2, 2, 32, dtype="f8")
+    out = tile_stats(dem, [effects.chuck_close(block=8, levels=4)],
+                     {"sum_v": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_v", 5).alias("sum_v"))
+            .orderBy("tx", "ty"))
+
+
+def q_p3_mask_apply(spark, sf_dir):
+    """P3 MaskRaster: keep value where the mask band > 0, else NoData."""
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [pointwise.mask_apply(value_band=0, mask_band=1, nodata=0)],
+                     {"sum_v": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.col("sum_v").cast("long").alias("sum_v"))
+            .orderBy("image_id"))
+
+
+def q_p4_replace_nulls(spark, sf_dir):
+    """P4 ReplaceNulls: substitute the 0 sentinel with 255 on the kind-3
+    ramps (embedded NoData zeros) — integer-exact."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    imgs = (fixtures.images_df(spark, 400)
+            .filter((F.col("bands") == 1) & (F.col("dtype") == "u1")
+                    & (F.col("fmt") != "dct")))
+    out = tile_stats(imgs, [pointwise.replace_value(0, 255)],
+                     {"sum_v": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.col("sum_v").cast("long").alias("sum_v"))
+            .orderBy("image_id"))
+
+
+def q_s6_latitude(spark, sf_dir):
+    """S6 Latitude source: per-pixel map latitude from tile georeference."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneL", 2, 2, 32, dtype="f8")
+    dem = (dem.withColumn("ymax", 45.0 - F.col("ty") * 0.032)
+           .withColumn("ymin", F.col("ymax") - 0.032))
+    out = tile_stats(dem, [pointwise.latitude_source()],
+                     {"sum_lat": _px_sum},
+                     meta_cols=["ymax", "ymin", "cell_dy"],
+                     keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_lat", 4).alias("sum_lat"))
+            .orderBy("tx", "ty"))
+
+
+def q_s7_catalog(spark, sf_dir):
+    """S7 catalog crawl: header-only metadata peek over the binary image
+    column (no pixel decode), rolled up per format/shape."""
+    from raster_functions_spark import fixtures, raster
+    imgs = fixtures.images_df(spark, 400).select("image_id", "bytes")
+    cat = raster.catalog(imgs).select("hdr.*")
+    return (cat.groupBy("fmt", "dtype", "bands", "h", "w")
+            .agg(F.count("*").alias("n"))
+            .orderBy("fmt", "dtype", "bands", "h", "w"))
+
+
 def q_s3_feature_envelope(spark, sf_dir):
     """S2/S3 feature-service scan: Esri-JSON features parsed into rows,
     where-clause + envelope-intersects pushdown, attribute rollup. The
@@ -1016,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
         "m5_sarima": q_m5_sarima,
+        "m5_sarima_px": q_m5_sarima_px,
         "sessionize": q_sessionize,
         "stream_sessionize": q_stream_sessionize,
         "stream_windowed": q_stream_windowed,
@@ -1055,6 +1139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_month_synthesis": q_a6_month_synthesis,
         "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
         "j6_nearest_labels": q_j6_nearest_labels,
+        "f15_chuck_close": q_f15_chuck_close,
+        "p3_mask_apply": q_p3_mask_apply,
+        "p4_replace_nulls": q_p4_replace_nulls,
+        "s6_latitude": q_s6_latitude,
+        "s7_catalog": q_s7_catalog,
     }.items()}
 
 
@@ -1106,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
                       CAST(COUNT(*) AS DOUBLE) AS n
                FROM events GROUP BY 1, 2""",
             "event_type", "n", "hb", period=24, horizon=24),
+        "m5_sarima_px": _orc.sarima_stack_delta_sql(3, 24, 16, period=12, horizon=6),
         "w2_aspect_slope": _orc.aspect_slope_class_sql(3, 2, 32),
         "w7_mdhillshade": _orc.mdhillshade_sql(3, 2, 32),
         "f4_windchill": _orc.windchill_sql(400),
@@ -1125,6 +1215,11 @@ def oracle_sql() -> dict[str, str]:
         "a10_fuzzy_mssmall": _orc.fuzzy_mssmall_sql(3, 2, 32, 2.0),
         "j6_nearest_labels": _orc.nearest_labels_sql(
             400, [(40.0, 40.0, 1), (200.0, 200.0, 2), (40.0, 200.0, 3), (200.0, 40.0, 4)], 2),
+        "f15_chuck_close": _orc.chuck_close_sql(2, 2, 32),
+        "p3_mask_apply": _orc.mask_apply_sql(400),
+        "p4_replace_nulls": _orc.replace_value_sql(400),
+        "s6_latitude": _orc.latitude_sql(2, 2, 32),
+        "s7_catalog": _orc.catalog_sql(400),
         "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
           WITH bands AS ({bands_union}),
           pairs AS (

@@ -946,6 +946,100 @@ SELECT printf('img%09d', i) AS image_id, {band_cols}
 FROM ranked WHERE rn <= {k} GROUP BY i ORDER BY image_id"""
 
 
+def chuck_close_sql(tiles_x: int, tiles_y: int, tile: int,
+                    block: int = 8, levels: int = 4) -> str:
+    """f15_chuck_close oracle: per-tile block means quantized to k gray
+    levels between the tile's min/max block mean (effects.chuck_close),
+    each block painted with its level value (f32), summed per tile."""
+    w, h = tiles_x * tile, tiles_y * tile
+    return f"""
+WITH {_grid_cte(w, h)},
+b AS (
+  SELECT x // {tile} AS tx, y // {tile} AS ty,
+         (x % {tile}) // {block} AS bx, (y % {tile}) // {block} AS by,
+         COUNT(*) AS n, SUM({dem_z_sql('x', 'y')}) / COUNT(*) AS bm
+  FROM grd GROUP BY 1, 2, 3, 4),
+rng AS (
+  SELECT tx, ty, MIN(bm) AS lo, MAX(bm) AS hi FROM b GROUP BY tx, ty),
+q AS (
+  SELECT b.tx, b.ty, b.n,
+         CAST(lo + (FLOOR((bm - lo) / GREATEST(hi - lo, 1e-9) * ({levels} - 1e-9)) + 0.5)
+                   * (hi - lo) / {levels} AS FLOAT) AS val
+  FROM b JOIN rng ON rng.tx = b.tx AND rng.ty = b.ty)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       ROUND(SUM(CAST(val AS DOUBLE) * n), 5) AS sum_v
+FROM q GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def mask_apply_sql(n_images: int) -> str:
+    """p3_mask_apply oracle: keep red where nir > 0 else nodata 0 —
+    integer-exact sums."""
+    return f"""
+WITH {_kind1_px_cte(n_images)}
+SELECT printf('img%09d', i) AS image_id,
+       CAST(SUM(CASE WHEN nir > 0 THEN red ELSE 0 END) AS BIGINT) AS sum_v
+FROM px GROUP BY i ORDER BY image_id"""
+
+
+def replace_value_sql(n_images: int) -> str:
+    """p4_replace_nulls oracle over lossless kind-3 tiles (ramps with
+    embedded zeros, plus constants): 0 → 255 after the ramp's own zeros —
+    integer-exact sums."""
+    wc, hc = _img_dims_case()
+    return f"""
+WITH imgs AS (
+  SELECT i, {wc} AS w, {hc} AS h
+  FROM generate_series(0, {n_images - 1}) t(i)
+  WHERE (i % 4) = 3 AND ((i // 4) % 4) <> 3),
+px AS (
+  SELECT i,
+         CASE WHEN i % 8 = 3 THEN (i % 200) + 1
+              WHEN (y*w+x) % 17 = 0 THEN 0
+              ELSE (y*w+x) % 256 END AS v0
+  FROM imgs, generate_series(0, 127) tx(x), generate_series(0, 127) ty(y)
+  WHERE x < w AND y < h)
+SELECT printf('img%09d', i) AS image_id,
+       CAST(SUM(CASE WHEN v0 = 0 THEN 255 ELSE v0 END) AS BIGINT) AS sum_v
+FROM px GROUP BY i ORDER BY image_id"""
+
+
+def latitude_sql(tiles_x: int, tiles_y: int, tile: int,
+                 cell: float = fixtures.CELL_DEG) -> str:
+    """s6_latitude oracle: the Latitude source — per-pixel map latitude
+    from the tile georeference (ymax = 45 − ty·0.032), f32-stored."""
+    w, h = tiles_x * tile, tiles_y * tile
+    lat = (f"CAST(45.0 - (CAST(y // {tile} AS DOUBLE)) * 0.032"
+           f" - (CAST(y % {tile} AS DOUBLE) + 0.5) * {cell} AS FLOAT)")
+    return f"""
+WITH {_grid_cte(w, h)}
+SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
+       ROUND(SUM(CAST({lat} AS DOUBLE)), 4) AS sum_lat
+FROM grd GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+def catalog_sql(n_images: int) -> str:
+    """s7_catalog oracle: header-only catalog crawl — per (fmt, dtype,
+    bands, h, w) counts re-derived from the fixture's metadata cycles
+    (tile_fmt / tile_meta / tile_dims), no pixel decode anywhere."""
+    wc, hc = _img_dims_case()
+    return f"""
+WITH imgs AS (
+  SELECT i, {wc} AS w, {hc} AS h,
+         CASE i % 4 WHEN 0 THEN 'f4' WHEN 1 THEN 'u1' WHEN 2 THEN 'u2' ELSE 'u1' END AS dtype,
+         CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 6 ELSE 1 END AS bands,
+         CASE WHEN i % 4 IN (1, 3)
+              THEN CASE (i // 4) % 4 WHEN 0 THEN 'raw' WHEN 1 THEN 'rle'
+                                     WHEN 2 THEN 'zlib' ELSE 'dct' END
+              ELSE CASE (i // 4) % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'rle'
+                                     ELSE 'zlib' END
+         END AS fmt
+  FROM generate_series(0, {n_images - 1}) t(i))
+SELECT fmt, dtype, CAST(bands AS INT) AS bands,
+       CAST(h AS INT) AS h, CAST(w AS INT) AS w,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM imgs GROUP BY 1, 2, 3, 4, 5 ORDER BY fmt, dtype, bands, h, w"""
+
+
 # ------------------------------------------------------ feature service ----
 
 @lru_cache(maxsize=2)
@@ -990,7 +1084,7 @@ GROUP BY category ORDER BY category"""
 
 def sarima_by_group_sql(series_sql: str, group_col: str, value_col: str,
                         order_col: str, period: int, horizon: int,
-                        iters: int = 25) -> str:
+                        iters: int = 25, raw: bool = False) -> str:
     """DuckDB oracle for ml.sarima_forecast_by_group — the full CSS fit in
     SQL. Key identity: the per-iteration OLS solves are linear in one
     parameter given the other, so every covariance/variance expands into
@@ -1078,12 +1172,38 @@ fc AS (
   FROM (SELECT fc.*, p.c_fin, p.phi_c, p.cphi_c
         FROM fc JOIN params p ON p.g = fc.g WHERE fc.h < {horizon}) q)
 SELECT fc.g AS {group_col},
-       ROUND(fc.buf[{s + 1}], 4) AS forecast,
-       ROUND(fc.buf[{s + 1}] - fc.last_obs, 4) AS delta,
+       {"fc.buf[%d] AS forecast" % (s + 1) if raw
+        else "ROUND(fc.buf[%d], 4) AS forecast" % (s + 1)},
+       {"fc.buf[%d] - fc.last_obs AS delta" % (s + 1) if raw
+        else "ROUND(fc.buf[%d] - fc.last_obs, 4) AS delta" % (s + 1)},
        CAST(t.n_obs AS BIGINT) AS n_obs
 FROM fc JOIN tails t ON t.g = fc.g
 WHERE fc.h = {horizon}
 ORDER BY {group_col}"""
+
+
+def sarima_stack_delta_sql(n_scenes: int, n_times: int, tile: int,
+                           period: int, horizon: int) -> str:
+    """m5_sarima_px oracle: the reference's actual per-PIXEL SARIMA shape
+    (SeasonalARIMA.py:192-216) — one CSS fit per pixel of the stack
+    fixture, all replayed through the same recursive-CTE machinery as
+    m5_sarima with a composite (scene, y, x) group key, deltas quantized
+    to the engine's f32 store and summed per scene."""
+    g = f"(s * 1000000 + y * {tile} + x * {tile * tile})"
+    series = (f"SELECT {g} AS g, t AS tt, "
+              f"CAST((s*31 + t*17 + y*{tile} + x) % 4000 AS DOUBLE) AS v "
+              f"FROM generate_series(0, {n_scenes - 1}) ts(s), "
+              f"generate_series(0, {n_times - 1}) tt2(t), "
+              f"generate_series(0, {tile - 1}) ty(y), "
+              f"generate_series(0, {tile - 1}) tx(x)")
+    inner = sarima_by_group_sql(series, "g", "v", "tt", period, horizon,
+                                raw=True)
+    return f"""
+WITH per_px AS ({inner})
+SELECT 'scene' || (g // 1000000) AS scene_id,
+       CAST(ANY_VALUE(n_obs) AS INT) AS n_obs,
+       ROUND(SUM(CAST(CAST(delta AS FLOAT) AS DOUBLE)), 3) AS sum_delta
+FROM per_px GROUP BY 1 ORDER BY scene_id"""
 
 
 # ----------------------------------------------------------- cloud fill ----
