@@ -2,13 +2,18 @@
 
 ``queries()`` registers one entry per implemented operator family from
 SURVEY.md §2 (keys prefixed with their SURVEY operator id); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one. Image-engine
-queries (decode kernels, halo focal ops, stack composites) have no SQL
-analog — they are validated by the NumPy-oracle pytest suite instead and
-registered here as rows-only checks.
+gives the DuckDB-equivalent SQL for EVERY query — 69/69, no rows-only
+entries. Image-engine queries re-derive their pixels inside the oracle SQL
+from the closed-form fixtures (generate_series + arithmetic; see
+raster_functions_spark/oracles.py for the builders and the float-parity
+rules), so even halo focal ops, flow accumulation, per-pixel SARIMA and
+the stateful-streaming sessionizer are checked value-for-value against
+DuckDB.
 
-Float outputs are rounded to 6 decimals on BOTH engines; rank/pair outputs
-are integer-only, so cross-engine hash comparison is stable.
+Float outputs are rounded (≥3 decimals, far above the ~1e-12 cross-engine
+noise; engine f32 stores are mirrored with CAST .. AS FLOAT before
+aggregation); rank/pair/count outputs are integer-only, so cross-engine
+hash comparison is stable.
 """
 
 from __future__ import annotations
@@ -1008,6 +1013,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_ann_lsh(spark, sf_dir):
+    """ANN via hyperplane-sign LSH buckets + multi-probe (integer ids;
+    bucket bits bit-exact vs the oracle's unrolled dot products)."""
+    from raster_functions_spark import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    return (similarity.lsh_topk(emb.filter(F.col("vec_id") >= 5),
+                                emb.filter(F.col("vec_id") < 5),
+                                k=3, n_bits=6, n_probes=3)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN top-k (k-means inverted lists + multi-probe) — integer ids."""
     from raster_functions_spark import similarity
@@ -1118,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_hexbin": q_img_hexbin,
         "img_pyramid": q_img_pyramid,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         # round-2 additions: previously pytest-only operators, now each
         # with a DuckDB oracle (m5_sarima is registered above)
         "w2_aspect_slope": q_w2_aspect_slope,
@@ -1174,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         # IVF with n_probe = n_lists is exhaustive ⇒ exact ⇒ same oracle as kNN
         "ann_ivf": knn_oracle,
+        "ann_lsh": _orc.lsh_topk_sql(64, 6, 3, 3),
         # --- image-engine oracles: pixels re-derived in SQL from the
         # closed-form fixtures (see oracles.py for the parity rules) ---
         "img_hillshade": _orc.hillshade_sql(4, 4, 32),

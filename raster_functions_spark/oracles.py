@@ -1040,6 +1040,49 @@ SELECT fmt, dtype, CAST(bands AS INT) AS bands,
 FROM imgs GROUP BY 1, 2, 3, 4, 5 ORDER BY fmt, dtype, bands, h, w"""
 
 
+def lsh_topk_sql(dim: int, n_bits: int, n_probes: int, k: int,
+                 q_max_id: int = 5) -> str:
+    """ann_lsh oracle: hyperplane sign-bucket ANN. The bucket bits are
+    bit-exact because the SQL dot product unrolls the engine's sequential
+    left fold (F.aggregate starts at 0.0 and adds products in array
+    order) over the same splitmix-derived hyperplane literals; queries
+    probe their bucket plus the single-bit-flip neighbors."""
+    from .similarity import _hyperplanes
+    H = _hyperplanes(dim, n_bits)
+
+    def dot(col: str, b: int) -> str:
+        return "(0.0 + " + " + ".join(
+            f"{col}[{j + 1}]*{H[b, j]!r}" for j in range(dim)) + ")"
+
+    def bucket(col: str) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {dot(col, b)} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(n_bits)) + ")"
+
+    probes = ", ".join(["bucket0"] + [f"xor(bucket0, {1 << b})"
+                                      for b in range(n_probes - 1)])
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         {bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id >= {q_max_id}),
+q0 AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         {bucket('embedding')} AS bucket0
+  FROM embeddings WHERE vec_id < {q_max_id}),
+q AS (SELECT query_id, qv, unnest([{probes}]) AS bucket FROM q0),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS score
+  FROM c JOIN q USING (bucket))
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
 # ------------------------------------------------------ feature service ----
 
 @lru_cache(maxsize=2)
