@@ -1120,7 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stream_sessionize": q_stream_sessionize,
         "stream_windowed": q_stream_windowed,
-        # image-engine (rows-only)
+        # image-engine (pixels re-derived in SQL by the oracles)
         "img_flagship": q_img_flagship,
         "img_hillshade": q_img_hillshade,
         "img_stack_median": q_img_stack_median,
