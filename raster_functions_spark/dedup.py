@@ -170,7 +170,12 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     hashed = sh.select("_id", F.expr(_polyhash_sql("s", k)).alias("ph"))
     aggs = [F.min(F.expr(f"({a}L * ph + {b}L) % {MINHASH_P}")).alias(f"h{h}")
             for h, (a, b) in enumerate(zip(_MH_A[:n_hashes], _MH_B[:n_hashes]))]
-    sig_df = hashed.groupBy("_id").agg(*aggs)
+    # persist the signatures: the hot-bucket pass reads the banded table
+    # twice (size aggregate + pairing), and recomputing it would re-run
+    # the expensive shingle explode + hash aggregation over the raw text.
+    # The signature table is n_docs × (id + n_hashes longs) — tiny
+    # relative to the corpus, so MEMORY_AND_DISK is cheap at any scale.
+    sig_df = hashed.groupBy("_id").agg(*aggs).persist()
     banded = sig_df.select("_id", F.posexplode(F.array(*[
         F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
         for b in range(bands)])).alias("band", "bsig"))
