@@ -987,6 +987,31 @@ def q_s7_catalog(spark, sf_dir):
             .orderBy("fmt", "dtype", "bands", "h", "w"))
 
 
+def q_p7_qa_clear(spark, sf_dir):
+    """P7 clear-pixel whitelist: QA band ∈ the C1 clear set → per-image
+    clear-pixel counts (integer-exact)."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    imgs = fixtures.images_df(spark, 400).filter(F.col("bands") == 6)
+    out = tile_stats(imgs, [pointwise.qa_clear(5, fixtures.QA_CLEAR_C1)],
+                     {"n_clear": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.col("n_clear").cast("long").alias("n_clear"))
+            .orderBy("image_id"))
+
+
+def q_mm_resize(spark, sf_dir):
+    """Multimodal resize: box-resample 32×32 tiles to 8×8 (bin means) —
+    the ingest-pipeline resize step, no external imaging library."""
+    from raster_functions_spark import fixtures, multimodal
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneRz", 2, 2, 32, dtype="f8")
+    rs = multimodal.resize_tiles(dem, 8, 8, fmt_out="raw")
+    out = tile_stats(rs, [], {"sum_v": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_v", 5).alias("sum_v"))
+            .orderBy("tx", "ty"))
+
+
 def q_s3_feature_envelope(spark, sf_dir):
     """S2/S3 feature-service scan: Esri-JSON features parsed into rows,
     where-clause + envelope-intersects pushdown, attribute rollup. The
@@ -1162,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_replace_nulls": q_p4_replace_nulls,
         "s6_latitude": q_s6_latitude,
         "s7_catalog": q_s7_catalog,
+        "p7_qa_clear": q_p7_qa_clear,
+        "mm_resize": q_mm_resize,
     }.items()}
 
 
@@ -1239,6 +1266,8 @@ def oracle_sql() -> dict[str, str]:
         "p4_replace_nulls": _orc.replace_value_sql(400),
         "s6_latitude": _orc.latitude_sql(2, 2, 32),
         "s7_catalog": _orc.catalog_sql(400),
+        "p7_qa_clear": _orc.qa_clear_sql(400),
+        "mm_resize": _orc.resize_sql(2, 2, 32, 8, 8),
         "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
           WITH bands AS ({bands_union}),
           pairs AS (

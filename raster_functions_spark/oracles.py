@@ -1040,6 +1040,43 @@ SELECT fmt, dtype, CAST(bands AS INT) AS bands,
 FROM imgs GROUP BY 1, 2, 3, 4, 5 ORDER BY fmt, dtype, bands, h, w"""
 
 
+def qa_clear_sql(n_images: int) -> str:
+    """p7_qa_clear oracle: clear-pixel whitelist over the kind-2 QA band
+    (band 5 = qa_vals[(i + px) % 7]; the first 4 of the 7 cycled values
+    are the C1 clear codes) — integer counts."""
+    wc, hc = _img_dims_case()
+    return f"""
+WITH imgs AS (
+  SELECT i, {wc} AS w, {hc} AS h
+  FROM generate_series(0, {n_images - 1}) t(i) WHERE i % 4 = 2),
+px AS (
+  SELECT i, CASE WHEN (i + y*w + x) % {len(_QA_VALS)} < 4 THEN 1 ELSE 0 END AS c
+  FROM imgs, generate_series(0, 127) tx(x), generate_series(0, 127) ty(y)
+  WHERE x < w AND y < h)
+SELECT printf('img%09d', i) AS image_id, CAST(SUM(c) AS BIGINT) AS n_clear
+FROM px GROUP BY i ORDER BY image_id"""
+
+
+def resize_sql(tiles_x: int, tiles_y: int, tile: int,
+               out_h: int, out_w: int) -> str:
+    """mm_resize oracle: box-resample each f8 DEM tile to (out_h, out_w)
+    by bin means (multimodal.resize_tiles reduceat bins: output cell (r,c)
+    averages source rows [r·h/out_h, (r+1)·h/out_h) — exact for integer
+    ratios), f32-stored, summed per tile."""
+    w, h = tiles_x * tile, tiles_y * tile
+    return f"""
+WITH {_grid_cte(w, h)},
+b AS (
+  SELECT x // {tile} AS tx, y // {tile} AS ty,
+         (y % {tile}) * {out_h} // {tile} AS r,
+         (x % {tile}) * {out_w} // {tile} AS c,
+         COUNT(*) AS n, SUM({dem_z_sql('x', 'y')}) / COUNT(*) AS bm
+  FROM grd GROUP BY 1, 2, 3, 4)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       ROUND(SUM(CAST(CAST(bm AS FLOAT) AS DOUBLE)), 5) AS sum_v
+FROM b GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
 def lsh_topk_sql(dim: int, n_bits: int, n_probes: int, k: int,
                  q_max_id: int = 5) -> str:
     """ann_lsh oracle: hyperplane sign-bucket ANN. The bucket bits are

@@ -86,3 +86,45 @@ def test_fixture_purity(i):
     assert a.iloc[0].bytes == b.iloc[0].bytes
     assert a.iloc[0].caption == b.iloc[0].caption
     assert a.iloc[0].phash == b.iloc[0].phash
+
+
+# ------------------------------------------------ formats.py codecs --------
+
+@st.composite
+def _u8_images(draw):
+    bands = draw(st.sampled_from([1, 3]))
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    return draw(arrays(np.uint8, (bands, h, w),
+                       elements=st.integers(0, 255)))
+
+
+@given(_u8_images())
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(px):
+    from raster_functions_spark import formats
+    out = formats.decode_bmp(formats.encode_bmp(px))
+    # grey RGB palettes collapse: a 3-band image whose channels are all
+    # equal decodes as 1 band (same pixels)
+    if px.shape[0] == 3 and (px[0] == px[1]).all() and (px[1] == px[2]).all():
+        assert np.array_equal(out[0], px[0])
+    else:
+        assert np.array_equal(out, px)
+
+
+@given(_u8_images())
+@settings(max_examples=60, deadline=None)
+def test_pnm_roundtrip_property(px):
+    from raster_functions_spark import formats
+    assert np.array_equal(formats.decode_pnm(formats.encode_pnm(px)), px)
+
+
+@given(st.integers(1, 2), st.integers(1, 500),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(ch, n, rate):
+    from raster_functions_spark import formats
+    rng = np.random.default_rng(n * ch)
+    s = rng.integers(-32768, 32767, (ch, n), dtype=np.int16)
+    out, r = formats.decode_wav(formats.encode_wav(s, rate))
+    assert r == rate and np.array_equal(out, s)
