@@ -327,7 +327,7 @@ def q_text_langid(spark, sf_dir):
     """Text: heuristic language-ID vs labeled lang."""
     from raster_functions_spark import text
     docs = _t(spark, sf_dir, "documents")
-    return (docs.select("lang", text.lang_id(F.col("text")).alias("lang_pred"))
+    return (text.lang_id_frame(docs, "text")
             .groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
             .orderBy("lang", "lang_pred"))
 

@@ -110,7 +110,7 @@ def minhash_sql(text_expr: str, k: int = 5, n_hashes: int = 8) -> list[str]:
 
 
 def _salted_buckets(banded: DataFrame, max_bucket: int,
-                    id_col: str = "_id") -> DataFrame:
+                    id_col: str = "_id", carry_col: str | None = None) -> DataFrame:
     """Bound LSH bucket size WITHOUT dropping content: buckets larger than
     ``max_bucket`` are split into ⌈n/max_bucket⌉ salt sub-buckets by a hash
     of the member id. Returns the banded rows with ``salt`` plus the
@@ -120,9 +120,17 @@ def _salted_buckets(banded: DataFrame, max_bucket: int,
     sub-bucket is exact; cross-sub-bucket pairs are represented through
     the canonical doc, which downstream connected-component grouping
     re-joins). Cost: one extra count aggregation + an equi-join on the
-    same (band, bsig) key the pairing groupBy shuffles on anyway."""
-    sizes = (banded.groupBy("band", "bsig")
-             .agg(F.count("*").alias("_n"), F.min(id_col).alias("_bmin")))
+    same (band, bsig) key the pairing groupBy shuffles on anyway.
+
+    ``carry_col``: optionally ride a payload column (e.g. the 64-bit hash
+    a bridge pair must compare against) through the size aggregate as
+    ``_bmin_carry`` = the canonical row's value — callers then need no
+    second lookup join (and especially no corpus-wide broadcast) to
+    resolve the canonical's payload."""
+    aggs = [F.count("*").alias("_n"), F.min(id_col).alias("_bmin")]
+    if carry_col is not None:
+        aggs.append(F.min_by(F.col(carry_col), F.col(id_col)).alias("_bmin_carry"))
+    sizes = banded.groupBy("band", "bsig").agg(*aggs)
     j = banded.join(sizes, ["band", "bsig"])
     n_sub = F.greatest(F.ceil(F.col("_n") / max_bucket), F.lit(1))
     salt = F.when(F.col("_n") <= max_bucket, F.lit(0)) \
@@ -156,7 +164,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     buckets larger than ``max_bucket`` are salt-split into bounded
     sub-buckets and re-connected through canonical bridge pairs (see
     _salted_buckets; sizes observable via lsh_bucket_stats). Nothing is
-    silently dropped."""
+    silently dropped.
+
+    Cache contract: the narrow signature table is persisted (it feeds the
+    size aggregate AND the pairing pass). The handle is attached to the
+    returned DataFrame as ``.signature_cache`` — long-lived sessions that
+    run many dedup jobs should call ``release_signature_cache(pairs)``
+    (or ``pairs.signature_cache.unpersist()``) once the result has been
+    consumed, otherwise executor storage accumulates one signature table
+    per invocation."""
     rows = n_hashes // bands
     # signature via explode + codegen arithmetic + hash-agg min(bigint):
     # identical values to minhash_signature() but whole-stage-codegen
@@ -194,8 +210,19 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                .select(F.col("_bmin").alias("lo"), F.element_at("ids", 1).alias("hi"))
                .filter(F.col("lo") < F.col("hi"))
                .select(F.col("lo").alias("id_a"), F.col("hi").alias("id_b")))
-    return (within.unionByName(bridges).groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_shared_bands")))
+    pairs = (within.unionByName(bridges).groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_shared_bands")))
+    pairs.signature_cache = sig_df
+    return pairs
+
+
+def release_signature_cache(pairs: DataFrame) -> None:
+    """Unpersist the signature table cached by minhash_lsh_candidates.
+    Safe to call once the pair DataFrame has been fully consumed (a later
+    re-use simply recomputes)."""
+    handle = getattr(pairs, "signature_cache", None)
+    if handle is not None:
+        handle.unpersist()
 
 
 def _i64(x: int) -> int:
@@ -249,27 +276,28 @@ def _hash_band_near_dups(d: DataFrame, max_hamming: int, band_bits: int,
         F.lit(_i64(((1 << band_bits) - 1) << (b * band_bits)))))).alias(f"b{b}")
         for b in range(n_bands)]
     banded = d.select("_id", "sh", F.posexplode(F.array(*bandcols)).alias("band", "bsig"))
-    salted = _salted_buckets(banded, max_bucket)
+    salted = _salted_buckets(banded, max_bucket, carry_col="sh")
     g = (salted.groupBy("band", "bsig", "salt")
          .agg(F.sort_array(F.collect_list(F.struct("_id", "sh"))).alias("xs"),
               F.min_by(F.struct("_id", "sh"), F.col("_id")).alias("sub_min"),
               F.first("_bmin").alias("_bmin_id"),
+              F.first("_bmin_carry").alias("_bmin_sh"),
               F.first("_n").alias("_n"))
          .filter((F.size("xs") > 1) | (F.col("_n") > F.size("xs"))))
     within = (g.select(F.explode(F.expr(
         "flatten(transform(xs, (a, i) -> "
         "transform(slice(xs, i + 2, size(xs) - i - 1), b -> struct(a._id as ia, b._id as ib, a.sh as sa, b.sh as sb))))"))
         .alias("p")).select("p.*"))
-    # bridge: sub-bucket canonical ↔ bucket canonical (need the bucket
-    # canonical's hash — re-join it from d on the id)
-    bmin = d.select(F.col("_id").alias("_bmin_id"), F.col("sh").alias("bsh"))
+    # bridge: sub-bucket canonical ↔ bucket canonical. The canonical's hash
+    # rides through the size aggregate (_bmin_carry) — no lookup join, and
+    # no corpus-wide broadcast (the previous re-join of d here collected
+    # every (_id, sh) row to the driver, an OOM at crawl scale).
     bridges = (g.filter(F.col("_n") > max_bucket)
-               .select("_bmin_id", F.col("sub_min._id").alias("ib"),
+               .select(F.col("_bmin_id").alias("ia"),
+                       F.col("sub_min._id").alias("ib"),
+                       F.col("_bmin_sh").alias("sa"),
                        F.col("sub_min.sh").alias("sb"))
-               .filter(F.col("_bmin_id") != F.col("ib"))
-               .join(F.broadcast(bmin.distinct()), "_bmin_id")
-               .select(F.col("_bmin_id").alias("ia"), "ib",
-                       F.col("bsh").alias("sa"), "sb"))
+               .filter(F.col("ia") != F.col("ib")))
     pairs = within.unionByName(bridges).distinct()
     return (pairs.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
             .filter(F.col("hamming") <= max_hamming)

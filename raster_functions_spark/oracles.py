@@ -1164,7 +1164,8 @@ GROUP BY category ORDER BY category"""
 
 def sarima_by_group_sql(series_sql: str, group_col: str, value_col: str,
                         order_col: str, period: int, horizon: int,
-                        iters: int = 25, raw: bool = False) -> str:
+                        iters: int = 25, raw: bool = False,
+                        min_fit: int | None = None) -> str:
     """DuckDB oracle for ml.sarima_forecast_by_group — the full CSS fit in
     SQL. Key identity: the per-iteration OLS solves are linear in one
     parameter given the other, so every covariance/variance expands into
@@ -1172,8 +1173,16 @@ def sarima_by_group_sql(series_sql: str, group_col: str, value_col: str,
     coordinate-descent iterations then run as a scalar recursive CTE over
     (c, φ, Φ), and the h-step forecast as a recursive CTE carrying the
     rolling last-(s+1)-values list. ``series_sql`` must yield
-    (group_col, order_col, value_col)."""
+    (group_col, order_col, value_col).
+
+    ``min_fit``: series shorter than this take the engine's naive-hold
+    branch (forecast = last value, delta = 0) — mirrors
+    ml.sarima_forecast_by_group's ``n < 2·period+2`` fallback. The
+    per-pixel path (ml.sarima_stack_delta) always fits, so its oracle
+    passes ``min_fit=0``."""
     s = period
+    if min_fit is None:
+        min_fit = 2 * s + 2
     # lag frame: t runs over s+1 .. T-1 (engine: yt = Y[:, s+1:])
     return f"""
 WITH RECURSIVE series AS MATERIALIZED ({series_sql}),
@@ -1238,11 +1247,13 @@ tails AS MATERIALIZED (
   FROM series GROUP BY {group_col}),
 fc AS (
   -- rolling buffer of the last s+1 values: buf[1] = y_(t-s-1) …
-  -- buf[s+1] = y_(t-1); each step appends the 1-step forecast
+  -- buf[s+1] = y_(t-1); each step appends the 1-step forecast. Only
+  -- long-enough groups enter the recursion — short ones take the
+  -- engine's naive-hold branch in the final SELECT.
   SELECT g, 0 AS h,
          list_slice(ys_all, n_obs - {s}, n_obs) AS buf,
          ys_all[n_obs] AS last_obs
-  FROM tails
+  FROM tails WHERE n_obs >= {min_fit}
   UNION ALL
   SELECT g, h + 1,
          list_append(list_slice(buf, 2, {s + 1}),
@@ -1251,14 +1262,22 @@ fc AS (
          last_obs
   FROM (SELECT fc.*, p.c_fin, p.phi_c, p.cphi_c
         FROM fc JOIN params p ON p.g = fc.g WHERE fc.h < {horizon}) q)
-SELECT fc.g AS {group_col},
-       {"fc.buf[%d] AS forecast" % (s + 1) if raw
-        else "ROUND(fc.buf[%d], 4) AS forecast" % (s + 1)},
-       {"fc.buf[%d] - fc.last_obs AS delta" % (s + 1) if raw
-        else "ROUND(fc.buf[%d] - fc.last_obs, 4) AS delta" % (s + 1)},
+SELECT t.g AS {group_col},
+       -- groups too short to fit (n_obs < 2·period+2) mirror the engine's
+       -- naive-hold fallback (ml.sarima_forecast_by_group): forecast =
+       -- last value, delta = 0 — previously these dropped out of the
+       -- moments CTE entirely and broke the row-count contract
+       {"CASE WHEN t.n_obs < %d THEN t.ys_all[t.n_obs] ELSE fc.buf[%d] END AS forecast"
+        % (min_fit, s + 1) if raw
+        else "ROUND(CASE WHEN t.n_obs < %d THEN t.ys_all[t.n_obs] ELSE fc.buf[%d] END, 4) AS forecast"
+        % (min_fit, s + 1)},
+       {"CASE WHEN t.n_obs < %d THEN 0.0 ELSE fc.buf[%d] - fc.last_obs END AS delta"
+        % (min_fit, s + 1) if raw
+        else "ROUND(CASE WHEN t.n_obs < %d THEN 0.0 ELSE fc.buf[%d] - fc.last_obs END, 4) AS delta"
+        % (min_fit, s + 1)},
        CAST(t.n_obs AS BIGINT) AS n_obs
-FROM fc JOIN tails t ON t.g = fc.g
-WHERE fc.h = {horizon}
+FROM tails t LEFT JOIN fc ON fc.g = t.g AND fc.h = {horizon}
+WHERE fc.h = {horizon} OR t.n_obs < {min_fit}
 ORDER BY {group_col}"""
 
 
@@ -1277,7 +1296,7 @@ def sarima_stack_delta_sql(n_scenes: int, n_times: int, tile: int,
               f"generate_series(0, {tile - 1}) ty(y), "
               f"generate_series(0, {tile - 1}) tx(x)")
     inner = sarima_by_group_sql(series, "g", "v", "tt", period, horizon,
-                                raw=True)
+                                raw=True, min_fit=0)
     return f"""
 WITH per_px AS ({inner})
 SELECT 'scene' || (g // 1000000) AS scene_id,

@@ -96,8 +96,24 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                 S = np.where(den == 0.0, 0.0, (Q @ C.T) / den)  # (n_q, n_c)
             nid = pdf["neighbor_id"].to_numpy(np.int64)
             kk = min(k, S.shape[1])
-            # per-batch partial top-k (ties resolved later by neighbor_id)
-            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            # per-batch partial top-k under the SAME total order as the
+            # final window: (-score, neighbor_id asc). argpartition alone
+            # breaks ties at the k-th boundary arbitrarily, which would
+            # let a globally-ranked candidate be dropped inside its batch
+            # and make the result depend on partitioning. Cheap exact
+            # scheme: partition by score, widen to ALL entries tied with
+            # the k-th score, then lexsort just that candidate set.
+            n_c = S.shape[1]
+            part = np.empty((S.shape[0], kk), dtype=np.int64)
+            for qi in range(S.shape[0]):
+                srow = S[qi]
+                if n_c > 4 * kk:
+                    cut = np.argpartition(-srow, kk - 1)[:kk]
+                    cand = np.flatnonzero(srow >= srow[cut].min())
+                else:
+                    cand = np.arange(n_c)
+                order = np.lexsort((nid[cand], -srow[cand]))[:kk]
+                part[qi] = cand[order]
             rows_q = np.repeat(q["ids"], kk)
             rows_n = nid[part.ravel()]
             rows_s = np.take_along_axis(S, part, axis=1).ravel()

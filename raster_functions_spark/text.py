@@ -62,6 +62,30 @@ def lang_id(col: Column) -> Column:
     return best_lang
 
 
+def lang_id_frame(df: DataFrame, text_col: str = "text",
+                  out_col: str = "lang_pred") -> DataFrame:
+    """Linear-size language-ID: identical results to :func:`lang_id`, but
+    the per-language marker scores are materialized ONCE as real columns
+    in their own projection (each score is referenced more than once, so
+    Catalyst's CollapseProject keeps the boundary), then argmax'd with a
+    flat CASE over ``greatest``. The single-Column form nests each level's
+    best-score expression twice per level — an O(langs²·markers) tree that
+    leans on codegen subexpression elimination; this one is O(langs·markers)
+    by construction. Tie-break matches lang_id: earlier language wins."""
+    langs = list(LANG_MARKERS)
+    c = F.col(text_col)
+    scored = df.withColumns({f"_sc_{l}": word_markers_score(c, l) for l in langs})
+    best = scored.withColumn(
+        "_best", F.greatest(*[F.col(f"_sc_{l}") for l in langs]))
+    pick = F.lit("und")
+    for lang in reversed(langs):     # outermost CASE = first lang → wins ties
+        pick = (F.when((F.col(f"_sc_{lang}") == F.col("_best"))
+                       & (F.col("_best") > 0), F.lit(lang))
+                .otherwise(pick))
+    return (best.withColumn(out_col, pick)
+            .drop("_best", *[f"_sc_{l}" for l in langs]))
+
+
 def lang_id_sql(expr: str) -> str:
     """The same argmax in portable SQL (DuckDB + Spark)."""
     def score(lang):

@@ -1,0 +1,183 @@
+"""Round-3 ADVICE fixes: no-broadcast bridge resolution in hash-band LSH,
+total-order-correct batch top-k, signature-cache release, SARIMA short-series
+oracle parity, linear-tree language ID."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raster_functions_spark import dedup, similarity, text
+from raster_functions_spark.operators import ml
+from raster_functions_spark import oracles as orc
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- hash-band bridge fix ----
+
+def test_simhash_bridges_without_corpus_broadcast(spark):
+    """Oversized buckets (max_bucket=2) still connect every duplicate to the
+    bucket canonical through bridge pairs — and the plan contains no join at
+    all on the bridge path (the canonical's hash rides the size aggregate)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [(i, base) for i in range(8)]  # 8 identical docs → every bucket hot
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.simhash_near_dups(df, max_hamming=0, max_bucket=2)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # connectivity: union-find over the pairs must put all 8 in one group
+    parent = list(range(8))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(8)}) == 1, pairs
+    # every pair is a true dup (hamming 0 here)
+    assert all(r.hamming == 0 for r in out.collect())
+    # plan shape: the only joins left are _salted_buckets' (band, bsig)
+    # size joins — the bridge path no longer joins (or broadcasts) the
+    # corpus on _bmin_id
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines, "expected the salting size-join to remain"
+    assert all("bsig" in l for l in join_lines), join_lines
+    assert not any("_bmin_id" in l for l in join_lines), join_lines
+
+
+def test_phash_near_dups_still_exact(spark):
+    pdf = pd.DataFrame({"image_id": [f"i{k}" for k in range(6)],
+                        "phash": [10, 10, 10, 10, 11, 1 << 40]})
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.phash_near_dups(
+               spark.createDataFrame(pdf), max_hamming=1, max_bucket=2).collect()}
+    # all four phash=10 images mutually connected (possibly via canonical
+    # bridges) and i4 (hamming 1) reachable from the group
+    ids = set()
+    for a, b in out:
+        ids.update((a, b))
+    assert {"i0", "i1", "i2", "i3", "i4"} <= ids
+    assert not any("i5" in p for p in out)
+
+
+# ----------------------------------------------- batch top-k tie-breaks ----
+
+def test_brute_force_topk_ties_stable_across_partitioning(spark):
+    """Duplicate embeddings (exact score ties straddling the k boundary)
+    must resolve by neighbor_id under ANY partitioning."""
+    vec = [1.0, 2.0, 3.0, 4.0]
+    rows = [(100 + i, vec) for i in range(10)]          # 10 identical vectors
+    rows += [(200, [-1.0, 0.0, 0.0, 1.0])]
+    queries = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<double>")
+    want = [100, 101, 102]                              # lowest ids win ties
+    for nparts in (1, 4, 11):
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>").repartition(nparts)
+        got = (similarity.brute_force_topk(corpus, queries, k=3)
+               .orderBy("rank").toPandas())
+        assert got.neighbor_id.tolist() == want, f"nparts={nparts}: {got}"
+
+
+def test_brute_force_topk_boundary_tie_survives_batch():
+    """NumPy-level check of the batch partial: a candidate tied at the k-th
+    score with a smaller id must survive even when argpartition would have
+    picked the other one. Exercised through the full operator above; here
+    assert the exact-order property on a seeded matrix."""
+    rng = np.random.default_rng(7)
+    S = np.round(rng.random((3, 50)), 1)                # heavy ties
+    nid = rng.permutation(50).astype(np.int64)
+    k = 5
+    for qi in range(3):
+        srow = S[qi]
+        cut = np.argpartition(-srow, k - 1)[:k]
+        cand = np.flatnonzero(srow >= srow[cut].min())
+        sel = cand[np.lexsort((nid[cand], -srow[cand]))[:k]]
+        full = np.lexsort((nid, -srow))[:k]
+        assert nid[sel].tolist() == nid[full].tolist()
+
+
+# ------------------------------------------------- signature cache ---------
+
+def test_minhash_signature_cache_released(spark):
+    df = spark.createDataFrame([(i, f"document number {i} text " * 4)
+                                for i in range(20)], "doc_id long, text string")
+    pairs = dedup.minhash_lsh_candidates(df)
+    pairs.count()
+    sig = pairs.signature_cache
+    assert sig.storageLevel.useMemory or sig.storageLevel.useDisk
+    dedup.release_signature_cache(pairs)
+    assert not (sig.storageLevel.useMemory or sig.storageLevel.useDisk)
+    dedup.release_signature_cache(pairs)  # idempotent
+    dedup.release_signature_cache(df)     # no handle → no-op
+
+
+# ------------------------------------------- SARIMA short-series parity ----
+
+def test_sarima_short_group_matches_oracle(spark):
+    """A group below the 2·period+2 fit threshold takes the naive-hold branch
+    in BOTH the engine and the DuckDB oracle (same rows, same values)."""
+    period, horizon = 4, 2
+    rows = []
+    for g, n in (("long", 2 * period + 6), ("short", period + 1), ("tiny", 2)):
+        for t in range(n):
+            rows.append((g, t, float((t % period) * 3 + t * 0.5 + (g == "long"))))
+    df = spark.createDataFrame(rows, "g string, t int, v double")
+    got = (ml.sarima_forecast_by_group(df, ["g"], "v", "t", period=period,
+                                       horizon=horizon)
+           .select("g", F.round("forecast", 4).alias("forecast"),
+                   F.round("delta", 4).alias("delta"), "n_obs")
+           .orderBy("g").toPandas())
+    con = duckdb.connect()
+    con.register("src", pd.DataFrame(rows, columns=["g", "t", "v"]))
+    sql = orc.sarima_by_group_sql("SELECT g, t, v FROM src", "g", "v", "t",
+                                  period, horizon)
+    want = con.sql(sql).df()
+    assert got.g.tolist() == want.g.tolist() == ["long", "short", "tiny"]
+    assert np.allclose(got.forecast, want.forecast, atol=1e-6)
+    assert np.allclose(got.delta, want.delta, atol=1e-6)
+    assert got.n_obs.tolist() == want.n_obs.tolist()
+    # the short groups really did naive-hold: forecast == last value
+    last_short = [r[2] for r in rows if r[0] == "short"][-1]
+    assert got[got.g == "short"].forecast.iloc[0] == pytest.approx(last_short)
+    assert got[got.g == "short"].delta.iloc[0] == 0.0
+
+
+# ------------------------------------------------- linear-tree lang ID -----
+
+def test_lang_id_frame_equals_column_form(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = (text.lang_id_frame(docs, "text", "lp")
+         .select("doc_id", "lp").orderBy("doc_id").toPandas())
+    b = (docs.select("doc_id", text.lang_id(F.col("text")).alias("lp"))
+         .orderBy("doc_id").toPandas())
+    assert (a.lp == b.lp).all()
+    assert a.lp.nunique() > 1
+
+
+def test_lang_id_frame_tiebreak_and_und(spark):
+    rows = [(0, "nothing matching here"),
+            (1, " the la "),            # en ties es at 1 → en (earlier) wins
+            (2, " el el con "),         # es only
+            (3, " der und mit die ")]   # de
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dict(text.lang_id_frame(df, "text", "lp")
+               .select("doc_id", "lp").collect())
+    assert got == {0: "und", 1: "en", 2: "es", 3: "de"}
+
+
+def test_lang_id_frame_plan_is_linear(spark):
+    """The optimized plan must keep the score projection (scores computed
+    once), i.e. the final CASE must reference score attributes, not inline
+    five copies of the marker counting."""
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    out = text.lang_id_frame(df, "text", "lp")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # count occurrences of the expensive primitive; linear tree ⇒ one
+    # replace() per marker (5 langs × 4 markers = 20), the quadratic CASE
+    # form inlines hundreds
+    assert plan.count("replace(") <= 2 * 20, plan.count("replace(")
