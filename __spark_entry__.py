@@ -1012,6 +1012,27 @@ def q_mm_resize(spark, sf_dir):
             .orderBy("tx", "ty"))
 
 
+def q_mm_decode_png(spark, sf_dir):
+    """Multimodal PNG ingest: a binary column of real PNG payloads (filter
+    types 0-4 cycling) decoded by the from-scratch decoder (formats.py:
+    stdlib zlib + the five scanline unfilters) — exact integer pixel sums
+    checked against the DuckDB closed form (lossless ⇒ no embedded goldens)."""
+    from raster_functions_spark import fixtures, multimodal
+    imgs = fixtures.png_images_df(spark, 40)
+    return (multimodal.decode_metrics(imgs, keep_cols=("image_id",))
+            .orderBy("image_id"))
+
+
+def q_mm_decode_jpeg(spark, sf_dir):
+    """Multimodal JPEG ingest: baseline JPEG payloads (gray + RGB, 4:4:4 +
+    4:2:0, restart intervals) decoded by the from-scratch huffman+IDCT
+    decoder (jpeg.py), verified against single-process replay goldens."""
+    from raster_functions_spark import fixtures, multimodal
+    imgs = fixtures.jpeg_images_df(spark, 40)
+    return (multimodal.decode_metrics(imgs, keep_cols=("image_id",))
+            .orderBy("image_id"))
+
+
 def q_s3_feature_envelope(spark, sf_dir):
     """S2/S3 feature-service scan: Esri-JSON features parsed into rows,
     where-clause + envelope-intersects pushdown, attribute rollup. The
@@ -1189,6 +1210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_catalog": q_s7_catalog,
         "p7_qa_clear": q_p7_qa_clear,
         "mm_resize": q_mm_resize,
+        "mm_decode_png": q_mm_decode_png,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
     }.items()}
 
 
@@ -1268,6 +1291,8 @@ def oracle_sql() -> dict[str, str]:
         "s7_catalog": _orc.catalog_sql(400),
         "p7_qa_clear": _orc.qa_clear_sql(400),
         "mm_resize": _orc.resize_sql(2, 2, 32, 8, 8),
+        "mm_decode_png": _orc.png_decode_sql(40),
+        "mm_decode_jpeg": _orc.jpeg_decode_sql(40),
         "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
           WITH bands AS ({bands_union}),
           pairs AS (

@@ -176,6 +176,81 @@ def images_df(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+# ----------------------------------------- interchange-format fixtures -----
+
+PNG_DIMS = (3, 24, 24)
+
+
+def png_fixture_pixels(i: int) -> np.ndarray:
+    """Closed-form pixels (exactly reproducible in SQL): v = (i·13 + b·31 +
+    y·7 + x·3) mod 256 — PNG is lossless, so the decode contract query can
+    be checked against a DuckDB closed form, not an embedded golden."""
+    bands, h, w = PNG_DIMS
+    bb, yy, xx = np.mgrid[0:bands, 0:h, 0:w]
+    return ((i * 13 + bb * 31 + yy * 7 + xx * 3) % 256).astype(np.uint8)
+
+
+def png_images_df(spark: SparkSession, n: int,
+                  partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic table of real PNG payloads; filter type
+    cycles 0-4 so the contract query exercises every unfilter path."""
+    from . import formats
+    parts = partitions or spark.sparkContext.defaultParallelism
+    schema = T.StructType([T.StructField("image_id", T.StringType(), False),
+                           T.StructField("bytes", T.BinaryType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [{"image_id": f"png{i:05d}",
+                     "bytes": formats.encode_png(png_fixture_pixels(i),
+                                                 filter_type=i % 5)}
+                    for i in pdf["id"].tolist()]
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
+def jpeg_fixture_pixels(i: int) -> np.ndarray:
+    """Smooth deterministic content (sinusoid ramps) — JPEG-friendly so the
+    quality-90 fixtures stay comfortably above the 40 dB PSNR gate."""
+    bands = 1 if i % 4 == 0 else 3
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    planes = []
+    for b in range(bands):
+        v = (128.0 + 90.0 * np.sin(2 * np.pi * (xx + i * 3) / w + b)
+             * np.cos(2 * np.pi * yy / h))
+        planes.append(v)
+    return np.clip(np.round(np.stack(planes)), 0, 255).astype(np.uint8)
+
+
+def jpeg_fixture_payload(i: int) -> bytes:
+    """The exact JPEG bytes for row i (shared by the Spark fixture builder
+    and the oracle's single-process replay): quality 90, subsampling and
+    restart interval cycling through the supported combinations."""
+    from . import jpeg
+    px = jpeg_fixture_pixels(i)
+    sub = "420" if (i % 3 == 1 and px.shape[0] == 3) else "444"
+    return jpeg.encode_jpeg(px, quality=90, subsampling=sub,
+                            restart_interval=(0, 0, 2)[i % 3])
+
+
+def jpeg_images_df(spark: SparkSession, n: int,
+                   partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+    schema = T.StructType([T.StructField("image_id", T.StringType(), False),
+                           T.StructField("bytes", T.BinaryType(), False)])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [{"image_id": f"jpg{i:05d}",
+                     "bytes": jpeg_fixture_payload(i)}
+                    for i in pdf["id"].tolist()]
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
 # ------------------------------------------------------------- AOIs --------
 
 AOI_SCHEMA = T.StructType([

@@ -20,6 +20,7 @@ All decoders return the engine's canonical (bands, h, w) uint8 layout
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -181,15 +182,184 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return arr[:n * ch].reshape(n, ch).T.copy(), int(rate)
 
 
+# ---------------------------------------------------------------- PNG ------
+# From-scratch PNG (ISO/IEC 15948): stdlib zlib inflate/deflate + the five
+# scanline filters. Decode supports bit depth 8 and 16, color types 0
+# (grey), 2 (RGB), 3 (palette), 4 (grey+alpha), 6 (RGBA), non-interlaced.
+# Encode writes bit-depth-8 grey/RGB/RGBA with a selectable uniform filter
+# (deterministic output; all five filters covered for decoder round-trips).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _png_filter_row(ftype: int, raw: np.ndarray, prev: np.ndarray,
+                    bpp: int) -> np.ndarray:
+    """Apply filter ``ftype`` to one raw scanline (encode side)."""
+    r = raw.astype(np.int64)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prev.astype(np.int64)
+    ul = np.zeros_like(r)
+    ul[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - up
+    elif ftype == 3:
+        out = r - (left + up) // 2
+    elif ftype == 4:
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, ul))
+        out = r - pred
+    else:
+        raise ValueError(f"PNG filter type {ftype}")
+    return (out % 256).astype(np.uint8)
+
+
+def _png_unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray,
+                      bpp: int) -> np.ndarray:
+    """Reconstruct one scanline (decode side). Filters 0-2 vectorize; 1 is
+    a per-lane cumsum; 3-4 recurse on the left neighbor → short x-loop."""
+    n = cur.size
+    if ftype == 0:
+        return cur.copy()
+    if ftype == 2:
+        return ((cur.astype(np.int64) + prev) % 256).astype(np.uint8)
+    if ftype == 1:
+        lanes = cur.reshape(n // bpp, bpp).astype(np.int64)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(n)
+    out = np.empty(n, np.int64)
+    c = cur.astype(np.int64)
+    up = prev.astype(np.int64)
+    if ftype == 3:
+        out[:bpp] = (c[:bpp] + up[:bpp] // 2) % 256
+        for x in range(bpp, n):
+            out[x] = (c[x] + (out[x - bpp] + up[x]) // 2) % 256
+        return out.astype(np.uint8)
+    if ftype == 4:
+        out[:bpp] = (c[:bpp] + up[:bpp]) % 256   # left=ul=0 → Paeth picks up
+        for x in range(bpp, n):
+            a, b_, cc = out[x - bpp], up[x], up[x - bpp]
+            p = a + b_ - cc
+            pa, pb, pc = abs(p - a), abs(p - b_), abs(p - cc)
+            pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else cc)
+            out[x] = (c[x] + pred) % 256
+        return out.astype(np.uint8)
+    raise ValueError(f"unsupported PNG filter type {ftype}")
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0,
+               level: int = 6) -> bytes:
+    """(h,w)/(1,h,w) → greyscale PNG; (3,h,w) → RGB; (4,h,w) → RGBA.
+    uint8 only. ``filter_type`` applies one filter to every scanline
+    (0=None default: deterministic and cheap; 1-4 exist chiefly to
+    exercise every decoder unfilter path)."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[None]
+    if px.dtype != np.uint8:
+        raise ValueError("PNG encoder takes uint8 pixels")
+    bands, h, w = px.shape
+    ctype = {1: 0, 3: 2, 4: 6}.get(bands)
+    if ctype is None:
+        raise ValueError("PNG encoder supports 1, 3 or 4 bands")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    inter = np.ascontiguousarray(px.transpose(1, 2, 0)).reshape(h, w * bands)
+    prev = np.zeros(w * bands, np.uint8)
+    lines = []
+    for yy in range(h):
+        lines.append(bytes([filter_type])
+                     + _png_filter_row(filter_type, inter[yy], prev, bands).tobytes())
+        prev = inter[yy]
+    idat = zlib.compress(b"".join(lines), level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → (bands, h, w) uint8 (or uint16 for bit depth 16).
+    Palette images expand through PLTE (grey palettes collapse to 1 band,
+    like decode_bmp). Adam7 interlace raises."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,), ctype = struct.unpack_from(">I", buf, pos), buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + length]
+        pos += 12 + length                       # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if comp or filt:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace:
+        raise ValueError("PNG Adam7 interlace not supported")
+    if ctype_i not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype_i}")
+    if depth not in (8, 16) or (depth == 16 and ctype_i == 3):
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    nch = _PNG_CHANNELS[ctype_i]
+    sample_bytes = depth // 8
+    bpp = nch * sample_bytes
+    rowbytes = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (rowbytes + 1):
+        raise ValueError("PNG pixel data truncated")
+    rows = np.frombuffer(raw, np.uint8, h * (rowbytes + 1)).reshape(h, rowbytes + 1)
+    out = np.empty((h, rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.uint8)
+    for yy in range(h):
+        prev = _png_unfilter_row(int(rows[yy, 0]), rows[yy, 1:], prev, bpp)
+        out[yy] = prev
+    if depth == 16:
+        img = out.reshape(h, w, nch, 2).astype(np.uint16)
+        img = (img[..., 0] << 8) | img[..., 1]           # network order
+        return np.ascontiguousarray(img.transpose(2, 0, 1))
+    img = out.reshape(h, w, nch)
+    if ctype_i == 3:                                     # palette lookup
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        rgb = plte[img[:, :, 0]]
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all():
+            return rgb[:, :, 0][None].copy()
+        return np.ascontiguousarray(rgb.transpose(2, 0, 1))
+    return np.ascontiguousarray(img.transpose(2, 0, 1))
+
+
 # ------------------------------------------------------------ dispatch -----
 
 def sniff(buf: bytes) -> str | None:
-    """Format from magic bytes: 'bmp' | 'pnm' | 'wav' | 'rf' (engine
-    container) | None."""
+    """Format from magic bytes: 'bmp' | 'pnm' | 'png' | 'jpeg' | 'wav' |
+    'rf' (engine container) | None."""
     if buf[:2] == b"BM":
         return "bmp"
     if buf[:2] in (b"P5", b"P6"):
         return "pnm"
+    if buf[:8] == _PNG_SIG:
+        return "png"
+    if buf[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
     if buf[:2] == b"RF":
@@ -197,14 +367,21 @@ def sniff(buf: bytes) -> str | None:
     return None
 
 
+IMAGE_KINDS = ("bmp", "pnm", "png", "jpeg", "rf")
+
+
 def decode_image_any(buf: bytes) -> np.ndarray:
     """Decode any supported image payload to (bands, h, w)."""
-    from . import codec
+    from . import codec, jpeg
     kind = sniff(bytes(buf))
     if kind == "bmp":
         return decode_bmp(buf)
     if kind == "pnm":
         return decode_pnm(buf)
+    if kind == "png":
+        return decode_png(buf)
+    if kind == "jpeg":
+        return jpeg.decode_jpeg(buf)
     if kind == "rf":
         return codec.decode(buf)
     raise ValueError(f"unrecognized image payload (magic {bytes(buf[:4])!r})")

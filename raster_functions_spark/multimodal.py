@@ -5,11 +5,12 @@ Opaque ``binary`` payload columns with typed metadata, driven through
 
 - the engine container (codec.py: raw/rle/zlib/dct),
 - BMP, PPM/PGM and RIFF-PCM WAV (formats.py — pure struct+NumPy, no
-  external libraries).
+  external libraries),
+- PNG (formats.decode_png: stdlib zlib + the five scanline filters),
+- baseline JPEG (jpeg.py: Annex-K huffman + the shared 8×8 DCT basis).
 
-Transform-coded formats (JPEG/PNG/MP4) need codec libraries absent from
-this container — those go through PIL when available, else a
-NotImplementedError with a deterministic fake for plumbing tests.
+Video container demux (MP4 et al.) remains out of scope — frame_sample
+operates on band-stacked frame tensors in the engine container.
 """
 
 from __future__ import annotations
@@ -22,24 +23,18 @@ from pyspark.sql import types as T
 
 from . import codec, formats
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image as _PIL_Image  # noqa: N813
-except ImportError:
-    _PIL_Image = None
-
 
 def decode_external_image(buf: bytes) -> np.ndarray:
-    """Decode an external image payload to (bands, h, w). BMP/PNM decode
-    from scratch (formats.py); JPEG/PNG need PIL (absent here)."""
+    """Decode an external image payload to (bands, h, w). Every common
+    interchange format decodes from scratch: BMP/PNM (formats.py), PNG
+    (zlib + the five scanline filters, formats.decode_png), baseline JPEG
+    (huffman + IDCT, jpeg.decode_jpeg) and the engine container."""
     kind = formats.sniff(bytes(buf))
-    if kind in ("bmp", "pnm", "rf"):
+    if kind in formats.IMAGE_KINDS:
         return formats.decode_image_any(buf)
-    if _PIL_Image is not None:  # pragma: no cover
-        return np.asarray(_PIL_Image.open(__import__("io").BytesIO(buf)))
-    raise NotImplementedError(
-        "JPEG/PNG codecs unavailable in this environment; BMP/PNM and the "
-        "engine container format decode natively (formats.py), or use "
-        "fake_decode for plumbing tests")
+    raise ValueError(
+        f"unrecognized image payload (magic {bytes(buf[:4])!r}); "
+        "supported: BMP, PNM, PNG, baseline JPEG, engine container")
 
 
 def fake_decode(buf: bytes, h: int = 8, w: int = 8, bands: int = 3) -> np.ndarray:
@@ -77,7 +72,7 @@ def image_features(df: DataFrame, bytes_col: str = "bytes",
                 fmt = pdf[fmt_col].iloc[i] if fmt_col in pdf else "raw"
                 if fmt in codec.FMT_CODES:
                     px = codec.decode(buf).astype(np.float64)
-                elif formats.sniff(buf) in ("bmp", "pnm", "rf"):
+                elif formats.sniff(buf) in formats.IMAGE_KINDS:
                     px = formats.decode_image_any(buf).astype(np.float64)
                 elif use_fake:
                     px = fake_decode(buf).astype(np.float64)
@@ -95,6 +90,35 @@ def image_features(df: DataFrame, bytes_col: str = "bytes",
                              "edge_energy": float(gx + gy)}
                 rows.append({**{c: pdf[c].iloc[i] for c in keep_cols}, **feats})
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_metrics(df: DataFrame, bytes_col: str = "bytes",
+                   keep_cols: tuple = ("image_id",)) -> DataFrame:
+    """Decode any interchange payload (PNG/JPEG/BMP/PNM/engine container,
+    magic-sniffed) and emit exact integer shape + pixel-sum metrics —
+    the contract-query surface for the from-scratch decoders. One
+    mapInPandas pass; payload bytes cross the Arrow boundary exactly once
+    and never shuffle."""
+    out_schema = T.StructType([df.schema[c] for c in keep_cols] + [
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+    ])
+    cols = [f.name for f in out_schema]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                px = decode_external_image(bytes(pdf[bytes_col].iloc[i]))
+                rows.append({**{c: pdf[c].iloc[i] for c in keep_cols},
+                             "bands": px.shape[0], "h": px.shape[1],
+                             "w": px.shape[2],
+                             "px_sum": int(px.astype(np.int64).sum())})
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -1077,6 +1077,46 @@ SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
 FROM b GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
+def png_decode_sql(n: int) -> str:
+    """mm_decode_png oracle: PNG is LOSSLESS, so the decoded pixel sums are
+    the closed form the fixture was generated from — DuckDB recomputes them
+    independently (no embedded goldens): v = (i·13 + b·31 + y·7 + x·3) % 256.
+    A decoder that mis-unfilters ANY scanline of ANY of the five filter
+    types (the fixture cycles them per image) breaks the exact sum."""
+    from .fixtures import PNG_DIMS
+    bands, h, w = PNG_DIMS
+    return f"""
+SELECT 'png' || lpad(CAST(i AS VARCHAR), 5, '0') AS image_id,
+       CAST({bands} AS INT) AS bands, CAST({h} AS INT) AS h,
+       CAST({w} AS INT) AS w,
+       CAST(SUM((i*13 + b*31 + y*7 + x*3) % 256) AS BIGINT) AS px_sum
+FROM generate_series(0, {n - 1}) ti(i),
+     generate_series(0, {bands - 1}) tb(b),
+     generate_series(0, {h - 1}) ty(y),
+     generate_series(0, {w - 1}) tx(x)
+GROUP BY 1 ORDER BY image_id"""
+
+
+def jpeg_decode_sql(n: int) -> str:
+    """mm_decode_jpeg oracle: JPEG is lossy, so (ring-fill precedent) the
+    expected metrics are computed single-process by replaying the SAME
+    public payload builder + decoder and embedded as VALUES — the contract
+    verifies the DISTRIBUTED path (mapInPandas batching, Arrow transfer,
+    partitioning) reproduces them bit-for-bit at any parallelism."""
+    from . import jpeg as _jpeg
+    from .fixtures import jpeg_fixture_payload
+    rows = []
+    for i in range(n):
+        px = _jpeg.decode_jpeg(jpeg_fixture_payload(i))
+        rows.append(f"('jpg{i:05d}', {px.shape[0]}, {px.shape[1]}, "
+                    f"{px.shape[2]}, {int(px.astype(np.int64).sum())})")
+    return ("SELECT image_id, CAST(bands AS INT) AS bands, "
+            "CAST(h AS INT) AS h, CAST(w AS INT) AS w, "
+            "CAST(px_sum AS BIGINT) AS px_sum FROM (VALUES "
+            + ", ".join(rows)
+            + ") t(image_id, bands, h, w, px_sum) ORDER BY image_id")
+
+
 def lsh_topk_sql(dim: int, n_bits: int, n_probes: int, k: int,
                  q_max_id: int = 5) -> str:
     """ann_lsh oracle: hyperplane sign-bucket ANN. The bucket bits are

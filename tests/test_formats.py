@@ -100,7 +100,8 @@ def test_sniff_dispatch():
     assert formats.sniff(formats.encode_wav(np.zeros(4, np.int16))) == "wav"
     from raster_functions_spark import codec
     assert formats.sniff(codec.encode(_img(1, 2, 2))) == "rf"
-    assert formats.sniff(b"\x89PNG\r\n") is None
+    assert formats.sniff(b"\x89PNG\r\n") is None      # truncated signature
+    assert formats.sniff(formats.encode_png(_img(1, 2, 2))) == "png"
 
 
 def test_image_features_decodes_bmp_column(spark):
@@ -117,6 +118,10 @@ def test_image_features_decodes_bmp_column(spark):
     assert np.allclose(out["px_mean"], out["want_mean"])
 
 
-def test_decode_external_image_raises_for_jpeg_like():
-    with pytest.raises(NotImplementedError):
+def test_decode_external_image_rejects_malformed_jpeg():
+    """JPEG now decodes for real (jpeg.py); a payload with the right magic
+    but no scan must fail loudly, not hang."""
+    with pytest.raises(ValueError):
         multimodal.decode_external_image(b"\xff\xd8\xff\xe0JFIF....")
+    with pytest.raises(ValueError, match="unrecognized"):
+        multimodal.decode_external_image(b"\x00\x11\x22\x33")

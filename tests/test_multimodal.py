@@ -18,8 +18,17 @@ def test_image_features_engine_format(spark):
 
 
 def test_external_decode_raises():
-    with pytest.raises(NotImplementedError):
+    """JPEG decodes for real now (jpeg.py) — malformed payloads with a JPEG
+    magic raise ValueError, as do unknown magics."""
+    with pytest.raises(ValueError):
         multimodal.decode_external_image(b"\xff\xd8\xff\xe0fakejpeg")
+    with pytest.raises(ValueError, match="unrecognized"):
+        multimodal.decode_external_image(b"\x01\x02\x03\x04")
+    # a REAL jpeg payload decodes
+    from raster_functions_spark import jpeg
+    px = np.full((3, 8, 8), 77, np.uint8)
+    out = multimodal.decode_external_image(jpeg.encode_jpeg(px, quality=95))
+    assert out.shape == (3, 8, 8)
 
 
 def test_fake_decode_deterministic():

@@ -1,0 +1,267 @@
+"""From-scratch PNG (formats.py) and baseline JPEG (jpeg.py) codecs.
+
+Round-trips cover every filter/subsampling/restart path; the golden tests
+build payloads BY HAND from the public specs (independent of the encoders)
+so a matched encode/decode bug cannot cancel out.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raster_functions_spark import codec, formats, jpeg, multimodal
+
+
+def _img(bands, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (bands, h, w), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------- PNG ------
+
+@pytest.mark.parametrize("bands", [1, 3, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(bands, ftype):
+    px = _img(bands, 13, 17, seed=bands * 10 + ftype)
+    out = formats.decode_png(formats.encode_png(px, filter_type=ftype))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, px)
+
+
+def test_png_golden_hand_built_sub_filter():
+    """Hand-assembled 3×2 greyscale PNG with the Sub filter, filter bytes
+    computed by hand from the spec: recon[x] = raw[x] + recon[x-1]."""
+    # target image rows: [10, 20, 40], [7, 7, 250]
+    # Sub-filtered bytes: [10, 10, 20], [7, 0, 243]
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    raw = bytes([1, 10, 10, 20]) + bytes([1, 7, 0, 243])
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + formats._png_chunk(b"IHDR", ihdr)
+           + formats._png_chunk(b"IDAT", zlib.compress(raw))
+           + formats._png_chunk(b"IEND", b""))
+    out = formats.decode_png(buf)
+    assert np.array_equal(out, np.array([[[10, 20, 40], [7, 7, 250]]], np.uint8))
+
+
+def test_png_golden_hand_built_paeth():
+    """2×2 RGB, second row Paeth-filtered; predictors worked out by hand.
+    Row0 (None): pixels (1,2,3),(5,6,7). Row1 target (4,4,4),(9,9,9):
+    x<bpp → pred=up → stored = target-up; x≥bpp → a=left,b=up,c=upleft,
+    p=a+b-c picks the smallest |p-·|."""
+    r0 = [1, 2, 3, 5, 6, 7]
+    r1t = [4, 4, 4, 9, 9, 9]
+    # first pixel: pred = up = (1,2,3) → stored (3,2,1)
+    st1 = [(r1t[i] - r0[i]) % 256 for i in range(3)]
+    # second pixel: a=(4,4,4) b=(5,6,7) c=(1,2,3); p = a+b-c = (8,8,8);
+    # |p-a|=(4,4,4) |p-b|=(3,2,1) |p-c|=(7,6,5) → pred=b=(5,6,7)
+    st2 = [(r1t[3 + i] - r0[3 + i]) % 256 for i in range(3)]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = bytes([0] + r0) + bytes([4] + st1 + st2)
+    buf = (b"\x89PNG\r\n\x1a\n"
+           + formats._png_chunk(b"IHDR", ihdr)
+           + formats._png_chunk(b"IDAT", zlib.compress(raw))
+           + formats._png_chunk(b"IEND", b""))
+    out = formats.decode_png(buf)
+    want = np.array(r0 + r1t, np.uint8).reshape(2, 2, 3).transpose(2, 0, 1)
+    assert np.array_equal(out, want)
+
+
+def test_png_palette_color_and_grey():
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = bytes([0, 0, 1])
+    # color palette → 3-band expansion
+    plte = bytes([255, 0, 0, 0, 0, 255])
+    buf = (b"\x89PNG\r\n\x1a\n" + formats._png_chunk(b"IHDR", ihdr)
+           + formats._png_chunk(b"PLTE", plte)
+           + formats._png_chunk(b"IDAT", zlib.compress(raw))
+           + formats._png_chunk(b"IEND", b""))
+    out = formats.decode_png(buf)
+    assert out.shape == (3, 1, 2)
+    assert out[:, 0, 0].tolist() == [255, 0, 0]
+    assert out[:, 0, 1].tolist() == [0, 0, 255]
+    # grey palette → collapses to 1 band
+    plte_g = bytes([9, 9, 9, 200, 200, 200])
+    buf_g = (b"\x89PNG\r\n\x1a\n" + formats._png_chunk(b"IHDR", ihdr)
+             + formats._png_chunk(b"PLTE", plte_g)
+             + formats._png_chunk(b"IDAT", zlib.compress(raw))
+             + formats._png_chunk(b"IEND", b""))
+    out_g = formats.decode_png(buf_g)
+    assert out_g.shape == (1, 1, 2)
+    assert out_g[0, 0].tolist() == [9, 200]
+
+
+def test_png_16bit_grey():
+    vals = np.array([[1000, 65535, 0, 256]], np.uint16)
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 16, 0, 0, 0, 0)
+    raw = bytes([0]) + vals.astype(">u2").tobytes()
+    buf = (b"\x89PNG\r\n\x1a\n" + formats._png_chunk(b"IHDR", ihdr)
+           + formats._png_chunk(b"IDAT", zlib.compress(raw))
+           + formats._png_chunk(b"IEND", b""))
+    out = formats.decode_png(buf)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, vals[None])
+
+
+def test_png_rejects_unsupported():
+    px = _img(1, 4, 4)
+    buf = bytearray(formats.encode_png(px))
+    # IHDR data starts at 8 (sig) + 8 (len+type); interlace byte is last
+    ihdr_off = 8 + 8
+    buf[ihdr_off + 12] = 1                       # Adam7
+    # fix the CRC so the only failure is the interlace check
+    crc = zlib.crc32(b"IHDR" + bytes(buf[ihdr_off:ihdr_off + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", buf, ihdr_off + 13, crc)
+    with pytest.raises(ValueError, match="Adam7"):
+        formats.decode_png(bytes(buf))
+    with pytest.raises(ValueError, match="not a PNG"):
+        formats.decode_png(b"\x89PNG\r\n\x1a\x00" + b"x" * 30)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 24), st.integers(1, 24),
+       st.integers(0, 4), st.integers(0, 2 ** 31 - 1))
+def test_png_roundtrip_fuzz(bands_i, h, w, ftype, seed):
+    bands = [1, 3, 4][bands_i - 1]
+    px = _img(bands, h, w, seed=seed)
+    assert np.array_equal(formats.decode_png(formats.encode_png(px, filter_type=ftype)), px)
+
+
+# --------------------------------------------------------------- JPEG ------
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("quality", [75, 90, 95])
+def test_jpeg_roundtrip_smooth_psnr(sub, quality):
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack([(xx * 2 + yy).astype(np.uint8),
+                   (xx + yy * 2).astype(np.uint8),
+                   (xx // 2 + 100).astype(np.uint8)])
+    rec = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=quality, subsampling=sub))
+    assert rec.shape == px.shape
+    p = codec.psnr(px, rec)
+    assert p >= (40 if sub == "444" else 38), p
+
+
+def test_jpeg_grayscale_and_odd_sizes():
+    yy, xx = np.mgrid[0:9, 0:11]
+    g = (xx * 3 + yy * 5).astype(np.uint8)
+    rec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert rec.shape == (1, 9, 11)
+    assert codec.psnr(g[None], rec) >= 40
+    for sub in ("444", "420"):
+        px = _img(3, 17, 23, seed=7)
+        rec = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=95, subsampling=sub))
+        assert rec.shape == px.shape
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_jpeg_restart_intervals(ri):
+    px = _img(3, 24, 40, seed=ri)
+    buf = jpeg.encode_jpeg(px, quality=95, subsampling="420", restart_interval=ri)
+    assert b"\xff\xdd" in buf                    # DRI marker present
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=95, subsampling="420"))
+    rec = jpeg.decode_jpeg(buf)
+    # restart markers change framing, not content
+    assert np.array_equal(rec, base)
+
+
+def test_jpeg_golden_hand_built_single_block():
+    """A 8×8 grayscale JPEG assembled by hand: flat DC-only block, the
+    Huffman code derived with an INLINE canonical-code builder straight
+    from Annex C (independent of jpeg.py's internals). Quant table all
+    ones, DC diff = 80 → every sample = round(80/8) + 128 = 138."""
+    def canonical(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00]                              # only EOB
+    dc = canonical(dc_bits, dc_vals)
+    ac = canonical(ac_bits, ac_vals)
+    # entropy: DC category 7 code, then 80 in 7 bits, then EOB
+    bitstr = ""
+    c, ln = dc[7]
+    bitstr += format(c, f"0{ln}b") + format(80, "07b")
+    c, ln = ac[0x00]
+    bitstr += format(c, f"0{ln}b")
+    bitstr += "1" * ((-len(bitstr)) % 8)
+    entropy = bytes(int(bitstr[i:i + 8], 2) for i in range(0, len(bitstr), 8))
+    entropy = entropy.replace(b"\xff", b"\xff\x00")
+
+    def chunk(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    buf = (b"\xff\xd8"
+           + chunk(b"\xff\xdb", b"\x00" + bytes([1] * 64))
+           + chunk(b"\xff\xc0", struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+           + chunk(b"\xff\xc4", b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+           + chunk(b"\xff\xc4", b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+           + chunk(b"\xff\xda", b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+           + entropy + b"\xff\xd9")
+    out = jpeg.decode_jpeg(buf)
+    assert out.shape == (1, 8, 8)
+    assert np.array_equal(out, np.full((1, 8, 8), 138, np.uint8))
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    px = _img(1, 8, 8)
+    buf = bytearray(jpeg.encode_jpeg(px))
+    i = bytes(buf).find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg.decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00\x10" + b"\x00" * 14)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 2), st.integers(8, 40), st.integers(8, 40),
+       st.integers(0, 2 ** 31 - 1))
+def test_jpeg_roundtrip_fuzz_shapes(bands_i, h, w, seed):
+    """Any shape decodes back to the exact input shape with sane values;
+    worst-case (noise) PSNR at q95 stays above the lossy floor."""
+    bands = 1 if bands_i == 1 else 3
+    px = _img(bands, h, w, seed=seed)
+    rec = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=95))
+    assert rec.shape == px.shape
+    assert codec.psnr(px, rec) > 25
+
+
+def test_jpeg_truncated_raises_not_hangs():
+    px = _img(3, 16, 16, seed=1)
+    buf = jpeg.encode_jpeg(px, quality=90)
+    # cut inside the entropy stream: decode must terminate (the MCU loop is
+    # bounded) — either a clean ValueError or a decoded array is acceptable,
+    # an infinite loop/crash is not
+    try:
+        out = jpeg.decode_jpeg(buf[:len(buf) - 20])
+        assert out.shape == (3, 16, 16)
+    except ValueError:
+        pass
+
+
+# ------------------------------------------------------------- wiring ------
+
+def test_sniff_and_dispatch_png_jpeg():
+    png = formats.encode_png(_img(3, 4, 4))
+    jpg = jpeg.encode_jpeg(_img(3, 8, 8))
+    assert formats.sniff(png) == "png"
+    assert formats.sniff(jpg) == "jpeg"
+    assert formats.decode_image_any(png).shape == (3, 4, 4)
+    assert formats.decode_image_any(jpg).shape == (3, 8, 8)
+    assert multimodal.decode_external_image(png).shape == (3, 4, 4)
+    with pytest.raises(ValueError, match="unrecognized"):
+        multimodal.decode_external_image(b"\x00\x01\x02\x03")
