@@ -100,7 +100,7 @@ def flagship_modular(spark: SparkSession, images: DataFrame, aoi: DataFrame,
 
 
 def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
-             cell_res: int = 7) -> DataFrame:
+             cell_res: int = 7, broadcast_threshold: int = 10000) -> DataFrame:
     """decode → cell-encode → PIP join → zonal stats with ONE fused Python
     pass (SURVEY.md O11): decode, features, vectorized cell-encode, bbox
     prefilter and exact PIP all happen on each Arrow batch in a single
@@ -108,8 +108,20 @@ def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
 
     At N tasks this runs exactly N Python workers (the chained-stage
     variant runs 3N — a 3× oversubscription that inverts local-mode
-    scaling and wastes executor memory on a real cluster)."""
+    scaling and wastes executor memory on a real cluster).
+
+    Routing: the fused path materializes the AOI table on the driver and
+    broadcasts it, which is the right call for the typical few-thousand-
+    polygon case but a ceiling at millions of polygons. The same bounded
+    probe as spatial.pip_join (limit N+1, never a full count) routes
+    oversized vector sides to the fused-decode + cell-cover partitioned
+    join, which never touches the driver."""
     _auto_ship(spark)
+    n_aoi = aoi.limit(broadcast_threshold + 1).count()
+    if n_aoi > broadcast_threshold:
+        feats = decode_features(images, cell_res)
+        assigned = spatial.pip_join_partitioned(feats, aoi)
+        return _zonal_agg(assigned)
     aoi_pdf = aoi.select("aoi_id", "ring_x", "ring_y",
                          "xmin", "ymin", "xmax", "ymax").toPandas()
     baoi = spark.sparkContext.broadcast({

@@ -165,36 +165,42 @@ def pip_join_partitioned(points: DataFrame, aoi: DataFrame,
 
     No driver-side materialization of the vector side anywhere: when
     ``res`` is not given it comes from a distributed approxQuantile of the
-    bbox spans (pass ``res`` explicitly to skip even that small job)."""
+    bbox spans (pass ``res`` explicitly to skip even that small job).
+
+    The join key lives in a private ``_cover_cell`` column (dropped from
+    the output), so a caller's own ``cell`` column — e.g. the flagship's
+    zonal cell at a different resolution — passes through untouched."""
     r = res if res is not None else auto_cover_res_distributed(aoi)
     spark = points.sparkSession
 
-    cover_schema = "aoi_id long, cell long, ring_x array<double>, ring_y array<double>"
+    cover_schema = ("aoi_id long, _cover_cell long, "
+                    "ring_x array<double>, ring_y array<double>")
 
     def explode_cover(batches):
         for pdf in batches:
-            out = {"aoi_id": [], "cell": [], "ring_x": [], "ring_y": []}
+            out = {"aoi_id": [], "_cover_cell": [], "ring_x": [], "ring_y": []}
             for i in range(len(pdf)):
                 cells = polygon_cover_cells(pdf["ring_x"].iloc[i], pdf["ring_y"].iloc[i], r)
                 out["aoi_id"].extend([int(pdf["aoi_id"].iloc[i])] * cells.size)
-                out["cell"].extend(cells.tolist())
+                out["_cover_cell"].extend(cells.tolist())
                 out["ring_x"].extend([list(pdf["ring_x"].iloc[i])] * cells.size)
                 out["ring_y"].extend([list(pdf["ring_y"].iloc[i])] * cells.size)
             yield pd.DataFrame(out)
 
     covers = aoi.select("aoi_id", "ring_x", "ring_y").mapInPandas(explode_cover, cover_schema)
 
-    pts = points.withColumn("cell", grid.encode_col(F.col(x_col), F.col(y_col), r))
+    pts = points.withColumn("_cover_cell",
+                            grid.encode_col(F.col(x_col), F.col(y_col), r))
     if salt_hot_cells > 0:
         covers = covers.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_hot_cells - 1))))
         pts = pts.withColumn("salt", F.pmod(F.hash(x_col, y_col), F.lit(salt_hot_cells)))
-        joined = pts.join(covers, ["cell", "salt"]).drop("salt")
+        joined = pts.join(covers, ["_cover_cell", "salt"]).drop("salt")
     else:
-        joined = pts.join(covers, "cell")
+        joined = pts.join(covers, "_cover_cell")
 
     out_schema = T.StructType([f for f in joined.schema
-                               if f.name not in ("ring_x", "ring_y")])
+                               if f.name not in ("ring_x", "ring_y", "_cover_cell")])
 
     def refine(batches):
         for pdf in batches:
@@ -207,7 +213,7 @@ def pip_join_partitioned(points: DataFrame, aoi: DataFrame,
                 keep[loc] = point_in_polygon_np(
                     pdf[x_col].to_numpy(np.float64)[loc],
                     pdf[y_col].to_numpy(np.float64)[loc], rx, ry)
-            yield pdf.loc[keep].drop(columns=["ring_x", "ring_y"])
+            yield pdf.loc[keep].drop(columns=["ring_x", "ring_y", "_cover_cell"])
 
     return joined.mapInPandas(refine, schema=out_schema)
 

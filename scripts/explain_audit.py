@@ -148,6 +148,23 @@ def main() -> int:
     checks.append(("sarima: codegen pre-agg + single applyInPandas", ok))
     out += ["\n## m5_sarima\n", p]
 
+    # 12. flagship above the AOI threshold routes to the cell-cover
+    # partitioned join: the plan must carry a shuffle equi-join on the
+    # private _cover_cell key and NO broadcast of the vector side (and
+    # therefore no driver-side toPandas of the AOI table — the broadcast
+    # path is the only one that materializes it)
+    from raster_functions_spark import fixtures, pipeline
+    imgs_small = fixtures.images_df(spark, 50, partitions=2)
+    aoi_many = fixtures.aoi_df(spark, 60)
+    p = plan_of(pipeline.flagship(spark, imgs_small, aoi_many,
+                                  broadcast_threshold=10))
+    # "_cover_cell" proves the partitioned implementation was selected
+    # (the broadcast path has no join node at all — the AOI table would
+    # instead be collected to the driver before the plan even builds)
+    ok = "_cover_cell" in p and "BroadcastNestedLoopJoin" not in p
+    checks.append(("flagship >threshold AOIs: partitioned cell join, no driver collect", ok))
+    out += ["\n## flagship_partitioned_route\n", p]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:

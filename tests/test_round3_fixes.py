@@ -147,6 +147,38 @@ def test_sarima_short_group_matches_oracle(spark):
     assert got[got.g == "short"].delta.iloc[0] == 0.0
 
 
+# ------------------------------------------- flagship partitioned route ----
+
+def test_flagship_routes_to_partitioned_above_threshold(spark):
+    """Above the AOI broadcast threshold the fused flagship must fall back
+    to the cell-cover partitioned join (no driver materialization) and
+    produce EXACTLY the broadcast path's zonal output — including the
+    flagship's own zonal cell column surviving at its resolution."""
+    from raster_functions_spark import fixtures, pipeline
+    images = fixtures.images_df(spark, 120, partitions=4)
+    aoi = fixtures.aoi_df(spark, 12)
+    small = pipeline.flagship(spark, images, aoi, broadcast_threshold=10000).toPandas()
+    large = pipeline.flagship(spark, images, aoi, broadcast_threshold=5).toPandas()
+    assert small.columns.tolist() == large.columns.tolist()
+    a = small.sort_values("aoi_id").reset_index(drop=True)
+    b = large.sort_values("aoi_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_pip_join_partitioned_preserves_caller_cell(spark):
+    """A caller-owned 'cell' column must pass through the partitioned PIP
+    join untouched (the join key lives in a private column)."""
+    from raster_functions_spark import fixtures, spatial
+    pts = (spark.createDataFrame(
+        [(i, 10.0 + i * 0.1, 45.0 + i * 0.05, 777000 + i) for i in range(20)],
+        "pt_id long, lon double, lat double, cell long"))
+    aoi = fixtures.aoi_df(spark, 3)
+    out = spatial.pip_join_partitioned(pts, aoi)
+    assert "cell" in out.columns and "_cover_cell" not in out.columns
+    got = out.select("pt_id", "cell").toPandas()
+    assert (got.cell == 777000 + got.pt_id).all()
+
+
 # ------------------------------------------------- linear-tree lang ID -----
 
 def test_lang_id_frame_equals_column_form(spark):
