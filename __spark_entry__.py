@@ -716,6 +716,21 @@ def q_f4_windchill(spark, sf_dir):
             .orderBy("image_id"))
 
 
+def q_f4_windchill_units(spark, sf_dir):
+    """F4 windchill with the reference's unit conversions exercised end to
+    end: temperature interpreted as Kelvin, wind as m/s, output in °C
+    (Windchill.py:101-126). Both the converted-formula branch and the
+    pass-through (calm-wind) branch occur in the fixture."""
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [pointwise.windchill(t_units="k", w_units="m/s",
+                                          out_units="c")],
+                     {"sum_wc": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_wc", 3).alias("sum_wc"))
+            .orderBy("image_id"))
+
+
 def q_f5_heat_index(spark, sf_dir):
     """F5 Rothfusz heat index (with both NWS adjustments and the strict
     >80 gate) over rescaled red/NIR bands — per-image sums."""
@@ -1187,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_aspect_slope": q_w2_aspect_slope,
         "w7_mdhillshade": q_w7_mdhillshade,
         "f4_windchill": q_f4_windchill,
+        "f4_windchill_units": q_f4_windchill_units,
         "f5_heat_index": q_f5_heat_index,
         "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
         "f8_vineyard": q_f8_vineyard,
@@ -1268,6 +1284,8 @@ def oracle_sql() -> dict[str, str]:
         "w2_aspect_slope": _orc.aspect_slope_class_sql(3, 2, 32),
         "w7_mdhillshade": _orc.mdhillshade_sql(3, 2, 32),
         "f4_windchill": _orc.windchill_sql(400),
+        "f4_windchill_units": _orc.windchill_sql(400, t_units="k",
+                                                 w_units="m/s", out_units="c"),
         "f5_heat_index": _orc.heat_index_sql(400),
         "f6_fuzzy_gaussian": _orc.fuzzy_gaussian_sql(3, 2, 32, 100.0, 0.001),
         "f8_vineyard": _orc.vineyard_sql(400),

@@ -59,15 +59,33 @@ def band_arithmetic(op: str, a_band: int = 0, b_band: int = 1) -> TileOp:
     return TileOp(f"arith_{op}", fn, bands_out=1, dtype_out="f4")
 
 
-def windchill(temp_band: int = 0, wind_band: int = 1) -> TileOp:
-    """NWS wind-chill (°F, mph) — formula behavior of
-    /root/reference/functions/deprecated/Windchill.py:117-119."""
+_WC_T_IN = {"f": (1.0, 0.0), "k": (1.8, -459.67), "c": (1.8, 32.0)}
+_WC_W_IN = {"mph": 1.0, "m/s": 3600.0 / 1609.344, "kph": 1.0 / 1.609344,
+            "knots": 1.0 / 1.15077945, "ft/s": 5280.0 / 3600.0}
+
+
+def windchill(temp_band: int = 0, wind_band: int = 1, t_units: str = "f",
+              w_units: str = "mph", out_units: str = "f") -> TileOp:
+    """NWS wind-chill — formula behavior of
+    /root/reference/functions/deprecated/Windchill.py:117-119, with the
+    reference's full unit surface (Windchill.py:101-126): temperature in
+    °F/K/°C, wind in mph/(m/s)/kph/knots/(ft/s), output in °F/K/°C. All
+    conversions use the reference's exact constants."""
+    ta, tb = _WC_T_IN[t_units.lower()]
+    wk = _WC_W_IN[w_units.lower()]
+    ou = out_units.lower()
+
     def fn(px, meta):
-        t = px[temp_band].astype(np.float64)
-        w = px[wind_band].astype(np.float64)
+        t = px[temp_band].astype(np.float64) * ta + tb          # → °F
+        w = px[wind_band].astype(np.float64) * wk               # → mph
         w16 = np.power(np.maximum(w, 0.0), 0.16)
         wc = 35.74 + 0.6215 * t - 35.75 * w16 + 0.4275 * t * w16
-        return np.where((t <= 50.0) & (w > 3.0), wc, t).astype(np.float32)
+        wc = np.where((t <= 50.0) & (w > 3.0), wc, t)
+        if ou == "k":
+            wc = (wc + 459.67) / 1.8
+        elif ou == "c":
+            wc = (wc - 32.0) / 1.8
+        return wc.astype(np.float32)
     return TileOp("windchill", fn, bands_out=1, dtype_out="f4")
 
 

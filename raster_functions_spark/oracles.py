@@ -461,16 +461,27 @@ px AS (
   WHERE x < w AND y < h)"""
 
 
-def windchill_sql(n_images: int) -> str:
-    """f4_windchill oracle over kind-1 images (red = °F, nir = mph):
-    NWS regression where T ≤ 50 and wind > 3, else T; engine stores f32."""
-    wc_expr = ("35.74 + 0.6215*red - 35.75*pow(GREATEST(nir, 0.0), 0.16)"
-               " + 0.4275*red*pow(GREATEST(nir, 0.0), 0.16)")
+def windchill_sql(n_images: int, t_units: str = "f", w_units: str = "mph",
+                  out_units: str = "f") -> str:
+    """f4_windchill oracle over kind-1 images (red = temperature, nir =
+    wind speed): NWS regression where T ≤ 50 °F and wind > 3 mph, else T,
+    with the reference's unit conversions (Windchill.py:101-126) mirrored
+    exactly; engine stores f32."""
+    ta, tb = {"f": ("1.0", "0.0"), "k": ("1.8", "-459.67"),
+              "c": ("1.8", "32.0")}[t_units.lower()]
+    wk = {"mph": "1.0", "m/s": "(3600.0/1609.344)", "kph": "(1.0/1.609344)",
+          "knots": "(1.0/1.15077945)", "ft/s": "(5280.0/3600.0)"}[w_units.lower()]
+    t = f"(red * {ta} + {tb})"
+    w = f"(nir * {wk})"
+    wc_expr = (f"35.74 + 0.6215*{t} - 35.75*pow(GREATEST({w}, 0.0), 0.16)"
+               f" + 0.4275*{t}*pow(GREATEST({w}, 0.0), 0.16)")
+    gated = f"(CASE WHEN {t} <= 50.0 AND {w} > 3.0 THEN {wc_expr} ELSE {t} END)"
+    out_expr = {"f": gated, "k": f"(({gated}) + 459.67) / 1.8",
+                "c": f"(({gated}) - 32.0) / 1.8"}[out_units.lower()]
     return f"""
 WITH {_kind1_px_cte(n_images)},
 v AS (
-  SELECT i, CAST(CASE WHEN red <= 50.0 AND nir > 3.0
-                      THEN {wc_expr} ELSE red END AS FLOAT) AS wcv
+  SELECT i, CAST({out_expr} AS FLOAT) AS wcv
   FROM px)
 SELECT printf('img%09d', i) AS image_id,
        ROUND(SUM(CAST(wcv AS DOUBLE)), 3) AS sum_wc

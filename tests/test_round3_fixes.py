@@ -179,6 +179,37 @@ def test_pip_join_partitioned_preserves_caller_cell(spark):
     assert (got.cell == 777000 + got.pt_id).all()
 
 
+# ------------------------------------------------ windchill unit matrix ----
+
+def test_windchill_unit_conversions_consistent():
+    """The same physical conditions expressed in every supported unit must
+    give identical wind chill (reference Windchill.py:101-126 constants)."""
+    from raster_functions_spark.operators import pointwise
+    t_f, w_mph = -5.0, 20.0
+    base = pointwise.windchill()
+    px_f = np.array([[[t_f]], [[w_mph]]], np.float64)
+    want = base.fn(px_f, {})[0, 0]
+
+    cases = [
+        ("k", (t_f + 459.67) / 1.8, "mph", w_mph),
+        ("c", (t_f - 32.0) / 1.8, "mph", w_mph),
+        ("f", t_f, "m/s", w_mph * 1609.344 / 3600.0),
+        ("f", t_f, "kph", w_mph * 1.609344),
+        ("f", t_f, "knots", w_mph * 1.15077945),
+        ("f", t_f, "ft/s", w_mph * 3600.0 / 5280.0),
+    ]
+    for tu, tv, wu, wv in cases:
+        op = pointwise.windchill(t_units=tu, w_units=wu)
+        got = op.fn(np.array([[[tv]], [[wv]]], np.float64), {})[0, 0]
+        assert got == pytest.approx(want, abs=1e-4), (tu, wu)
+    # output conversions round-trip
+    for ou, conv in (("k", lambda f: (f + 459.67) / 1.8),
+                     ("c", lambda f: (f - 32.0) / 1.8)):
+        op = pointwise.windchill(out_units=ou)
+        got = op.fn(px_f, {})[0, 0]
+        assert got == pytest.approx(conv(float(want)), abs=1e-4), ou
+
+
 # ------------------------------------------------- linear-tree lang ID -----
 
 def test_lang_id_frame_equals_column_form(spark):
