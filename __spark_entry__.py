@@ -937,6 +937,53 @@ def q_j6_nearest_labels(spark, sf_dir):
             .orderBy("image_id"))
 
 
+def q_m3_random_forest(spark, sf_dir):
+    """M3 per-pixel RandomForest classification (from-scratch bagged CART,
+    RandomForestClassifier.py:92-111 band layout: class, p1, p2) over
+    lossless red/NIR tiles — class counts + p(best) sums, verified against
+    a single-process replay of the deterministic model."""
+    import numpy as np
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import ml
+    from raster_functions_spark.raster import tile_stats
+    tX, ty = fixtures.ml_training_set()
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [ml.random_forest_classifier(tX, ty, n_trees=8, max_depth=4)],
+                     {"n_c0": lambda px, m: float((px[0] == 0).sum()),
+                      "n_c1": lambda px, m: float((px[0] == 1).sum()),
+                      "n_c2": lambda px, m: float((px[0] == 2).sum()),
+                      "sum_p1": lambda px, m: float(px[1].astype(np.float64).sum())},
+                     keep_cols=["image_id"])
+    return (out.select("image_id",
+                       F.col("n_c0").cast("long").alias("n_c0"),
+                       F.col("n_c1").cast("long").alias("n_c1"),
+                       F.col("n_c2").cast("long").alias("n_c2"),
+                       F.round("sum_p1", 3).alias("sum_p1"))
+            .orderBy("image_id"))
+
+
+def q_m4_gbt(spark, sf_dir):
+    """M4 per-pixel gradient-boosted classification (from-scratch logit
+    boosting, GradientBoostedClassifier.py:95-112 capability) — binary
+    class counts + probability sums vs the single-process replay."""
+    import numpy as np
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import ml
+    from raster_functions_spark.raster import tile_stats
+    tX, ty = fixtures.ml_training_set(centroids=((40.0, 40.0), (200.0, 200.0)))
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [ml.gradient_boosted_classifier(tX, ty, n_rounds=15)],
+                     {"n_c0": lambda px, m: float((px[0] == 0).sum()),
+                      "n_c1": lambda px, m: float((px[0] == 1).sum()),
+                      "sum_p": lambda px, m: float(px[1].astype(np.float64).sum())},
+                     keep_cols=["image_id"])
+    return (out.select("image_id",
+                       F.col("n_c0").cast("long").alias("n_c0"),
+                       F.col("n_c1").cast("long").alias("n_c1"),
+                       F.round("sum_p", 3).alias("sum_p"))
+            .orderBy("image_id"))
+
+
 def q_f15_chuck_close(spark, sf_dir):
     """F15 BasicChuckClose: tile block means quantized to 4 gray levels."""
     from raster_functions_spark import fixtures
@@ -1228,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
+        "m3_random_forest": q_m3_random_forest,
+        "m4_gbt": q_m4_gbt,
     }.items()}
 
 
@@ -1311,6 +1360,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize": _orc.resize_sql(2, 2, 32, 8, 8),
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),
+        "m3_random_forest": _orc.rf_classify_sql(400),
+        "m4_gbt": _orc.gbt_classify_sql(400),
         "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
           WITH bands AS ({bands_union}),
           pairs AS (

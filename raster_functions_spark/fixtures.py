@@ -176,6 +176,26 @@ def images_df(spark: SparkSession, n: int, partitions: int | None = None) -> Dat
     return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
 
 
+# ------------------------------------------------ ML training fixtures -----
+
+def ml_training_set(n_per: int = 25,
+                    centroids: tuple = ((40.0, 40.0), (200.0, 200.0),
+                                        (40.0, 200.0))) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic 2-feature training blobs in the kind-1 pixel range
+    (red 0-250, nir 0-240): splitmix jitter ±20 around each centroid.
+    Shared by the m3/m4 contract queries and their replay oracles — the
+    model fits are seeded and deterministic, so fixture-computed
+    predictions are valid oracle goldens (ring-fill precedent)."""
+    xs, ys = [], []
+    for c, (cx, cy) in enumerate(centroids):
+        idx = np.arange(n_per, dtype=np.uint64) + np.uint64(c * 100000)
+        jx = (_unit(idx, 21) - 0.5) * 40.0
+        jy = (_unit(idx, 22) - 0.5) * 40.0
+        xs.append(np.stack([cx + jx, cy + jy], axis=1))
+        ys.append(np.full(n_per, c, dtype=np.int64))
+    return np.concatenate(xs), np.concatenate(ys)
+
+
 # ----------------------------------------- interchange-format fixtures -----
 
 PNG_DIMS = (3, 24, 24)

@@ -1088,6 +1088,56 @@ SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
 FROM b GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
+def _kind1_lossless_indices(n_images: int) -> list[int]:
+    from .fixtures import tile_fmt, tile_kind
+    return [i for i in range(n_images)
+            if tile_kind(i) == 1 and tile_fmt(i) != "dct"]
+
+
+def rf_classify_sql(n_images: int, n_trees: int = 8, max_depth: int = 4) -> str:
+    """m3_random_forest oracle: the from-scratch bagged-CART fit is seeded
+    and deterministic but not SQL-expressible, so (ring-fill precedent) the
+    expected per-image class counts and probability sums are computed by a
+    single-process replay of the same public model over the closed-form
+    fixture pixels and embedded as VALUES. The distributed path under test:
+    model broadcast, per-tile batched predict, exact aggregation."""
+    from .fixtures import gen_pixels, ml_training_set
+    from .operators import ml
+    tX, ty = ml_training_set()
+    op = ml.random_forest_classifier(tX, ty, n_trees=n_trees, max_depth=max_depth)
+    rows = []
+    for i in _kind1_lossless_indices(n_images):
+        out = op.apply(gen_pixels(i), {})
+        rows.append(
+            f"('img{i:09d}', {int((out[0] == 0).sum())}, "
+            f"{int((out[0] == 1).sum())}, {int((out[0] == 2).sum())}, "
+            f"{round(float(out[1].astype(np.float64).sum()), 3)!r})")
+    return ("SELECT image_id, CAST(n_c0 AS BIGINT) AS n_c0, "
+            "CAST(n_c1 AS BIGINT) AS n_c1, CAST(n_c2 AS BIGINT) AS n_c2, "
+            "sum_p1 FROM (VALUES " + ", ".join(rows)
+            + ") t(image_id, n_c0, n_c1, n_c2, sum_p1) ORDER BY image_id")
+
+
+def gbt_classify_sql(n_images: int, n_rounds: int = 15) -> str:
+    """m4_gbt oracle: same replay scheme as rf_classify_sql for the
+    from-scratch binary logit-boosting ensemble."""
+    from .fixtures import gen_pixels, ml_training_set
+    from .operators import ml
+    tX, ty = ml_training_set(centroids=((40.0, 40.0), (200.0, 200.0)))
+    op = ml.gradient_boosted_classifier(tX, ty, n_rounds=n_rounds)
+    rows = []
+    for i in _kind1_lossless_indices(n_images):
+        out = op.apply(gen_pixels(i), {})
+        rows.append(
+            f"('img{i:09d}', {int((out[0] == 0).sum())}, "
+            f"{int((out[0] == 1).sum())}, "
+            f"{round(float(out[1].astype(np.float64).sum()), 3)!r})")
+    return ("SELECT image_id, CAST(n_c0 AS BIGINT) AS n_c0, "
+            "CAST(n_c1 AS BIGINT) AS n_c1, sum_p FROM (VALUES "
+            + ", ".join(rows)
+            + ") t(image_id, n_c0, n_c1, sum_p) ORDER BY image_id")
+
+
 def png_decode_sql(n: int) -> str:
     """mm_decode_png oracle: PNG is LOSSLESS, so the decoded pixel sums are
     the closed form the fixture was generated from — DuckDB recomputes them
