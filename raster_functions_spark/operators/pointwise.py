@@ -237,7 +237,9 @@ def calculator(expression: str, band_names: dict[str, int]) -> TileOp:
     ns = {"Sin": np.sin, "Cos": np.cos, "Tan": np.tan, "ASin": np.arcsin,
           "ACos": np.arccos, "ATan": np.arctan, "Sqrt": np.sqrt, "Abs": np.abs,
           "Exp": np.exp, "Ln": np.log, "Log10": np.log10, "Pow": np.power,
-          "Min": np.minimum, "Max": np.maximum, "pi": np.pi}
+          "Min": np.minimum, "Max": np.maximum, "pi": np.pi,
+          # RasterCalculatorFunction spellings (TerrainRuggedness template)
+          "Square": np.square, "SquareRoot": np.sqrt}
     code = compile(expression, "<calculator>", "eval")
     for name in code.co_names:
         if name not in ns and name not in band_names:

@@ -24,7 +24,10 @@ from __future__ import annotations
 import json
 from typing import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..raster import TileOp, apply_chain
 from ..operators import effects, focal, pointwise
@@ -75,16 +78,71 @@ def register(name: str, builder: Callable[..., TileOp]) -> None:
 
 
 def parse_chain(spec) -> list[TileOp]:
-    """Spec (list / JSON string) → list of TileOps."""
+    """Spec (list / JSON string) → list of TileOps. ``branch_stack`` nodes
+    are structural and handled by build_chain, not here."""
     if isinstance(spec, str):
         spec = json.loads(spec)
     ops = []
     for node in spec:
         name = node["op"]
+        if name == "branch_stack":
+            raise ValueError("branch_stack is structural — run via build_chain")
         if name not in REGISTRY:
             raise ValueError(f"unknown operator {name!r}; known: {sorted(REGISTRY)}")
         ops.append(REGISTRY[name](**node.get("args", {})))
     return ops
+
+
+def stack_tiles(dfs: list[DataFrame], fmt_out: str = "zlib",
+                grid_cols: tuple[str, str, str] = ("scene_id", "tx", "ty")) -> DataFrame:
+    """Band-concatenate co-registered tile tables: equi-join on the grid
+    keys (AQE broadcasts/splits as sizes dictate — same alignment shape as
+    multiraster.two_raster_op), decode each side once, stack bands,
+    re-encode. Non-pixel metadata columns ride along from the first table."""
+    import pandas as pd
+
+    from .. import codec
+
+    keys = list(grid_cols)
+    pixel_cols = ("bytes", "w", "h", "bands", "dtype", "fmt")
+    base = dfs[0].withColumnRenamed("bytes", "_b0").drop(
+        *[c for c in pixel_cols[1:] if c in dfs[0].columns])
+    joined = base
+    for k, d in enumerate(dfs[1:], start=1):
+        joined = joined.join(
+            d.select(*keys, F.col("bytes").alias(f"_b{k}")), keys)
+    bcols = [f"_b{k}" for k in range(len(dfs))]
+    keep = [c for c in joined.columns if c not in bcols]
+    out_schema = T.StructType(
+        [joined.schema[c] for c in keep]
+        + [T.StructField("bytes", T.BinaryType()),
+           T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+           T.StructField("bands", T.IntegerType()), T.StructField("dtype", T.StringType()),
+           T.StructField("fmt", T.StringType())])
+
+    def run(batches):
+        for pdf in batches:
+            bufs, ws, hs, bs, dts = [], [], [], [], []
+            for r in range(len(pdf)):
+                parts = [codec.decode(bytes(pdf[c].iloc[r])) for c in bcols]
+                hh, ww = parts[0].shape[1:]
+                if any(p.shape[1:] != (hh, ww) for p in parts):
+                    raise ValueError("stack_tiles: branch tile shapes differ")
+                px = np.concatenate(
+                    [p.astype(np.float32) for p in parts], axis=0)
+                bufs.append(codec.encode(px, fmt_out))
+                bs.append(px.shape[0]); hs.append(hh); ws.append(ww)
+                dts.append("f4")
+            out = pdf[keep].copy()
+            out["bytes"] = bufs
+            out["w"] = pd.array(ws, dtype="int32")
+            out["h"] = pd.array(hs, dtype="int32")
+            out["bands"] = pd.array(bs, dtype="int32")
+            out["dtype"] = dts
+            out["fmt"] = fmt_out
+            yield out
+
+    return joined.mapInPandas(run, schema=out_schema)
 
 
 def build_chain(df: DataFrame, spec, fmt_out: str = "zlib",
@@ -92,18 +150,44 @@ def build_chain(df: DataFrame, spec, fmt_out: str = "zlib",
                 grid_cols: tuple[str, str, str] = ("scene_id", "tx", "ty")) -> DataFrame:
     """Apply a chain spec to a tile table: consecutive pointwise ops fuse
     into one decode→kernels→encode pass; each focal op becomes a halo
-    exchange stage."""
-    ops = parse_chain(spec)
-    pending: list[TileOp] = []
+    exchange stage.
+
+    ``{"op": "branch_stack", "branches": [spec, …]}`` nodes (emitted by the
+    .rft.xml importer for multi-input templates) evaluate each branch from
+    the current tile table and band-concatenate the results via
+    :func:`stack_tiles`. Branches share the parent's lineage — for deep
+    parents, persist the input before calling."""
+    if isinstance(spec, str):
+        spec = json.loads(spec)
     out = df
-    for op in ops:
-        if op.padding == 0:
-            pending.append(op)
+    pending_specs: list = []
+
+    def flush_linear(cur: DataFrame, nodes: list) -> DataFrame:
+        ops = parse_chain(nodes)
+        pending: list[TileOp] = []
+        for op in ops:
+            if op.padding == 0:
+                pending.append(op)
+            else:
+                if pending:
+                    cur = apply_chain(cur, pending, fmt_out=fmt_out, meta_cols=meta_cols)
+                    pending = []
+                cur = focal.apply_focal(cur, op, fmt_out=fmt_out, grid_cols=grid_cols)
+        if pending:
+            cur = apply_chain(cur, pending, fmt_out=fmt_out, meta_cols=meta_cols)
+        return cur
+
+    for node in spec:
+        if node.get("op") == "branch_stack":
+            if pending_specs:
+                out = flush_linear(out, pending_specs)
+                pending_specs = []
+            outs = [build_chain(out, br, fmt_out=fmt_out, meta_cols=meta_cols,
+                                grid_cols=grid_cols) if br else out
+                    for br in node["branches"]]
+            out = stack_tiles(outs, fmt_out=fmt_out, grid_cols=grid_cols)
         else:
-            if pending:
-                out = apply_chain(out, pending, fmt_out=fmt_out, meta_cols=meta_cols)
-                pending = []
-            out = focal.apply_focal(out, op, fmt_out=fmt_out, grid_cols=grid_cols)
-    if pending:
-        out = apply_chain(out, pending, fmt_out=fmt_out, meta_cols=meta_cols)
+            pending_specs.append(node)
+    if pending_specs:
+        out = flush_linear(out, pending_specs)
     return out

@@ -1,0 +1,125 @@
+"""Execute the reference's OWN .rft.xml plan templates end to end.
+
+The two templates shipped with the reference parse → compile → run on the
+Spark tile tables and must reproduce a whole-scene NumPy oracle exactly
+(halo-exchanged focal branches included).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raster_functions_spark import codec, fixtures
+from raster_functions_spark.operators import focal
+from raster_functions_spark.plans import chain, rft
+
+VINEYARD = "/root/reference/functions/VineyardAnalysis.rft.xml"
+TRI = "/root/reference/functions/TerrainRuggednessIndex-Riley-Colormap.rft.xml"
+
+TILE = 32
+
+
+def _scene_df(spark, scale=1.0, tiles=2):
+    pdf = fixtures.dem_scene_pdf("s0", tiles, tiles, TILE)
+    if scale != 1.0:
+        full = fixtures.dem_scene(tiles, tiles, TILE).astype(np.float32) * scale
+        rows = []
+        for _, r in pdf.iterrows():
+            ty, tx = int(r["ty"]), int(r["tx"])
+            px = full[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+            r = r.copy()
+            r["bytes"] = codec.encode(px[None], "zlib")
+            rows.append(r)
+        pdf = pd.DataFrame(rows)
+    pdf["cell_dx"] = 1.0                    # plausible slope range for tests
+    pdf["cell_dy"] = 1.0
+    return spark.createDataFrame(pdf), (fixtures.dem_scene(tiles, tiles, TILE)
+                                        .astype(np.float32) * scale)
+
+
+def _assemble(df, tiles=2, tile=TILE):
+    out = np.zeros((0,))
+    rows = df.collect()
+    bands = codec.decode(bytes(rows[0]["bytes"])).shape[0]
+    out = np.zeros((bands, tiles * tile, tiles * tile), np.float64)
+    for r in rows:
+        px = codec.decode(bytes(r["bytes"]))
+        out[:, r["ty"] * tile:(r["ty"] + 1) * tile,
+            r["tx"] * tile:(r["tx"] + 1) * tile] = px
+    assert len(rows) == tiles * tiles
+    return out
+
+
+def test_parse_vineyard_template_structure():
+    spec = rft.load_rft(VINEYARD)
+    assert spec[0]["op"] == "branch_stack"
+    assert len(spec[0]["branches"]) == 3
+    assert spec[0]["branches"][0] == []                     # raw elevation
+    assert spec[0]["branches"][1][-1]["op"] == "slope"
+    assert spec[0]["branches"][1][-1]["args"]["z_factor"] == 1.0
+    assert spec[0]["branches"][2][-1]["op"] == "aspect"
+    assert spec[1] == {"op": "vineyard",
+                       "args": {"elev_band": 0, "slope_band": 1, "aspect_band": 2}}
+
+
+def test_parse_tri_template_structure():
+    spec = rft.load_rft(TRI)
+    assert [n["op"] for n in spec] == ["branch_stack", "calculator", "remap",
+                                       "colormap"]
+    b = spec[0]["branches"]
+    assert b[0] == [{"op": "focal_statistics", "args": {"measure": "max", "size": 3}}]
+    assert b[1] == [{"op": "focal_statistics", "args": {"measure": "min", "size": 3}}]
+    assert spec[1]["args"]["expression"] == "SquareRoot(Abs((Square(b0) - Square(b1))))"
+    assert len(spec[2]["args"]["intervals"]) == 7
+    assert spec[2]["args"]["intervals"][0] == (0.0, 80.0, 1.0)
+    assert spec[3]["args"]["cmap"][1] == (58, 169, 0)       # 'Level' row RGB
+    assert len(spec[3]["args"]["cmap"]) == 7
+
+
+def test_vineyard_template_end_to_end(spark):
+    df, full = _scene_df(spark)
+    out = chain.build_chain(df, rft.load_rft(VINEYARD))
+    got = _assemble(out)
+    # whole-scene oracle: edge-padded Horn slope/aspect at cellsize 1
+    pad = np.pad(full.astype(np.float64), 1, mode="edge")
+    s, a = focal.slope_aspect_np(pad, cellsize=1.0, z_factor=1.0)
+    e = full.astype(np.float32).astype(np.float64)
+    s = s.astype(np.float32).astype(np.float64)
+    a = a.astype(np.float32).astype(np.float64)
+    want = (((e > 30) & (e < 400)).astype(np.uint8)
+            + ((s > 5) & (s < 60)).astype(np.uint8)
+            + ((a > 0) & (a < 200)).astype(np.uint8))
+    assert got.shape == (1, 64, 64)
+    assert np.array_equal(got[0], want)
+    assert len(np.unique(want)) >= 2                        # discriminates
+
+
+def test_tri_template_end_to_end(spark):
+    df, full = _scene_df(spark, scale=6.0)                  # relief → classes
+    out = chain.build_chain(df, rft.load_rft(TRI))
+    got = _assemble(out)
+    pad = np.pad(full.astype(np.float64), 1, mode="edge")
+    fmax = focal.rank_filter_np(pad, "max", 3).astype(np.float32)
+    fmin = focal.rank_filter_np(pad, "min", 3).astype(np.float32)
+    tri = np.sqrt(np.abs(np.square(fmax.astype(np.float64))
+                         - np.square(fmin.astype(np.float64)))).astype(np.float32)
+    spec = rft.load_rft(TRI)
+    cls = np.zeros_like(tri, dtype=np.float64)
+    for lo, hi, val in spec[2]["args"]["intervals"]:
+        cls[(tri >= lo) & (tri < hi)] = val
+    cls = cls.astype(np.float32)
+    cmap = spec[3]["args"]["cmap"]
+    lut = np.zeros((8, 3), np.uint8)
+    for k, rgb in cmap.items():
+        lut[k] = rgb
+    want = lut[np.clip(cls.astype(np.int64), 0, 7)].transpose(2, 0, 1)
+    assert got.shape == (3, 64, 64)
+    assert np.array_equal(got, want)
+    assert len(np.unique(cls)) >= 3                         # several classes
+
+
+def test_unsupported_template_types_raise():
+    with pytest.raises(ValueError, match="no registered engine mapping"):
+        rft._compile_adapter({"ClassName": "SomethingUnknown"})
+    with pytest.raises(ValueError, match="unsupported .rft"):
+        rft._compile({"function": "MysteryFunction", "args": {}})
