@@ -1095,6 +1095,39 @@ def q_mm_decode_jpeg(spark, sf_dir):
             .orderBy("image_id"))
 
 
+def q_snap_incremental(spark, sf_dir):
+    """Iceberg-like snapshot table (snapshots.SnapshotTable): two appends +
+    one partition-aligned overwrite on a fresh table, then the CURRENT
+    state and the INCREMENTAL scan since snapshot 1 — both aggregated per
+    partition. The oracle re-derives every row set from the closed-form
+    generators, so wrong file pruning (stale files read, added files
+    missed, replaced files surviving) breaks counts or sums."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from raster_functions_spark.snapshots import SnapshotTable
+
+    def batch(lo, hi, pexpr):
+        return (spark.range(lo, hi).withColumnRenamed("id", "image_id")
+                .withColumn("p_cell", pexpr)
+                .withColumn("v", (F.col("image_id") * 3).cast("long")))
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_q_") + "/t")
+    t.append(batch(0, 100, F.col("image_id") % 4), "p_cell")
+    t.append(batch(100, 150, F.col("image_id") % 4), "p_cell")
+    t.overwrite_partitions(batch(200, 220, F.lit(1)), values=[1])
+
+    def agg(df, src):
+        return (df.groupBy("p_cell")
+                .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+                .withColumn("src", F.lit(src)))
+
+    return (agg(t.read(), "current")
+            .unionByName(agg(t.read_incremental(since_snapshot_id=1), "incremental"))
+            .select("src", F.col("p_cell").cast("long").alias("p_cell"),
+                    "n", "sum_v")
+            .orderBy("src", "p_cell"))
+
+
 def q_s3_feature_envelope(spark, sf_dir):
     """S2/S3 feature-service scan: Esri-JSON features parsed into rows,
     where-clause + envelope-intersects pushdown, attribute rollup. The
@@ -1277,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "m3_random_forest": q_m3_random_forest,
         "m4_gbt": q_m4_gbt,
+        "snap_incremental": q_snap_incremental,
     }.items()}
 
 
@@ -1362,6 +1396,25 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),
         "m3_random_forest": _orc.rf_classify_sql(400),
         "m4_gbt": _orc.gbt_classify_sql(400),
+        "snap_incremental": """
+          WITH cur AS (
+            SELECT i % 4 AS p_cell, i * 3 AS v
+            FROM generate_series(0, 149) t(i) WHERE i % 4 <> 1
+            UNION ALL
+            SELECT 1, i * 3 FROM generate_series(200, 219) t(i)),
+          inc AS (
+            SELECT i % 4 AS p_cell, i * 3 AS v
+            FROM generate_series(100, 149) t(i)
+            UNION ALL
+            SELECT 1, i * 3 FROM generate_series(200, 219) t(i))
+          SELECT 'current' AS src, CAST(p_cell AS BIGINT) AS p_cell,
+                 COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+          FROM cur GROUP BY 2
+          UNION ALL
+          SELECT 'incremental', CAST(p_cell AS BIGINT), COUNT(*),
+                 CAST(SUM(v) AS BIGINT)
+          FROM inc GROUP BY 2
+          ORDER BY src, p_cell""",
         "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
           WITH bands AS ({bands_union}),
           pairs AS (

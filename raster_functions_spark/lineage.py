@@ -15,6 +15,12 @@ per-partition lineage and metrics (BASELINE.json north_rule). Mechanism:
 
 Metrics per bucket (row count, value checksum) double as the per-partition
 integrity table a 1000-executor run needs for auditing.
+
+This is the WITHIN-RUN resume mechanism (one giant write, restartable by
+bucket). The BETWEEN-RUN table lifecycle — immutable snapshots, time
+travel, overwrite-by-filter, incremental reads, idempotent run commits —
+lives in :mod:`raster_functions_spark.snapshots`, built on the same
+atomic-manifest primitives (_read_manifest_path/_write_json_atomic).
 """
 
 from __future__ import annotations
@@ -43,11 +49,12 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(hconf), jvm.org.apache.hadoop.fs.Path
 
 
-def _read_manifest(spark: SparkSession, path: str) -> dict:
-    fs, Path = _hadoop_fs(spark, path)
-    p = Path(path, MANIFEST)
+def _read_manifest_path(spark: SparkSession, full_path: str) -> dict | None:
+    """Read a JSON document from any Hadoop filesystem; None if absent."""
+    fs, Path = _hadoop_fs(spark, full_path)
+    p = Path(full_path)
     if not fs.exists(p):
-        return {"run_ids": [], "buckets": {}}
+        return None
     jvm = spark._jvm
     stream = fs.open(p)
     baos = jvm.java.io.ByteArrayOutputStream()
@@ -57,21 +64,33 @@ def _read_manifest(spark: SparkSession, path: str) -> dict:
     return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
 
 
-def _write_manifest(spark: SparkSession, path: str, m: dict) -> None:
-    fs, Path = _hadoop_fs(spark, path)
-    base = Path(path)
+def _write_json_atomic(spark: SparkSession, dir_path: str, name: str,
+                       doc: dict) -> None:
+    """Atomic JSON publish: write <name>.tmp, then rename over <name> —
+    readers see either the old or the new document, never a torn one."""
+    fs, Path = _hadoop_fs(spark, dir_path)
+    base = Path(dir_path)
     if not fs.exists(base):
         fs.mkdirs(base)
-    tmp = Path(path, MANIFEST + ".tmp")
+    tmp = Path(dir_path, name + ".tmp")
     out = fs.create(tmp, True)
     try:
-        out.write(json.dumps(m, indent=1, sort_keys=True).encode("utf-8"))
+        out.write(json.dumps(doc, indent=1, sort_keys=True).encode("utf-8"))
     finally:
         out.close()
-    dst = Path(path, MANIFEST)
+    dst = Path(dir_path, name)
     if fs.exists(dst):
         fs.delete(dst, False)
     fs.rename(tmp, dst)
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict:
+    m = _read_manifest_path(spark, f"{path}/{MANIFEST}")
+    return m if m is not None else {"run_ids": [], "buckets": {}}
+
+
+def _write_manifest(spark: SparkSession, path: str, m: dict) -> None:
+    _write_json_atomic(spark, path, MANIFEST, m)
 
 
 def checkpointed_write(df: DataFrame, path: str, key_col: str,

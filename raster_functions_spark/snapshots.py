@@ -1,0 +1,220 @@
+"""Iceberg-like snapshot table layout over parquet (from scratch).
+
+BASELINE.json frames the input as an Iceberg-style image table; this module
+re-expresses the parts of that contract the engine needs, with no table-
+format library:
+
+- **immutable data files** — every commit writes NEW parquet files under
+  ``data/snap-<id>-<token>/``; existing files are never modified;
+- **manifests** — each snapshot's live file list lives in its own
+  ``metadata/manifest-<id>.json`` (file path, partition value, row count),
+  so the root pointer stays O(#snapshots);
+- **snapshot log + time travel** — ``metadata.json`` records the snapshot
+  chain (id, parent, operation, run id, summary); ``read(snapshot_id=…)``
+  reconstructs any historical state;
+- **append** — new snapshot = parent's live files + the new files;
+- **overwrite by partition filter** — files are written one-per-partition-
+  value (the partition column is duplicated into the directory layout AND
+  kept in the data), so ``overwrite_partitions`` is a metadata-only drop
+  of the replaced values' files plus the new files — Iceberg's
+  overwrite-by-filter for partition-aligned predicates;
+- **incremental reads** — ``read_incremental(since)`` scans only files
+  ADDED by snapshots after ``since`` (the streaming-backfill contract);
+- **idempotent commits** — an ``append``/``overwrite`` that re-runs with a
+  ``run_id`` already in the log is a no-op, so a restarted job cannot
+  double-commit (checkpoint-resume; see also lineage.checkpointed_write,
+  the bucket-level resume for a single giant write).
+
+Commit protocol: write data files first, then the manifest, then swap the
+root pointer via the same atomic create+rename used by lineage._write_manifest
+— a reader never observes a snapshot whose files are incomplete. Single
+writer assumed (the reference deployment serializes commits per table).
+All filesystem access goes through the Hadoop FS API, so the layout works
+on object stores, not just local disk.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import _hadoop_fs, _read_manifest_path, _write_json_atomic
+
+ROOT = "metadata.json"
+
+
+class SnapshotTable:
+    """Handle to one snapshot table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ------------------------------------------------------------ meta ----
+
+    def _root(self) -> dict:
+        m = _read_manifest_path(self.spark, f"{self.path}/{ROOT}")
+        return m if m is not None else {"current": None, "partition_col": None,
+                                        "snapshots": []}
+
+    def _manifest(self, snap_id: int) -> list[dict]:
+        m = _read_manifest_path(
+            self.spark, f"{self.path}/metadata/manifest-{snap_id}.json")
+        if m is None:
+            raise ValueError(f"missing manifest for snapshot {snap_id}")
+        return m["files"]
+
+    @property
+    def current_id(self) -> int | None:
+        return self._root()["current"]
+
+    def snapshots(self) -> list[dict]:
+        return self._root()["snapshots"]
+
+    def _find_run(self, root: dict, run_id: str | None):
+        if run_id is None:
+            return None
+        for s in root["snapshots"]:
+            if s.get("run_id") == run_id:
+                return s
+        return None
+
+    # ----------------------------------------------------------- write ----
+
+    def _write_data(self, df: DataFrame, pcol: str, snap_id: int) -> list[dict]:
+        token = uuid.uuid4().hex[:12]
+        rel = f"data/snap-{snap_id}-{token}"
+        ddir = f"{self.path}/{rel}"
+        # duplicate the partition column into the directory layout: data
+        # files keep every column; the dir name gives the per-file value,
+        # making value-aligned overwrites metadata-only
+        (df.withColumn("_p", F.col(pcol).cast("string"))
+           .write.mode("error").partitionBy("_p").parquet(ddir))
+        fs, Path = _hadoop_fs(self.spark, self.path)
+        files = []
+        it = fs.listFiles(Path(ddir), True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath().toString()
+            if not p.endswith(".parquet"):
+                continue
+            part = None
+            for seg in p.split("/"):
+                if seg.startswith("_p="):
+                    part = seg[3:]
+            files.append({"path": f"{rel}/" + p.split(rel + "/", 1)[1],
+                          "partition": part, "bytes": int(st.getLen())})
+        return sorted(files, key=lambda f: f["path"])
+
+    def _commit(self, op: str, added: list[dict], live: list[dict],
+                pcol: str, run_id: str | None, summary: dict) -> int:
+        root = self._root()
+        snap_id = (root["current"] or 0) + 1
+        _write_json_atomic(self.spark, f"{self.path}/metadata",
+                           f"manifest-{snap_id}.json",
+                           {"snapshot": snap_id, "files": live})
+        root["partition_col"] = root.get("partition_col") or pcol
+        root["snapshots"].append({
+            "id": snap_id, "parent": root["current"], "op": op,
+            "run_id": run_id, "at": time.time(),
+            "added": [f["path"] for f in added], "summary": summary})
+        root["current"] = snap_id
+        _write_json_atomic(self.spark, self.path, ROOT, root)
+        return snap_id
+
+    def append(self, df: DataFrame, partition_col: str,
+               run_id: str | None = None) -> int:
+        """Commit a new snapshot = parent files + df's files. Re-running
+        with an already-committed run_id is a no-op (restart safety)."""
+        root = self._root()
+        prior = self._find_run(root, run_id)
+        if prior is not None:
+            return prior["id"]
+        next_id = (root["current"] or 0) + 1
+        added = self._write_data(df, partition_col, next_id)
+        live = (self._manifest(root["current"]) if root["current"] else []) + added
+        return self._commit("append", added, live, partition_col, run_id,
+                            {"added_files": len(added)})
+
+    def overwrite_partitions(self, df: DataFrame, values: list,
+                             run_id: str | None = None) -> int:
+        """Overwrite-by-filter for a partition-aligned predicate: drop every
+        live file whose partition value ∈ values (metadata only — the old
+        files stay immutable for time travel), then add df's files. df must
+        contain only the replaced values (validated with a bounded probe)."""
+        root = self._root()
+        prior = self._find_run(root, run_id)
+        if prior is not None:
+            return prior["id"]
+        pcol = root.get("partition_col")
+        if pcol is None:
+            raise ValueError("overwrite_partitions on an empty table — append first")
+        vals = {str(v) for v in values}
+        stray = (df.filter(~F.col(pcol).cast("string").isin(list(vals)))
+                 .limit(1).count())
+        if stray:
+            raise ValueError("overwrite df contains rows outside the replaced partitions")
+        next_id = (root["current"] or 0) + 1
+        added = self._write_data(df, pcol, next_id)
+        kept = [f for f in self._manifest(root["current"])
+                if f["partition"] not in vals]
+        return self._commit("overwrite", added, kept + added, pcol, run_id,
+                            {"replaced_values": sorted(vals),
+                             "added_files": len(added)})
+
+    # ------------------------------------------------------------ read ----
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        if not files:
+            raise ValueError("snapshot has no data files")
+        return (self.spark.read.parquet(*[f"{self.path}/{f}" for f in files])
+                .drop("_p"))
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Scan the table at a snapshot (default: current) — time travel."""
+        snap = snapshot_id if snapshot_id is not None else self.current_id
+        if snap is None:
+            raise ValueError("empty table")
+        return self._read_files([f["path"] for f in self._manifest(snap)])
+
+    def read_incremental(self, since_snapshot_id: int,
+                         until_snapshot_id: int | None = None) -> DataFrame:
+        """Rows ADDED by snapshots in (since, until] — the incremental
+        backfill scan. Touches only the added files, never the full table."""
+        root = self._root()
+        hi = until_snapshot_id if until_snapshot_id is not None else root["current"]
+        files: list[str] = []
+        for s in root["snapshots"]:
+            if since_snapshot_id < s["id"] <= hi:
+                files.extend(s["added"])
+        return self._read_files(files)
+
+    # --------------------------------------------------------- maintain ----
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        files no longer referenced by any kept snapshot. Returns deleted
+        file paths."""
+        root = self._root()
+        if len(root["snapshots"]) <= keep_last:
+            return []
+        kept = root["snapshots"][-keep_last:]
+        dropped = root["snapshots"][:-keep_last]
+        referenced: set[str] = set()
+        for s in kept:
+            referenced.update(f["path"] for f in self._manifest(s["id"]))
+        fs, Path = _hadoop_fs(self.spark, self.path)
+        deleted = []
+        for s in dropped:
+            for rel in s["added"]:
+                if rel not in referenced:
+                    fs.delete(Path(f"{self.path}/{rel}"), False)
+                    deleted.append(rel)
+            fs.delete(Path(f"{self.path}/metadata/manifest-{s['id']}.json"), False)
+        root["snapshots"] = kept
+        _write_json_atomic(self.spark, self.path, ROOT, root)
+        return deleted

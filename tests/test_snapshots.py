@@ -1,0 +1,98 @@
+"""Iceberg-like snapshot tables: immutability, time travel, overwrite-by-
+filter, incremental reads, idempotent restart commits, expiry."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from raster_functions_spark.snapshots import SnapshotTable
+
+
+def _df(spark, ids, pval):
+    return (spark.range(*ids).withColumnRenamed("id", "image_id")
+            .withColumn("p_cell", F.lit(pval))
+            .withColumn("v", (F.col("image_id") * 3).cast("long")))
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(spark, str(tmp_path / "snap_table"))
+
+
+def test_append_and_time_travel(spark, table):
+    s1 = table.append(_df(spark, (0, 10), 1), "p_cell")
+    s2 = table.append(_df(spark, (10, 25), 2), "p_cell")
+    assert (s1, s2) == (1, 2)
+    assert table.current_id == 2
+    assert table.read().count() == 25
+    assert table.read(snapshot_id=1).count() == 10          # time travel
+    got = sorted(r.image_id for r in table.read().collect())
+    assert got == list(range(25))
+
+
+def test_incremental_read_only_new_files(spark, table):
+    table.append(_df(spark, (0, 10), 1), "p_cell")
+    s2 = table.append(_df(spark, (10, 25), 2), "p_cell")
+    inc = table.read_incremental(since_snapshot_id=1)
+    assert sorted(r.image_id for r in inc.collect()) == list(range(10, 25))
+    # the incremental scan reads ONLY the files added after s1
+    root = table._root()
+    n_added = len(root["snapshots"][1]["added"])
+    assert inc.rdd.getNumPartitions() <= max(n_added, 1) + 1
+    assert table.read_incremental(0, until_snapshot_id=s2).count() == 25
+
+
+def test_overwrite_partitions_is_metadata_only_and_immutable(spark, table):
+    table.append(_df(spark, (0, 10), 1), "p_cell")
+    table.append(_df(spark, (10, 25), 2), "p_cell")
+    old_files = {f["path"] for f in table._manifest(2)}
+    s3 = table.overwrite_partitions(
+        _df(spark, (100, 104), 1), values=[1])
+    assert s3 == 3
+    # current state: partition 1 replaced, partition 2 untouched
+    got = sorted(r.image_id for r in table.read().collect())
+    assert got == list(range(10, 25)) + [100, 101, 102, 103]
+    # partition-2 files are REUSED (metadata-only), not rewritten
+    new_files = {f["path"] for f in table._manifest(3)}
+    assert {f for f in old_files if "/_p=2/" in f} <= new_files
+    # the replaced snapshot still reads its original content (immutability)
+    assert sorted(r.image_id for r in table.read(2).collect()) == list(range(25))
+
+
+def test_overwrite_validates_stray_rows(spark, table):
+    table.append(_df(spark, (0, 5), 1), "p_cell")
+    stray = _df(spark, (0, 3), 1).union(_df(spark, (3, 4), 9))
+    with pytest.raises(ValueError, match="outside the replaced partitions"):
+        table.overwrite_partitions(stray, values=[1])
+
+
+def test_restart_same_run_id_is_noop(spark, table):
+    s1 = table.append(_df(spark, (0, 10), 1), "p_cell", run_id="job-A")
+    s2 = table.append(_df(spark, (0, 10), 1), "p_cell", run_id="job-A")
+    assert s1 == s2 == 1                                     # no double commit
+    assert table.read().count() == 10
+    # a resumed OVERWRITE is also a no-op
+    o1 = table.overwrite_partitions(_df(spark, (50, 52), 1), [1], run_id="job-B")
+    o2 = table.overwrite_partitions(_df(spark, (50, 52), 1), [1], run_id="job-B")
+    assert o1 == o2 == 2
+    assert table.read().count() == 2
+
+
+def test_expire_snapshots_deletes_unreferenced(spark, table):
+    table.append(_df(spark, (0, 10), 1), "p_cell")
+    table.overwrite_partitions(_df(spark, (10, 14), 1), [1])
+    dropped_file = table._manifest(1)[0]["path"]
+    deleted = table.expire_snapshots(keep_last=1)
+    assert dropped_file in deleted
+    assert not os.path.exists(os.path.join(table.path, dropped_file))
+    assert table.read().count() == 4                         # current intact
+    with pytest.raises(ValueError, match="missing manifest"):
+        table.read(1)                                        # expired
+
+
+def test_empty_table_and_missing_snapshot_errors(spark, table):
+    with pytest.raises(ValueError, match="empty table"):
+        table.read()
+    with pytest.raises(ValueError, match="append first"):
+        table.overwrite_partitions(_df(spark, (0, 1), 1), [1])
