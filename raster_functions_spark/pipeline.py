@@ -196,15 +196,26 @@ def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
 
 
 def flagship_from_seed(spark: SparkSession, n_images: int, aoi: DataFrame,
-                       cell_res: int = 7, partitions: int = 128) -> DataFrame:
+                       cell_res: int = 7, partitions: int | None = None) -> DataFrame:
     """Fully fused flagship from the deterministic generator: ONE Python
     pass per task does synthesize→encode→decode→features→cell→PIP; the only
     shuffle is the zonal agg, and no image bytes ever cross the JVM↔Python
     boundary. This is the CPU-bound variant used for scaling-efficiency
     evidence (the sandbox's virtio disk throttles unpredictably, so a
     disk-backed scan measures the hypervisor, not the engine — see
-    BENCH/BASELINE.md)."""
+    BENCH/BASELINE.md).
+
+    ``partitions=None`` → data-proportional task sizing: ~2000 images per
+    task, floored at 2 waves per core. Measured (BENCH/notes_r3.md): with
+    ~400-image tasks the per-task Arrow/worker round trip (~10-17 ms) is a
+    fixed floor that scales at only ~0.4 efficiency and capped the whole
+    pipeline's 8→32 scaling; ~1500-2000-image tasks put it under 2% of
+    task wall. The rule stays data-proportional, so at 10^9 images it
+    yields ~500k tasks, not a fixed 64."""
     _auto_ship(spark)
+    if partitions is None:
+        cores = spark.sparkContext.defaultParallelism
+        partitions = max(2 * cores, (n_images + 1999) // 2000)
     from . import fixtures
     aoi_pdf = aoi.select("aoi_id", "ring_x", "ring_y",
                          "xmin", "ymin", "xmax", "ymax").toPandas()
