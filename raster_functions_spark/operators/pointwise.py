@@ -396,10 +396,11 @@ def vector_field(u_band: int = 0, v_band: int = 1,
     return TileOp("vector_field", fn, bands_out=2, dtype_out="f4")
 
 
-def composite_bands(*ops_or_bands) -> TileOp:
-    """Stack selected bands into one multiband tile — CompositeBandFunction
-    analog (SURVEY.md U2) when inputs are co-registered bands."""
-    bands = tuple(ops_or_bands) or None
+def composite_bands(*ops_or_bands, bands: list | None = None) -> TileOp:
+    """Stack selected bands into one multiband tile — CompositeBandFunction/
+    ExtractBandFunction analog (SURVEY.md U2) when inputs are co-registered
+    bands. Band ids positionally or via ``bands=`` (chain-spec form)."""
+    bands = tuple(bands) if bands is not None else (tuple(ops_or_bands) or None)
     def fn(px, meta):
         return px if bands is None else px[list(bands)]
     return TileOp("composite", fn, bands_in=None)

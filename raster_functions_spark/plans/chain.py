@@ -50,6 +50,7 @@ REGISTRY: dict[str, Callable[..., TileOp]] = {
     "random": pointwise.random_source,
     "vineyard": pointwise.vineyard_suitability,
     "fish_habitat": pointwise.fish_habitat_suitability,
+    "linear_unmixing": pointwise.linear_unmixing,
     "per_second_to_per_month": pointwise.per_second_to_per_month,
     "stretch": pointwise.stretch,
     "remap": pointwise.remap,

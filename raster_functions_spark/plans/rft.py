@@ -122,10 +122,72 @@ def parse_rft(path: str) -> dict:
 
 # ------------------------------------------------------------- compile -----
 
-# PythonAdapterFunction ClassName → (registry op, band-kwarg names in the
-# template's declared input order)
-ADAPTER_CLASSES: dict[str, tuple[str, tuple[str, ...]]] = {
-    "VineyardAnalysis": ("vineyard", ("elev_band", "slope_band", "aspect_band")),
+# PythonAdapterFunction mappings: template class (ClassName, or the
+# PythonModule basename when ClassName is blank — many shipped templates
+# leave it empty) → registry op + band-kwarg names for multi-raster
+# inputs + scalar-argument translations {xml_name: (engine_kwarg, conv)}.
+# XML names absent from "scalars" are rendering/host hints with no pixel
+# semantics (e.g. RankFilter 'res', Hillshade 'ce'/'cf') and are ignored.
+
+_T_UNITS = {"fahrenheit": "f", "celsius": "c", "kelvin": "k"}
+_W_UNITS = {"mph": "mph", "m/s": "m/s", "kph": "kph", "knots": "knots",
+            "ft/s": "ft/s"}
+
+
+def _require_f(v: str) -> str:
+    if str(v).lower() != "fahrenheit":
+        raise ValueError("engine heat_index implements the Fahrenheit "
+                         "Rothfusz regression; convert inputs upstream")
+    return "f"
+
+
+ADAPTER_CLASSES: dict[str, dict] = {
+    "VineyardAnalysis": {"op": "vineyard",
+                         "bands": ("elev_band", "slope_band", "aspect_band")},
+    "BlockStatistics": {"op": "block_statistics", "scalars": {
+        "measure": ("measure", lambda v: str(v).lower()),
+        "factor": ("factor", int)}},
+    "RankFilter": {"op": "rank_filter", "scalars": {
+        "measure": ("measure", lambda v: str(v).lower()),
+        "size": ("size", int)}},
+    "FocalStatistics": {"op": "focal_statistics", "scalars": {
+        "factor": ("size", int)}},
+    "FillRaster": {"op": "fill_constant", "scalars": {
+        "value": ("value", float)}},
+    "MaskRaster": {"op": "mask_apply",
+                   "bands": ("value_band", "mask_band")},
+    "Windchill": {"op": "windchill", "bands": ("temp_band", "wind_band"),
+                  "scalars": {
+        "tunits": ("t_units", lambda v: _T_UNITS[str(v).lower()]),
+        "wunits": ("w_units", lambda v: _W_UNITS[str(v).lower()]),
+        "ounits": ("out_units", lambda v: _T_UNITS[str(v).lower()])}},
+    "HeatIndex": {"op": "heat_index", "bands": ("temp_band", "rh_band"),
+                  "validate": {"units": _require_f, "outunits": _require_f}},
+    "NDVI": {"op": "ndvi", "scalars": {
+        "red": ("red_band", lambda v: int(v) - 1),     # template bands 1-based
+        "ir": ("nir_band", lambda v: int(v) - 1),
+        "method": ("scaled", lambda v: {"Raw": False, "Grayscale": True,
+                                        "Colormap": True}[str(v)])}},
+    "Arithmetic": {"op": "arithmetic",
+                   "bands": ("a_band", "b_band"), "scalars": {
+        "op": ("op", lambda v: {"Add": "add", "Subtract": "sub",
+                                "Multiply": "mul", "Divide": "div"}[str(v)])}},
+    "ConvertPerSecondToPerMonth": {"op": "per_second_to_per_month"},
+    "Hillshade": {"op": "hillshade", "scalars": {
+        "zf": ("z_factor", float)}},
+    "MultidirectionalHillshade": {"op": "multidirectional_hillshade"},
+    "Random": {"op": "random"},
+    "ReplaceNulls": {"op": "replace_value", "scalars": {
+        "fill_val": ("fill", float)}, "defaults": {"match": 0.0}},
+    "FishHabitatSuitability": {"op": "fish_habitat",
+                               "bands": ("temp_band", "salinity_band"),
+                               "scalars": {"depth": ("depth", float)},
+                               "defaults": {"depth": 0.0}},
+    "LinearSpectralUnmixing": {"op": "linear_unmixing", "scalars": {
+        # signatures arrive as a JSON dict {endmember: spectrum}; the engine
+        # takes the (n_bands, n_endmembers) matrix in declaration order
+        "signatures": ("signatures", lambda v: [
+            list(col) for col in zip(*__import__("json").loads(str(v)).values())])}},
 }
 
 _FOCAL_CALL = re.compile(
@@ -176,17 +238,86 @@ def _compile(node) -> list:
         return _compile(_input(a, "Raster")) + [
             {"op": "remap", "args": {"intervals": intervals}}]
     if f == "StretchFunction":
-        return _compile(_input(a, "Raster")) + [{"op": "stretch", "args": {}}]
+        # only the closed-form variant maps to a per-tile chain; stats- or
+        # histogram-dependent stretches (percent clip / stddev / DRA) need
+        # the table-level two-pass pattern (cf. a10 fuzzy-mssmall)
+        if str(a.get("EstimateStatsHistogram")).lower() == "true" \
+                or str(a.get("DRA")).lower() == "true":
+            raise ValueError(
+                "stats-dependent StretchFunction (EstimateStatsHistogram/DRA) "
+                "is a two-pass table-level operation — compute the stats "
+                "DataFrame first (see the a10 fuzzy-mssmall pattern)")
+        return _compile(_input(a, "Raster")) + [
+            {"op": "stretch", "args": {"out_min": float(a.get("Min") or 0.0),
+                                       "out_max": float(a.get("Max") or 255.0)}}]
+    if f == "BandArithmeticFunction":
+        if int(a.get("Method") or 0) != 0:
+            raise ValueError("BandArithmeticFunction predefined methods are "
+                             "template-specific; only Method=0 (user "
+                             "expression) maps to the calculator")
+        expr = str(a.get("BandIndexes") or "")
+        bands = {m: int(m[1:]) - 1 for m in set(re.findall(r"\bB\d+\b", expr))}
+        return _compile(_input(a, "Raster")) + [
+            {"op": "calculator",
+             "args": {"expression": expr, "band_names": bands}}]
     if f == "TableFunction":
         rs = a.get("AttributeTable") or {"records": []}
         cmap = {int(r["Value"]): (int(r["Red"]), int(r["Green"]), int(r["Blue"]))
                 for r in rs["records"]}
         return _compile(_input(a, "Raster")) + [
             {"op": "colormap", "args": {"cmap": cmap}}]
+    if f == "CompositeBandFunction":
+        rasters = a.get("Raster") or a.get("Rasters")
+        if isinstance(rasters, list):       # band-per-raster composition
+            return [{"op": "branch_stack",
+                     "branches": [_compile(r) for r in rasters]},
+                    {"op": "composite_bands", "args": {}}]
+        if rasters is None:                 # 'Raster[]' array placeholder
+            rasters = RASTER_INPUT
+        return _compile(rasters) + [{"op": "composite_bands", "args": {}}]
+    if f == "ExtractBandFunction":
+        ids = a.get("BandIDs") or [0]
+        return _compile(_input(a, "Raster")) + [
+            {"op": "composite_bands", "args": {"bands": [int(i) for i in ids]}}]
+    if f == "VectorFieldFunction":
+        out = "uv" if "UV" in str(a.get("OutputDataType") or "MagDir") else "magdir"
+        if _is_raster(a.get("Raster1")) and _is_raster(a.get("Raster2")):
+            return [{"op": "branch_stack",
+                     "branches": [_compile(a["Raster1"]), _compile(a["Raster2"])]},
+                    {"op": "vector_field",
+                     "args": {"u_band": 0, "v_band": 1, "output": out}}]
+        return _compile(_input(a, "Raster")) + [
+            {"op": "vector_field", "args": {"output": out}}]
+    if f == "ColormapFunction":
+        # an explicit value→RGB table maps to the colormap op; a NAMED color
+        # scheme/ramp is pure display styling — pass the pixels through
+        cm = a.get("Colormap")
+        inner = _compile(_input(a, "Raster"))
+        if isinstance(cm, dict) and cm.get("records"):
+            table = {int(r["Value"]): (int(r["Red"]), int(r["Green"]), int(r["Blue"]))
+                     for r in cm["records"]}
+            return inner + [{"op": "colormap", "args": {"cmap": table}}]
+        return inner
+    if f == "ArithmeticFunction":
+        ops = {1: "add", 2: "sub", 3: "mul", 4: "div"}
+        rasters = a.get("Rasters") or [RASTER_INPUT, RASTER_INPUT]
+        return [{"op": "branch_stack",
+                 "branches": [_compile(r) for r in rasters]},
+                {"op": "arithmetic",
+                 "args": {"op": ops[int(a.get("Operation") or 1)],
+                          "a_band": 0, "b_band": 1}}]
     if f == "RasterCalculatorFunction":
         return _compile_calculator(a)
     if f == "PythonAdapterFunction":
         return _compile_adapter(a)
+    if f == "MergeRastersFunction":
+        raise ValueError("MergeRastersFunction merges a raster COLLECTION — "
+                         "use the table-level API: union/dedup merge "
+                         "(contract query u1_union_dedup)")
+    if f == "LocalFunction":
+        raise ValueError("LocalFunction cell statistics run across a raster "
+                         "COLLECTION — use the table-level API: stack "
+                         "composites (query a1) / pointwise mask-replace ops")
     raise ValueError(f"unsupported .rft.xml function type {f!r}")
 
 
@@ -229,20 +360,62 @@ def _compile_calculator(a: dict) -> list:
     return [{"op": "branch_stack", "branches": branches}, calc]
 
 
+# Classes whose semantics are MOSAIC/COLLECTION-level (they aggregate or
+# route across many co-registered rasters of a mosaic dataset): an .rft
+# chain is a per-tile plan, so these map to the engine's table-level API
+# instead — the error names the exact entry point (and its oracle-checked
+# contract query) so template users know where to go.
+MOSAIC_LEVEL: dict[str, str] = {
+    "FindMax": "stack.find_max_k rollup (contract query a8_topk_per_group)",
+    "FindSecondMax": "stack.find_max_k rollup (contract query a8_topk_per_group)",
+    "FindThirdMax": "stack.find_max_k rollup (contract query a8_topk_per_group)",
+    "LandsatPixelPercentile": "stack QA-masked percentile (queries a4/a5, img_stack_median)",
+    "LandsatImageSynthesis": "stack month synthesis (query a6_month_synthesis)",
+    "Landsat_Image_Synthesis": "stack month synthesis (query a6_month_synthesis)",
+    "PercentAboveThreshold": "stack.percent_above (queries a7, a7_px)",
+    "SeasonalARIMA": "ml.sarima_stack_delta / sarima_forecast_by_group (m5_sarima)",
+    "Aggregate": "stack aggregate composites (query a1)",
+    "StepwiseLocalRadiometricAdjustment": "multiraster.cloud_fill (img_cloud_fill)",
+    "TopographicCCorrection": "multiraster.topographic_c_correction (a9_regression)",
+    "ZonalRemap": "spatial.zonal_remap_col — zone-table join (queries p9, j2)",
+    "SelectByPixelSize": "pyramid resolution routing (query j8_routing)",
+}
+
+
 def _compile_adapter(a: dict) -> list:
+    # identity: ClassName, else the PythonModule basename (many shipped
+    # templates leave ClassName blank)
     cls = a.get("ClassName") or ""
-    if cls not in ADAPTER_CLASSES:
+    if not cls:
+        mod = str(a.get("PythonModule") or "")
+        cls = mod.replace("\\", "/").rsplit("/", 1)[-1]
+    cls = cls.removesuffix(".pyd").removesuffix(".py")
+    spec = ADAPTER_CLASSES.get(cls)
+    if spec is None:
+        if cls in MOSAIC_LEVEL:
+            raise ValueError(
+                f"{cls} operates across a raster COLLECTION, not per tile — "
+                f"use the engine's table-level API: {MOSAIC_LEVEL[cls]}")
         raise ValueError(
             f"PythonAdapterFunction class {cls!r} has no registered engine "
             f"mapping (known: {sorted(ADAPTER_CLASSES)}); register the "
             "operator in chain.REGISTRY and add it to ADAPTER_CLASSES")
-    op, band_kwargs = ADAPTER_CLASSES[cls]
+    for name, check in (spec.get("validate") or {}).items():
+        if a.get(name) is not None:
+            check(a[name])
+    args: dict = dict(spec.get("defaults") or {})
+    for xml_name, (kw, conv) in (spec.get("scalars") or {}).items():
+        if a.get(xml_name) is not None:
+            args[kw] = conv(a[xml_name])
     raster_ins = [(k, v) for k, v in a.items()
                   if k not in ("PythonModule", "ClassName") and _is_raster(v)]
     branches = [_compile(v) for _, v in raster_ins]
-    args = {kw: i for i, kw in enumerate(band_kwargs[:len(branches)])}
-    return [{"op": "branch_stack", "branches": branches},
-            {"op": op, "args": args}]
+    band_kwargs = spec.get("bands") or ()
+    args.update({kw: i for i, kw in enumerate(band_kwargs[:len(branches)])})
+    node = {"op": spec["op"], "args": args}
+    if len(branches) <= 1:
+        return (branches[0] if branches else []) + [node]
+    return [{"op": "branch_stack", "branches": branches}, node]
 
 
 def load_rft(path: str) -> list:

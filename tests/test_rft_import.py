@@ -118,6 +118,64 @@ def test_tri_template_end_to_end(spark):
     assert len(np.unique(cls)) >= 3                         # several classes
 
 
+def test_sweep_every_shipped_template():
+    """EVERY .rft.xml that ships with the reference either compiles to an
+    executable chain spec or fails with a ValueError that names the engine's
+    table-level replacement — never an unexplained crash."""
+    import glob
+    files = sorted(glob.glob("/root/reference/functions/*.rft.xml")
+                   + glob.glob("/root/reference/functions/deprecated/*.rft.xml"))
+    assert len(files) >= 45
+    loaded, redirected, other = [], [], []
+    for f in files:
+        try:
+            spec = rft.load_rft(f)
+            assert isinstance(spec, list) and spec, f
+            loaded.append(f)
+        except ValueError as e:
+            (redirected if ("table-level" in str(e) or "two-pass" in str(e))
+             else other).append((f, str(e)))
+    assert len(loaded) >= 24, (len(loaded), other)
+    # every non-loading template gets a redirect to the table-level API
+    assert not other, other
+
+
+def test_rankfilter_template_end_to_end(spark):
+    df, full = _scene_df(spark)
+    spec = rft.load_rft("/root/reference/functions/RankFilter.rft.xml")
+    assert spec == [{"op": "rank_filter", "args": {"measure": "mean", "size": 5}}]
+    got = _assemble(chain.build_chain(df, spec))
+    pad = np.pad(full.astype(np.float64), 2, mode="edge")
+    want = focal.rank_filter_np(pad, "mean", 5).astype(np.float32)
+    assert np.allclose(got[0], want, atol=1e-5)
+
+
+def test_windchill_template_units_end_to_end(spark):
+    """deprecated/Windchill.rft.xml: two raster inputs (temperature, wind)
+    with explicit Fahrenheit/mph units — branch-stacked onto a 2-branch
+    chain. Bands: branch 0 = temperature, branch 1 = wind speed."""
+    import pandas as pd
+    from raster_functions_spark import codec as _codec
+    from raster_functions_spark.operators import pointwise
+    spec = rft.load_rft("/root/reference/functions/deprecated/Windchill.rft.xml")
+    assert spec[0]["op"] == "branch_stack" and len(spec[0]["branches"]) == 2
+    assert spec[1]["args"] == {"t_units": "f", "w_units": "mph",
+                               "out_units": "f", "temp_band": 0, "wind_band": 1}
+    # the template's two inputs are both the base raster; build a base whose
+    # band 0 is temperature — the identity branches stack it twice and the
+    # op reads bands (0, 1) of the stack = (temp, temp). Compare against
+    # the op applied the same way.
+    t = (np.arange(32 * 32, dtype=np.float32).reshape(32, 32) % 60) - 10.0
+    pdf = pd.DataFrame([{"scene_id": "s0", "tx": 0, "ty": 0, "w": 32, "h": 32,
+                         "fmt": "zlib", "bytes": _codec.encode(t[None], "zlib"),
+                         "cell_dx": 1.0, "cell_dy": 1.0}])
+    out = chain.build_chain(spark.createDataFrame(pdf), spec)
+    got = codec.decode(bytes(out.collect()[0]["bytes"]))
+    op = pointwise.windchill(temp_band=0, wind_band=1)
+    want = op.fn(np.stack([t, t]).astype(np.float32), {})
+    assert np.array_equal(got[0], want)
+
+
 def test_unsupported_template_types_raise():
     with pytest.raises(ValueError, match="no registered engine mapping"):
         rft._compile_adapter({"ClassName": "SomethingUnknown"})
