@@ -1095,6 +1095,20 @@ def q_mm_decode_jpeg(spark, sf_dir):
             .orderBy("image_id"))
 
 
+def q_mm_catalog(spark, sf_dir):
+    """Catalog crawl over a mixed-format crawl dump (PNG/JPEG/BMP/engine
+    container cycling per row): header-only metadata peek — PNG IDAT never
+    inflated, JPEG entropy never touched — rolled up per format/shape.
+    The oracle re-derives the expected inventory from the fixture design's
+    closed form (formats, band counts and dims are pure functions of i)."""
+    from raster_functions_spark import fixtures, multimodal
+    imgs = fixtures.mixed_images_df(spark, 80)
+    cat = multimodal.image_catalog(imgs)
+    return (cat.groupBy("fmt", "bands", "h", "w")
+            .agg(F.count("*").alias("n"))
+            .orderBy("fmt", "bands"))
+
+
 def q_snap_incremental(spark, sf_dir):
     """Iceberg-like snapshot table (snapshots.SnapshotTable): two appends +
     one partition-aligned overwrite on a fresh table, then the CURRENT
@@ -1311,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_random_forest": q_m3_random_forest,
         "m4_gbt": q_m4_gbt,
         "snap_incremental": q_snap_incremental,
+        "mm_catalog": q_mm_catalog,
     }.items()}
 
 
@@ -1396,6 +1411,20 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),
         "m3_random_forest": _orc.rf_classify_sql(400),
         "m4_gbt": _orc.gbt_classify_sql(400),
+        "mm_catalog": """
+          WITH rows AS (
+            SELECT 'png' AS fmt, 3 AS bands, 24 AS h, 24 AS w
+            FROM generate_series(0, 19) t(i)
+            UNION ALL
+            SELECT 'jpeg', CASE WHEN i % 4 = 0 THEN 1 ELSE 3 END, 24, 32
+            FROM generate_series(0, 19) t(i)
+            UNION ALL
+            SELECT 'bmp', 3, 24, 24 FROM generate_series(0, 19) t(i)
+            UNION ALL
+            SELECT 'rf:zlib', 3, 24, 24 FROM generate_series(0, 19) t(i))
+          SELECT fmt, CAST(bands AS INT) AS bands, CAST(h AS INT) AS h,
+                 CAST(w AS INT) AS w, COUNT(*) AS n
+          FROM rows GROUP BY 1, 2, 3, 4 ORDER BY fmt, bands""",
         "snap_incremental": """
           WITH cur AS (
             SELECT i % 4 AS p_cell, i * 3 AS v

@@ -255,6 +255,36 @@ def jpeg_fixture_payload(i: int) -> bytes:
                             restart_interval=(0, 0, 2)[i % 3])
 
 
+def mixed_images_df(spark: SparkSession, n: int,
+                    partitions: int | None = None) -> DataFrame:
+    """A crawl-dump-shaped table: payload format cycles PNG → JPEG → BMP →
+    engine container per row (catalog-crawl fixture; every format's header
+    parser gets exercised)."""
+    from . import codec as _codec
+    from . import formats
+    parts = partitions or spark.sparkContext.defaultParallelism
+    schema = T.StructType([T.StructField("image_id", T.StringType(), False),
+                           T.StructField("bytes", T.BinaryType(), False)])
+
+    def payload(i: int) -> bytes:
+        k = i // 4
+        if i % 4 == 0:
+            return formats.encode_png(png_fixture_pixels(k), filter_type=k % 5)
+        if i % 4 == 1:
+            return jpeg_fixture_payload(k)
+        if i % 4 == 2:
+            return formats.encode_bmp(png_fixture_pixels(k))
+        return _codec.encode(png_fixture_pixels(k), "zlib")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [{"image_id": f"mix{i:05d}", "bytes": payload(i)}
+                    for i in pdf["id"].tolist()]
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=schema)
+
+
 def jpeg_images_df(spark: SparkSession, n: int,
                    partitions: int | None = None) -> DataFrame:
     parts = partitions or spark.sparkContext.defaultParallelism

@@ -370,6 +370,66 @@ def sniff(buf: bytes) -> str | None:
 IMAGE_KINDS = ("bmp", "pnm", "png", "jpeg", "rf")
 
 
+def peek_png(buf: bytes) -> dict:
+    """PNG header metadata without inflating any pixel data."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    w, h, depth, ctype, _c, _f, interlace = struct.unpack_from(">IIBBBBB", buf, 16)
+    return {"fmt": "png", "bands": _PNG_CHANNELS.get(ctype, 0),
+            "h": int(h), "w": int(w), "depth": int(depth),
+            "nbytes": len(buf)}
+
+
+def peek_jpeg(buf: bytes) -> dict:
+    """JPEG frame metadata from the SOF marker — no entropy decode."""
+    if buf[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos, n = 2, len(buf)
+    while pos + 4 <= n:
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker stream corrupt")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        (seglen,) = struct.unpack_from(">H", buf, pos)
+        if marker in (0xC0, 0xC1, 0xC2):          # any SOF dims
+            prec, h, w, nc = struct.unpack_from(">BHHB", buf, pos + 2)
+            return {"fmt": "jpeg", "bands": int(nc), "h": int(h),
+                    "w": int(w), "depth": int(prec), "nbytes": len(buf)}
+        if marker == 0xDA:
+            break                                  # scan before SOF: corrupt
+        pos += seglen
+    raise ValueError("JPEG has no SOF frame header")
+
+
+def peek_image_any(buf: bytes) -> dict:
+    """Cheap metadata for ANY supported image payload — the catalog-crawl
+    path over interchange formats: header fields only, pixels never
+    decompressed (PNG IDAT untouched; JPEG entropy segments skipped)."""
+    from . import codec
+    buf = bytes(buf)
+    kind = sniff(buf)
+    if kind == "png":
+        return peek_png(buf)
+    if kind == "jpeg":
+        return peek_jpeg(buf)
+    if kind == "rf":
+        meta = codec.peek_header(buf)
+        return {"fmt": "rf:" + meta["fmt"], "bands": meta["bands"],
+                "h": meta["h"], "w": meta["w"], "depth": 0,
+                "nbytes": len(buf)}
+    if kind == "bmp":
+        (_hdr, w, h, _pl, bpp, *_rest) = _BMP_INFO.unpack_from(buf, 14)
+        return {"fmt": "bmp", "bands": 3 if bpp == 24 else 1,
+                "h": abs(int(h)), "w": int(w), "depth": 8, "nbytes": len(buf)}
+    if kind == "pnm":
+        px = decode_pnm(buf)                       # header parse is the cost
+        return {"fmt": "pnm", "bands": int(px.shape[0]), "h": int(px.shape[1]),
+                "w": int(px.shape[2]), "depth": 8, "nbytes": len(buf)}
+    raise ValueError(f"unrecognized image payload (magic {buf[:4]!r})")
+
+
 def decode_image_any(buf: bytes) -> np.ndarray:
     """Decode any supported image payload to (bands, h, w)."""
     from . import codec, jpeg

@@ -123,6 +123,34 @@ def decode_metrics(df: DataFrame, bytes_col: str = "bytes",
     return df.mapInPandas(run, schema=out_schema)
 
 
+def image_catalog(df: DataFrame, bytes_col: str = "bytes",
+                  keep_cols: tuple = ("image_id",)) -> DataFrame:
+    """Catalog crawl over interchange-format payloads: header-only metadata
+    (formats.peek_image_any — PNG IDAT never inflated, JPEG entropy never
+    decoded), the S7 analog for a crawl dump. Orders of magnitude cheaper
+    than decode; pair with a groupBy rollup for corpus inventory."""
+    out_schema = T.StructType([df.schema[c] for c in keep_cols] + [
+        T.StructField("fmt", T.StringType()),
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("nbytes", T.LongType()),
+    ])
+    cols = [f.name for f in out_schema]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                m = formats.peek_image_any(bytes(pdf[bytes_col].iloc[i]))
+                rows.append({**{c: pdf[c].iloc[i] for c in keep_cols},
+                             "fmt": m["fmt"], "bands": m["bands"],
+                             "h": m["h"], "w": m["w"], "nbytes": m["nbytes"]})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def resize_tiles(df: DataFrame, out_h: int, out_w: int,
                  bytes_col: str = "bytes", fmt_out: str = "zlib") -> DataFrame:
     """Box-resample every tile to (out_h, out_w) — the resize step of a

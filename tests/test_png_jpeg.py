@@ -253,6 +253,48 @@ def test_jpeg_truncated_raises_not_hangs():
         pass
 
 
+# --------------------------------------------------------------- peek ------
+
+def test_peek_matches_decode_for_every_format():
+    """Header-only peek reports exactly what a full decode produces —
+    for PNG/JPEG/BMP/engine payloads — without touching pixel data."""
+    from raster_functions_spark import codec, jpeg
+    px3 = _img(3, 13, 21, seed=5)
+    px1 = _img(1, 9, 7, seed=6)
+    payloads = [
+        formats.encode_png(px3, filter_type=2),
+        formats.encode_png(px1),
+        jpeg.encode_jpeg(px3, quality=85, subsampling="420", restart_interval=2),
+        jpeg.encode_jpeg(px1[0], quality=85),
+        formats.encode_bmp(px3),
+        codec.encode(px3, "zlib"),
+    ]
+    for buf in payloads:
+        m = formats.peek_image_any(buf)
+        full = formats.decode_image_any(buf)
+        assert (m["bands"], m["h"], m["w"]) == full.shape, m
+        assert m["nbytes"] == len(buf)
+
+
+def test_peek_png_never_inflates():
+    """Corrupt the IDAT body (valid CRC field untouched is irrelevant —
+    peek must not read it): metadata still parses, decode fails."""
+    buf = bytearray(formats.encode_png(_img(3, 16, 16, seed=8)))
+    idat = bytes(buf).find(b"IDAT")
+    buf[idat + 8:idat + 16] = b"\x00" * 8          # trash the zlib stream
+    m = formats.peek_image_any(bytes(buf))
+    assert (m["bands"], m["h"], m["w"]) == (3, 16, 16)
+    with pytest.raises(Exception):
+        formats.decode_png(bytes(buf))
+
+
+def test_peek_rejects_garbage():
+    with pytest.raises(ValueError):
+        formats.peek_image_any(b"\x00\x01garbage")
+    with pytest.raises(ValueError, match="no SOF"):
+        formats.peek_jpeg(b"\xff\xd8\xff\xd9")
+
+
 # ------------------------------------------------------------- wiring ------
 
 def test_sniff_and_dispatch_png_jpeg():
