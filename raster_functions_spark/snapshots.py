@@ -193,6 +193,28 @@ class SnapshotTable:
                 files.extend(s["added"])
         return self._read_files(files)
 
+    # --------------------------------------------------------- streaming --
+
+    def streaming_sink(self, partition_col: str):
+        """foreachBatch sink: one snapshot commit per microbatch with
+        ``run_id = batch-<id>`` — a retried microbatch is a no-op commit,
+        so snapshot appends are exactly-once end to end (a mid-append
+        failure leaves only unreferenced files, reclaimed by
+        expire_snapshots; a post-commit retry short-circuits on run_id).
+        Downstream consumers use read_incremental to process exactly the
+        newly committed rows."""
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append(batch_df, partition_col, run_id=f"batch-{batch_id}")
+        return sink
+
+    def start_ingest(self, stream: DataFrame, partition_col: str,
+                     checkpoint: str, query_name: str = "snapshot-ingest"):
+        """Wire a stream into this table (availableNow trigger)."""
+        return (stream.writeStream
+                .foreachBatch(self.streaming_sink(partition_col))
+                .option("checkpointLocation", checkpoint)
+                .queryName(query_name).trigger(availableNow=True).start())
+
     # --------------------------------------------------------- maintain ----
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:

@@ -91,6 +91,39 @@ def test_expire_snapshots_deletes_unreferenced(spark, table):
         table.read(1)                                        # expired
 
 
+def test_streaming_ingest_one_snapshot_per_batch(spark, table, tmp_path):
+    """File stream (maxFilesPerTrigger=1 over two files → two deterministic
+    microbatches) → snapshot sink: one commit per batch, incremental read
+    returns exactly the second batch, run_ids recorded for restart safety."""
+    src = str(tmp_path / "src")
+    _df(spark, (0, 8), 1).coalesce(1).write.parquet(src)
+    _df(spark, (8, 20), 2).coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("image_id long, p_cell int, v long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = table.start_ingest(stream, "p_cell", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    snaps = table.snapshots()
+    assert len(snaps) == 2
+    assert [s["run_id"] for s in snaps] == ["batch-0", "batch-1"]
+    assert table.read().count() == 20
+    first = table.read(snapshot_id=1).count()
+    inc = table.read_incremental(since_snapshot_id=1).count()
+    assert first + inc == 20 and first in (8, 12)
+    # exactly-once on retry: replaying a batch's commit is a no-op
+    table.append(_df(spark, (0, 8), 1), "p_cell", run_id="batch-0")
+    assert table.read().count() == 20
+
+
+def test_incremental_scan_touches_only_added_files(spark, table):
+    table.append(_df(spark, (0, 10), 1), "p_cell")
+    table.append(_df(spark, (10, 25), 2), "p_cell")
+    added = table.snapshots()[1]["added"]
+    inc = table.read_incremental(since_snapshot_id=1)
+    files = inc.inputFiles()
+    assert len(files) == len(added)
+    assert all(any(f.endswith(a.split("/")[-1]) for f in files) for a in added)
+
+
 def test_empty_table_and_missing_snapshot_errors(spark, table):
     with pytest.raises(ValueError, match="empty table"):
         table.read()
