@@ -323,6 +323,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash values, bit-exact vs a pure-SQL oracle: DuckDB's
+    md5_number_upper(tok) equals the engine's little-endian first-8-bytes
+    token hash, so the whole sign-aggregation replays in SQL (the r2
+    'non-SQL-expressible' note is now closed — only the LSH banding
+    shares code with the already-oracled phash path)."""
+    from raster_functions_spark import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id", dedup.simhash64_udf("text").alias("sh"))
+            .orderBy("doc_id"))
+
+
 def q_text_langid(spark, sf_dir):
     """Text: heuristic language-ID vs labeled lang."""
     from raster_functions_spark import text
@@ -1266,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_bbox_join": q_spatial_bbox_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
@@ -1616,6 +1629,29 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           SELECT id_a, id_b, COUNT(*) AS n_shared_bands
           FROM pairs GROUP BY id_a, id_b ORDER BY id_a, id_b""",
+        "dedup_simhash": """
+          WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          hb AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN (md5_number_upper(tok) >> b) & 1 = 1
+                            THEN 1 ELSE -1 END) AS acc
+            FROM toks, generate_series(0, 63) t(b)
+            GROUP BY 1, 2),
+          parts AS (
+            -- 32-bit halves: 1<<63 overflows BIGINT; recombine in HUGEINT
+            SELECT doc_id,
+                   SUM(CASE WHEN acc > 0 AND b < 32
+                            THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS lo,
+                   SUM(CASE WHEN acc > 0 AND b >= 32
+                            THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS hi
+            FROM hb GROUP BY 1)
+          SELECT doc_id,
+                 CAST(CASE WHEN hi >= 2147483648
+                           THEN (hi - 4294967296) * 4294967296 + lo
+                           ELSE hi * 4294967296 + lo END AS BIGINT) AS sh
+          FROM parts ORDER BY doc_id""",
         "text_langid": f"""
           SELECT lang, {_text.lang_id_sql('text')} AS lang_pred, COUNT(*) AS n
           FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""",

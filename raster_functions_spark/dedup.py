@@ -233,10 +233,11 @@ def _i64(x: int) -> int:
 # ----------------------------------------------------------- SimHash -------
 
 def simhash64_udf(text_col: str = "text", token_split: str = " "):
-    """64-bit SimHash as a vectorized pandas UDF: per token, a splitmix64
+    """64-bit SimHash as a vectorized pandas UDF: per token, an md5-derived
     hash contributes ±1 to each bit position; sign of the sum per bit.
-    (Engine-internal hashing — verified by pytest property tests, not a SQL
-    oracle; SURVEY.md notes simhash as non-SQL-expressible.)"""
+    Bit-exact SQL oracle (contract query dedup_simhash): DuckDB's
+    md5_number_upper(tok) equals int.from_bytes(md5[:8], 'little'), so the
+    whole sign aggregation replays engine-independently."""
     @F.pandas_udf("long")
     def simhash(s: pd.Series) -> pd.Series:
         out = np.empty(len(s), dtype=np.int64)
