@@ -213,7 +213,8 @@ def png_fixture_pixels(i: int) -> np.ndarray:
 def png_images_df(spark: SparkSession, n: int,
                   partitions: int | None = None) -> DataFrame:
     """Distributed deterministic table of real PNG payloads; filter type
-    cycles 0-4 so the contract query exercises every unfilter path."""
+    cycles 0-4 and every third image is Adam7-interlaced, so the contract
+    query exercises every unfilter path AND the interlace scatter."""
     from . import formats
     parts = partitions or spark.sparkContext.defaultParallelism
     schema = T.StructType([T.StructField("image_id", T.StringType(), False),
@@ -223,7 +224,8 @@ def png_images_df(spark: SparkSession, n: int,
         for pdf in batches:
             rows = [{"image_id": f"png{i:05d}",
                      "bytes": formats.encode_png(png_fixture_pixels(i),
-                                                 filter_type=i % 5)}
+                                                 filter_type=i % 5,
+                                                 interlace=(i % 3 == 1))}
                     for i in pdf["id"].tolist()]
             yield pd.DataFrame(rows, columns=["image_id", "bytes"])
 

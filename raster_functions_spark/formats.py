@@ -258,12 +258,30 @@ def _png_unfilter_row(ftype: int, cur: np.ndarray, prev: np.ndarray,
     raise ValueError(f"unsupported PNG filter type {ftype}")
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _filter_image_rows(img: np.ndarray, filter_type: int, bpp: int) -> bytes:
+    """Serialize (rows, rowbytes) with one filter byte + filtered data per
+    scanline (prev = previous row of the same group, per the spec)."""
+    prev = np.zeros(img.shape[1], np.uint8)
+    lines = []
+    for yy in range(img.shape[0]):
+        lines.append(bytes([filter_type])
+                     + _png_filter_row(filter_type, img[yy], prev, bpp).tobytes())
+        prev = img[yy]
+    return b"".join(lines)
+
+
 def encode_png(pixels: np.ndarray, filter_type: int = 0,
-               level: int = 6) -> bytes:
+               level: int = 6, interlace: bool = False) -> bytes:
     """(h,w)/(1,h,w) → greyscale PNG; (3,h,w) → RGB; (4,h,w) → RGBA.
     uint8 only. ``filter_type`` applies one filter to every scanline
     (0=None default: deterministic and cheap; 1-4 exist chiefly to
-    exercise every decoder unfilter path)."""
+    exercise every decoder unfilter path). ``interlace`` writes Adam7
+    (each of the 7 passes filtered as its own scanline group)."""
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[None]
@@ -273,23 +291,44 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0,
     ctype = {1: 0, 3: 2, 4: 6}.get(bands)
     if ctype is None:
         raise ValueError("PNG encoder supports 1, 3 or 4 bands")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    inter = np.ascontiguousarray(px.transpose(1, 2, 0)).reshape(h, w * bands)
-    prev = np.zeros(w * bands, np.uint8)
-    lines = []
-    for yy in range(h):
-        lines.append(bytes([filter_type])
-                     + _png_filter_row(filter_type, inter[yy], prev, bands).tobytes())
-        prev = inter[yy]
-    idat = zlib.compress(b"".join(lines), level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
+    hwc = np.ascontiguousarray(px.transpose(1, 2, 0))      # (h, w, bands)
+    if interlace:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = hwc[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue                                    # pass absent
+            raw += _filter_image_rows(
+                np.ascontiguousarray(sub).reshape(sub.shape[0], -1),
+                filter_type, bands)
+    else:
+        raw = _filter_image_rows(hwc.reshape(h, w * bands), filter_type, bands)
+    idat = zlib.compress(raw, level)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
             + _png_chunk(b"IEND", b""))
+
+
+def _unfilter_group(raw: bytes, offset: int, nrows: int, rowbytes: int,
+                    bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter one scanline group (the whole image, or one Adam7 pass)."""
+    need = nrows * (rowbytes + 1)
+    if len(raw) - offset < need:
+        raise ValueError("PNG pixel data truncated")
+    rows = np.frombuffer(raw, np.uint8, need, offset).reshape(nrows, rowbytes + 1)
+    out = np.empty((nrows, rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.uint8)
+    for yy in range(nrows):
+        prev = _png_unfilter_row(int(rows[yy, 0]), rows[yy, 1:], prev, bpp)
+        out[yy] = prev
+    return out, offset + need
 
 
 def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes → (bands, h, w) uint8 (or uint16 for bit depth 16).
     Palette images expand through PLTE (grey palettes collapse to 1 band,
-    like decode_bmp). Adam7 interlace raises."""
+    like decode_bmp). Both interlace methods decode (Adam7 passes are
+    unfiltered as independent groups and scattered onto the pixel grid)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -313,8 +352,8 @@ def decode_png(buf: bytes) -> np.ndarray:
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
     if comp or filt:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace:
-        raise ValueError("PNG Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if ctype_i not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype_i}")
     if depth not in (8, 16) or (depth == 16 and ctype_i == 3):
@@ -322,16 +361,20 @@ def decode_png(buf: bytes) -> np.ndarray:
     nch = _PNG_CHANNELS[ctype_i]
     sample_bytes = depth // 8
     bpp = nch * sample_bytes
-    rowbytes = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) < h * (rowbytes + 1):
-        raise ValueError("PNG pixel data truncated")
-    rows = np.frombuffer(raw, np.uint8, h * (rowbytes + 1)).reshape(h, rowbytes + 1)
-    out = np.empty((h, rowbytes), np.uint8)
-    prev = np.zeros(rowbytes, np.uint8)
-    for yy in range(h):
-        prev = _png_unfilter_row(int(rows[yy, 0]), rows[yy, 1:], prev, bpp)
-        out[yy] = prev
+    if interlace:
+        px_bytes = np.zeros((h, w, bpp), np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy
+            pw = (w - x0 + dx - 1) // dx
+            if ph <= 0 or pw <= 0:
+                continue
+            grp, offset = _unfilter_group(raw, offset, ph, pw * bpp, bpp)
+            px_bytes[y0::dy, x0::dx] = grp.reshape(ph, pw, bpp)
+        out = px_bytes.reshape(h, w * bpp)
+    else:
+        out, _ = _unfilter_group(raw, 0, h, w * bpp, bpp)
     if depth == 16:
         img = out.reshape(h, w, nch, 2).astype(np.uint16)
         img = (img[..., 0] << 8) | img[..., 1]           # network order
