@@ -249,10 +249,14 @@ def jpeg_fixture_pixels(i: int) -> np.ndarray:
 def jpeg_fixture_payload(i: int) -> bytes:
     """The exact JPEG bytes for row i (shared by the Spark fixture builder
     and the oracle's single-process replay): quality 90, subsampling and
-    restart interval cycling through the supported combinations."""
+    restart interval cycling through the supported combinations; every
+    fifth image is PROGRESSIVE (SOF2 spectral selection + successive
+    approximation) so the contract query exercises that decode path."""
     from . import jpeg
     px = jpeg_fixture_pixels(i)
     sub = "420" if (i % 3 == 1 and px.shape[0] == 3) else "444"
+    if i % 5 == 2:
+        return jpeg.encode_jpeg_progressive(px, quality=90, subsampling=sub)
     return jpeg.encode_jpeg(px, quality=90, subsampling=sub,
                             restart_interval=(0, 0, 2)[i % 3])
 

@@ -245,17 +245,12 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                subsampling: str = "444", restart_interval: int = 0) -> bytes:
-    """(h,w) / (1,h,w) uint8 → grayscale JPEG; (3,h,w) RGB uint8 → YCbCr
-    JPEG. ``subsampling``: '444' (no chroma subsampling) or '420'.
-    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = none),
-    resetting DC prediction per segment as real encoders do."""
-    px = np.asarray(pixels)
-    if px.ndim == 2:
-        px = px[None]
-    if px.dtype != np.uint8:
-        raise ValueError("JPEG encoder takes uint8 pixels")
+def _prepare_components(px: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front end: color transform, subsampling, FDCT,
+    quantization. Returns (comps, qtabs, comp_zz, comp_bw, gray) where
+    comp_zz[ci] is the (n_blocks, 64) zigzag coefficient table in raster
+    block order over the component's 8-aligned grid and comp_bw[ci] the
+    blocks-across count of that grid."""
     bands, h, w = px.shape
     if bands not in (1, 3):
         raise ValueError("JPEG supports 1 or 3 bands")
@@ -292,7 +287,6 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     qtabs = [lum_q] + ([] if gray else [chr_q])
 
-    # quantized zigzag blocks per component, in raster block order
     comp_zz = []
     comp_bw = []                     # blocks across, for MCU indexing
     for ci, (cid, ch_, cv_, tq) in enumerate(comps):
@@ -300,6 +294,48 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         tiles = _blocks_of(plane) - 128.0
         comp_zz.append(_fdct_quant(tiles, qtabs[tq]))
         comp_bw.append(plane.shape[1] // 8)
+    return comps, qtabs, comp_zz, comp_bw, gray
+
+
+def _marker_preamble(h: int, w: int, comps, qtabs, gray: bool,
+                     sof_marker: bytes, restart_interval: int) -> bytearray:
+    """SOI + APP0 + DQT + SOF + DHT (+DRI) — shared by baseline/progressive."""
+    out = bytearray(b"\xff\xd8")                         # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"         # APP0
+    for tq, tab in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
+            + bytes(int(x) for x in tab[_ZZ])            # DQT (zigzag order)
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                                    len(comps))          # SOF
+    for cid, chf, cvf, tq in comps:
+        out += struct.pack("BBB", cid, (chf << 4) | cvf, tq)
+    tables = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS), (0x10, _AC_LUM_BITS, _AC_LUM_VALS)]
+    if not gray:
+        tables += [(0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+                   (0x11, _AC_CHR_BITS, _AC_CHR_VALS)]
+    for tc, bits, vals in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc) \
+            + bytes(bits) + bytes(vals)                  # DHT
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    return out
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444", restart_interval: int = 0) -> bytes:
+    """(h,w) / (1,h,w) uint8 → grayscale JPEG; (3,h,w) RGB uint8 → YCbCr
+    JPEG. ``subsampling``: '444' (no chroma subsampling) or '420'.
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = none),
+    resetting DC prediction per segment as real encoders do."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[None]
+    if px.dtype != np.uint8:
+        raise ValueError("JPEG encoder takes uint8 pixels")
+    bands, h, w = px.shape
+    comps, qtabs, comp_zz, comp_bw, gray = _prepare_components(
+        px, quality, subsampling)
 
     dc_l = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_l = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
@@ -334,31 +370,185 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         entropy += bytes([0xFF, 0xD0 + (i % 8)]) + seg
 
     # ---- marker stream
-    out = bytearray(b"\xff\xd8")                         # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HH", 1, 1) + b"\x00\x00"         # APP0
-    for tq, tab in enumerate(qtabs):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
-            + bytes(int(x) for x in tab[_ZZ])            # DQT (zigzag order)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
-                                     len(comps))         # SOF0
-    for cid, chf, cvf, tq in comps:
-        out += struct.pack("BBB", cid, (chf << 4) | cvf, tq)
-    tables = [(0x00, _DC_LUM_BITS, _DC_LUM_VALS), (0x10, _AC_LUM_BITS, _AC_LUM_VALS)]
-    if not gray:
-        tables += [(0x01, _DC_CHR_BITS, _DC_CHR_VALS),
-                   (0x11, _AC_CHR_BITS, _AC_CHR_VALS)]
-    for tc, bits, vals in tables:
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc) \
-            + bytes(bits) + bytes(vals)                  # DHT
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    out = _marker_preamble(h, w, comps, qtabs, gray, b"\xff\xc0",
+                           restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
     for ci, (cid, *_rest) in enumerate(comps):
         out += struct.pack("BB", cid, 0x00 if ci == 0 else 0x11)
     out += b"\x00\x3f\x00"                               # Ss=0 Se=63 AhAl=0
     out += entropy
     out += b"\xff\xd9"                                   # EOI
+    return bytes(out)
+
+
+def _sos_header(scan_comps, ss: int, se: int, ah: int, al: int) -> bytes:
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps),
+                                    len(scan_comps))
+    for cid, tda in scan_comps:
+        out += struct.pack("BB", cid, tda)
+    return out + struct.pack("BBB", ss, se, (ah << 4) | al)
+
+
+def _tz_shift(v: np.ndarray, al: int) -> np.ndarray:
+    """AC point transform: divide by 2^Al truncating TOWARD ZERO (G.1.2.2;
+    DC uses plain arithmetic shift instead)."""
+    return np.sign(v) * (np.abs(v) >> al)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsampling: str = "444") -> bytes:
+    """Progressive JPEG (SOF2) with spectral selection AND successive
+    approximation — the script real encoders emit: shifted DC scan + DC
+    refinement, then per component first AC scans (bands 1-5 / 6-63 at
+    Al=2) and two refinement passes down to full precision. EOB runs are
+    emitted per block (EOB0) because the Annex K baseline Huffman tables
+    carry no EOBn symbols — longer runs decode fine, they just are not
+    produced. Pixel-exact contract: decode(progressive) ==
+    decode(baseline) for the same quality/subsampling, because both code
+    the identical quantized coefficients."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[None]
+    if px.dtype != np.uint8:
+        raise ValueError("JPEG encoder takes uint8 pixels")
+    bands, h, w = px.shape
+    comps, qtabs, comp_zz, comp_bw, gray = _prepare_components(
+        px, quality, subsampling)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    dc_codes = [_canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)] + \
+        [_canonical_codes(_DC_CHR_BITS, _DC_CHR_VALS)] * (len(comps) - 1)
+    ac_codes = [_canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)] + \
+        [_canonical_codes(_AC_CHR_BITS, _AC_CHR_VALS)] * (len(comps) - 1)
+
+    def comp_udims(ci):
+        cid, chf, cvf, _tq = comps[ci]
+        cw = (w * chf + hmax - 1) // hmax
+        ch = (h * cvf + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    out = _marker_preamble(h, w, comps, qtabs, gray, b"\xff\xc2", 0)
+
+    # ---- scan 1: DC, all components interleaved, Al=1
+    # ---- scan 2: DC refinement to Al=0
+    for ah, al in ((0, 1), (1, 0)):
+        bw_ = _BitWriter()
+        preds = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (cid, chf, cvf, _tq) in enumerate(comps):
+                    for v in range(cvf):
+                        for u in range(chf):
+                            bi = (my * cvf + v) * comp_bw[ci] + (mx * chf + u)
+                            dc = int(comp_zz[ci][bi, 0])
+                            if ah == 0:
+                                t = dc >> al      # DC: arithmetic shift
+                                diff = t - preds[ci]
+                                preds[ci] = t
+                                s = _category(diff)
+                                c, ln = dc_codes[ci][s]
+                                bw_.write(c, ln)
+                                if s:
+                                    bw_.write(diff if diff >= 0
+                                              else diff + (1 << s) - 1, s)
+                            else:
+                                bw_.write((dc >> al) & 1, 1)
+        out += _sos_header([(comps[ci][0], 0x00 if ci == 0 else 0x11)
+                            for ci in range(len(comps))], 0, 0, ah, al)
+        out += bw_.flush()
+
+    # ---- AC scans per component: first scans at Al=2, then two refinements
+    for ci in range(len(comps)):
+        bh_u, bw_u = comp_udims(ci)
+        ac = ac_codes[ci]
+        ta = 0x00 if ci == 0 else 0x11
+
+        def blocks():
+            for by in range(bh_u):
+                for bx in range(bw_u):
+                    yield comp_zz[ci][by * comp_bw[ci] + bx]
+
+        for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2),
+                               (1, 63, 2, 1), (1, 63, 1, 0)):
+            bw_ = _BitWriter()
+            if ah == 0:
+                for zz in blocks():
+                    bandv = _tz_shift(zz[ss:se + 1].astype(np.int64), al)
+                    nz = np.nonzero(bandv)[0]
+                    if nz.size == 0:
+                        c, ln = ac[0x00]          # EOB0 (run of one block)
+                        bw_.write(c, ln)
+                        continue
+                    run = 0
+                    for j in range(int(nz[-1]) + 1):
+                        v = int(bandv[j])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = ac[0xF0]
+                            bw_.write(c, ln)
+                            run -= 16
+                        s = _category(v)
+                        c, ln = ac[(run << 4) | s]
+                        bw_.write(c, ln)
+                        bw_.write(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if int(nz[-1]) < se - ss:
+                        c, ln = ac[0x00]
+                        bw_.write(c, ln)
+            else:
+                for zz in blocks():
+                    band = zz[ss:se + 1].astype(np.int64)
+                    mag = np.abs(band)
+                    hist = (mag >> ah) != 0       # nonzero before this scan
+                    now1 = ((mag >> al) != 0) & ~hist   # newly significant
+                    corrbit = (mag >> al) & 1
+                    if not now1.any():
+                        c, ln = ac[0x00]          # EOB0 + this block's
+                        bw_.write(c, ln)          # correction bits
+                        for j in np.nonzero(hist)[0]:
+                            bw_.write(int(corrbit[j]), 1)
+                        continue
+                    kend = int(np.nonzero(now1)[0][-1])
+                    run = 0
+                    carry: list[int] = []
+                    for j in range(kend + 1):
+                        if hist[j]:
+                            carry.append(int(corrbit[j]))
+                            continue
+                        if not now1[j]:
+                            run += 1
+                            if run == 16:         # ZRL covers these 16 zeros
+                                c, ln = ac[0xF0]
+                                bw_.write(c, ln)
+                                for b in carry:
+                                    bw_.write(b, 1)
+                                carry = []
+                                run = 0
+                            continue
+                        c, ln = ac[(run << 4) | 1]
+                        bw_.write(c, ln)
+                        bw_.write(1 if band[j] > 0 else 0, 1)
+                        for b in carry:
+                            bw_.write(b, 1)
+                        carry = []
+                        run = 0
+                    if kend < se - ss or carry:
+                        c, ln = ac[0x00]          # trailing EOB0
+                        bw_.write(c, ln)
+                        for b in carry:
+                            bw_.write(b, 1)
+                        for j in range(kend + 1, se - ss + 1):
+                            if hist[j]:
+                                bw_.write(int(corrbit[j]), 1)
+            out += _sos_header([(comps[ci][0], ta)], ss, se, ah, al)
+            out += bw_.flush()
+
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -417,9 +607,11 @@ def _huff_decode(br: _BitReader, lut: list) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (bands, h, w) uint8 (1 band grayscale or 3-band
-    RGB). Supports Huffman baseline (SOF0/SOF1), sampling factors up to 4,
-    restart intervals. Progressive (SOF2) and arithmetic coding raise."""
+    """JPEG bytes → (bands, h, w) uint8 (1 band grayscale or 3-band RGB).
+    Supports Huffman baseline (SOF0/SOF1) AND progressive (SOF2: spectral
+    selection + successive approximation, DC/AC refinement scans, EOB
+    runs), sampling factors up to 4, restart intervals. Arithmetic coding
+    and the hierarchical/lossless processes raise."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
@@ -427,6 +619,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict] = {}
     frame = None
     restart = 0
+    stores = None                                 # progressive coef stores
+    any_scan = False
     pos = 2
     n = len(buf)
     while pos + 4 <= n:
@@ -464,7 +658,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(body[bp + 17:bp + 17 + nv])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
                 bp += 17 + nv
-        elif marker in (0xC0, 0xC1):              # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):        # SOF0/1 baseline, SOF2 prog
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -472,9 +666,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * ci)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported — baseline only")
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG process (SOF{marker & 0xF})")
@@ -484,18 +677,29 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                raise ValueError(
-                    "non-interleaved multi-scan baseline JPEG not supported")
             scan = []
             for ci in range(ns):
                 cs, tda = body[1 + 2 * ci], body[2 + 2 * ci]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tda >> 4, tda & 0xF))
             segs, pos = _entropy_segments(buf, pos)
+            if frame["progressive"]:
+                ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+                if stores is None:
+                    stores = _init_stores(frame)
+                _decode_prog_scan(frame, scan, (ss, se, ahl >> 4, ahl & 0xF),
+                                  segs, dc_tabs, ac_tabs, restart, stores)
+                any_scan = True
+                continue
+            if ns != len(frame["comps"]):
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG not supported")
             return _decode_scan(frame, scan, segs, qtabs, dc_tabs, ac_tabs,
                                 restart)
         # APPn/COM and anything else: skipped
+    if frame is not None and frame.get("progressive") and any_scan:
+        entries = [(c, stores[i]) for i, c in enumerate(frame["comps"])]
+        return _idct_assemble(frame, entries, qtabs)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -579,14 +783,23 @@ def _decode_scan(frame, scan, segs, qtabs, dc_tabs, ac_tabs,
                             k += 1
                         store[si][my * comp["v"] + v, mx * comp["h"] + u] = zz
             mcu += 1
-    # batched dequantize + IDCT + upsample per component
+    entries = [(comp, store[si]) for si, (comp, _td, _ta) in enumerate(scan)]
+    return _idct_assemble(frame, entries, qtabs)
+
+
+def _idct_assemble(frame, entries, qtabs) -> np.ndarray:
+    """Batched dequantize + IDCT + upsample + color transform over the
+    final coefficient stores (shared by baseline and progressive)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     planes = []
-    for si, (comp, _td, _ta) in enumerate(scan):
+    for comp, st in entries:
         qt = qtabs.get(comp["tq"])
         if qt is None:
             raise ValueError("JPEG frame references missing quant table")
-        bd, ba, _ = store[si].shape
-        zz = store[si].reshape(-1, 64).astype(np.float64)
+        bd, ba, _ = st.shape
+        zz = st.reshape(-1, 64).astype(np.float64)
         nat = np.zeros_like(zz)
         nat[:, _ZZ] = zz
         coef = (nat * qt).reshape(-1, 8, 8)
@@ -605,3 +818,192 @@ def _decode_scan(frame, scan, segs, qtabs, dc_tabs, ac_tabs,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b])
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------- progressive -------
+# T.81 Annex G: spectral selection (each scan codes one zigzag band of one
+# component, or the DC band of all) + successive approximation (coefficient
+# bits arrive MSB-first across scans; refinement scans append one bit).
+
+def _frame_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    if hmax not in (1, 2, 4) or vmax not in (1, 2, 4):
+        raise ValueError("unsupported JPEG sampling factors")
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _comp_block_dims(frame, comp):
+    """Unpadded per-component block grid (non-interleaved scans iterate
+    THIS, not the MCU-padded storage grid)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * comp["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8          # (rows, cols)
+
+
+def _init_stores(frame):
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+            for c in frame["comps"]]
+
+
+class _SegmentCursor:
+    """Restart-interval segment switching for progressive scans."""
+
+    def __init__(self, segs, restart):
+        self.segs = segs
+        self.restart = restart
+        self.i = 0
+        self.br = _BitReader(segs[0])
+        self.unit = 0
+
+    def step(self):
+        """Advance one MCU/block; returns True when a restart boundary was
+        crossed (callers reset DC predictions / EOB runs)."""
+        crossed = (self.restart and self.unit
+                   and self.unit % self.restart == 0)
+        if crossed:
+            self.i += 1
+            if self.i >= len(self.segs):
+                raise ValueError("JPEG truncated at restart interval")
+            self.br = _BitReader(self.segs[self.i])
+        self.unit += 1
+        return crossed
+
+
+def _ac_first(br, zz, ss, se, al, act, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun
+            k += 16                               # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, zz, ss, se, al, act, eobrun):
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break                         # refine tail, then EOB run
+                # ZRL: pass 16 zero-history coefficients
+            elif s == 1:
+                val = p1 if br.bits(1) else -p1
+            else:
+                raise ValueError("invalid JPEG refinement symbol")
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.bits(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0:
+                if br.bits(1) and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(frame, scan, band, segs, dc_tabs, ac_tabs,
+                      restart, stores):
+    ss, se, ah, al = band
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    cidx = {id(c): i for i, c in enumerate(frame["comps"])}
+    cur = _SegmentCursor(segs, restart)
+    if ss == 0:                                   # ---- DC scan
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        preds = [0] * len(scan)
+        if len(scan) > 1:                         # interleaved, MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if cur.step():
+                        preds = [0] * len(scan)
+                    for si, (comp, td, _ta) in enumerate(scan):
+                        st = stores[cidx[id(comp)]]
+                        for v in range(comp["v"]):
+                            for u in range(comp["h"]):
+                                blk = st[my * comp["v"] + v, mx * comp["h"] + u]
+                                preds[si] = _dc_one(cur.br, blk, ah, al,
+                                                    dc_tabs.get(td), preds[si])
+        else:                                     # single comp, own grid
+            comp, td, _ta = scan[0]
+            st = stores[cidx[id(comp)]]
+            bh, bw = _comp_block_dims(frame, comp)
+            for by in range(bh):
+                for bx in range(bw):
+                    if cur.step():
+                        preds = [0]
+                    preds[0] = _dc_one(cur.br, st[by, bx], ah, al,
+                                       dc_tabs.get(td), preds[0])
+        return
+    # ---- AC scan: exactly one component, unpadded grid, EOB-run state
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    comp, _td, ta = scan[0]
+    act = ac_tabs.get(ta)
+    if act is None:
+        raise ValueError("JPEG scan references missing Huffman table")
+    st = stores[cidx[id(comp)]]
+    bh, bw = _comp_block_dims(frame, comp)
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if cur.step():
+                eobrun = 0
+            zz = st[by, bx]
+            if ah == 0:
+                eobrun = _ac_first(cur.br, zz, ss, se, al, act, eobrun)
+            else:
+                eobrun = _ac_refine(cur.br, zz, ss, se, al, act, eobrun)
+
+
+def _dc_one(br, blk, ah, al, dct, pred):
+    if ah == 0:                                   # first DC scan
+        if dct is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+        s = _huff_decode(br, dct)
+        if s:
+            pred += _extend(br.bits(s), s)
+        blk[0] = pred << al
+    else:                                         # refinement: one bit
+        if br.bits(1):
+            blk[0] = int(blk[0]) | (1 << al)
+    return pred

@@ -262,6 +262,93 @@ def test_jpeg_roundtrip_fuzz_shapes(bands_i, h, w, seed):
     assert codec.psnr(px, rec) > 25
 
 
+# -------------------------------------------------------- progressive ------
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("quality", [75, 95])
+def test_progressive_decode_equals_baseline_exactly(sub, quality):
+    """The cross-codec invariant that catches matched encode/decode bugs:
+    progressive and baseline code the IDENTICAL quantized coefficients, so
+    their decodes must be pixel-identical — across gray/color, both
+    subsamplings, odd sizes (MCU padding) and qualities."""
+    rng = np.random.default_rng(quality)
+    shapes = [(3, 24, 32), (3, 17, 23), (3, 8, 8)]
+    if sub == "444":
+        shapes += [(1, 15, 9)]
+    for bands, h, w in shapes:
+        px = rng.integers(0, 256, (bands, h, w), dtype=np.uint8)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=quality,
+                                                 subsampling=sub))
+        buf = jpeg.encode_jpeg_progressive(px, quality=quality, subsampling=sub)
+        assert b"\xff\xc2" in buf                  # really SOF2
+        prog = jpeg.decode_jpeg(buf)
+        assert np.array_equal(base, prog), (bands, h, w)
+
+
+def test_progressive_smooth_psnr():
+    yy, xx = np.mgrid[0:40, 0:56]
+    px = np.stack([(xx * 2 + yy).astype(np.uint8),
+                   (xx + yy * 2).astype(np.uint8),
+                   (xx // 2 + 100).astype(np.uint8)])
+    rec = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(px, quality=90))
+    assert codec.psnr(px, rec) >= 40
+
+
+def test_progressive_hand_built_eobn_run():
+    """EOB runs longer than one block (EOBn, n>1) need custom Huffman
+    tables, so the encoder never emits them — build one by hand (Annex G
+    layout, inline canonical builder) and check the decoder honors the
+    run: a 16×8 gray image, DC scan then an AC scan that is a single EOB2
+    covering both blocks."""
+    def canonical(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        return out
+
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x10]                        # EOB1 and EOB2 symbols
+    dc = canonical(dc_bits, dc_vals)
+    ac = canonical(ac_bits, ac_vals)
+    # DC scan (Ss=Se=0, Ah=Al=0): block1 diff=+40, block2 diff=-40 → DCs 40, 0
+    bits = ""
+    c, ln = dc[6]
+    bits += format(c, f"0{ln}b") + format(40, "06b")
+    c, ln = dc[6]
+    bits += format(c, f"0{ln}b") + format((-40) + 63, "06b")
+    bits += "1" * ((-len(bits)) % 8)
+    dc_scan = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    # AC scan 1-63: EOB2 (r=1) + 1 extension bit 0 → run = 2 blocks, all zero
+    c, ln = ac[0x10]
+    bits = format(c, f"0{ln}b") + "0"
+    bits += "1" * ((-len(bits)) % 8)
+    ac_scan = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+    def chunk(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    buf = (b"\xff\xd8"
+           + chunk(b"\xff\xdb", b"\x00" + bytes([1] * 64))
+           + chunk(b"\xff\xc2", struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+           + chunk(b"\xff\xc4", b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+           + chunk(b"\xff\xc4", b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+           + chunk(b"\xff\xda", b"\x01" + bytes([1, 0x00]) + b"\x00\x00\x00")
+           + dc_scan
+           + chunk(b"\xff\xda", b"\x01" + bytes([1, 0x00]) + b"\x01\x3f\x00")
+           + ac_scan + b"\xff\xd9")
+    out = jpeg.decode_jpeg(buf)
+    assert out.shape == (1, 8, 16)
+    # DC-only blocks: 40/8 + 128 = 133 and 0/8 + 128 = 128
+    assert np.array_equal(out[0, :, :8], np.full((8, 8), 133, np.uint8))
+    assert np.array_equal(out[0, :, 8:], np.full((8, 8), 128, np.uint8))
+
+
 def test_jpeg_truncated_raises_not_hangs():
     px = _img(3, 16, 16, seed=1)
     buf = jpeg.encode_jpeg(px, quality=90)
