@@ -1121,6 +1121,21 @@ def q_mm_catalog(spark, sf_dir):
             .orderBy("fmt", "bands"))
 
 
+def q_mm_quarantine(spark, sf_dir):
+    """Crawl hardening: decode a mixed-format dump where every 7th payload
+    is bit-rotted (truncated body, intact magic) with quarantine semantics
+    — corrupt rows come back ok=false with sentinel metrics instead of
+    killing tasks; good rows keep exact pixel sums. Oracle replays the
+    identical payload builder single-process."""
+    from raster_functions_spark import fixtures, multimodal
+    imgs = fixtures.mixed_images_df(spark, 84, corrupt_every=7)
+    out = multimodal.decode_metrics(imgs, on_error="quarantine")
+    return (out.groupBy("ok")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("ok"), F.col("px_sum"))).alias("sum_ok"))
+            .orderBy("ok"))
+
+
 def q_snap_incremental(spark, sf_dir):
     """Iceberg-like snapshot table (snapshots.SnapshotTable): two appends +
     one partition-aligned overwrite on a fresh table, then the CURRENT
@@ -1339,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_gbt": q_m4_gbt,
         "snap_incremental": q_snap_incremental,
         "mm_catalog": q_mm_catalog,
+        "mm_quarantine": q_mm_quarantine,
     }.items()}
 
 
@@ -1422,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize": _orc.resize_sql(2, 2, 32, 8, 8),
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),
+        "mm_quarantine": _orc.mm_quarantine_sql(84, 7),
         "m3_random_forest": _orc.rf_classify_sql(400),
         "m4_gbt": _orc.gbt_classify_sql(400),
         "mm_catalog": """

@@ -261,30 +261,41 @@ def jpeg_fixture_payload(i: int) -> bytes:
                             restart_interval=(0, 0, 2)[i % 3])
 
 
-def mixed_images_df(spark: SparkSession, n: int,
-                    partitions: int | None = None) -> DataFrame:
-    """A crawl-dump-shaped table: payload format cycles PNG → JPEG → BMP →
-    engine container per row (catalog-crawl fixture; every format's header
-    parser gets exercised)."""
+def mixed_fixture_payload(i: int, corrupt_every: int = 0) -> bytes:
+    """One crawl-dump payload: format cycles PNG → JPEG → BMP → engine
+    container per row. With ``corrupt_every`` k > 0, every row where
+    i % k == 3 is truncated to 12 bytes (magic intact, body gone) — the
+    deterministic 'bit-rotted object' for quarantine-path contracts."""
     from . import codec as _codec
     from . import formats
+    k = i // 4
+    if i % 4 == 0:
+        buf = formats.encode_png(png_fixture_pixels(k), filter_type=k % 5)
+    elif i % 4 == 1:
+        buf = jpeg_fixture_payload(k)
+    elif i % 4 == 2:
+        buf = formats.encode_bmp(png_fixture_pixels(k))
+    else:
+        buf = _codec.encode(png_fixture_pixels(k), "zlib")
+    if corrupt_every and i % corrupt_every == 3:
+        return buf[:12]
+    return buf
+
+
+def mixed_images_df(spark: SparkSession, n: int,
+                    partitions: int | None = None,
+                    corrupt_every: int = 0) -> DataFrame:
+    """A crawl-dump-shaped table of :func:`mixed_fixture_payload` rows
+    (catalog-crawl + quarantine fixtures; every format's header parser
+    gets exercised)."""
     parts = partitions or spark.sparkContext.defaultParallelism
     schema = T.StructType([T.StructField("image_id", T.StringType(), False),
                            T.StructField("bytes", T.BinaryType(), False)])
 
-    def payload(i: int) -> bytes:
-        k = i // 4
-        if i % 4 == 0:
-            return formats.encode_png(png_fixture_pixels(k), filter_type=k % 5)
-        if i % 4 == 1:
-            return jpeg_fixture_payload(k)
-        if i % 4 == 2:
-            return formats.encode_bmp(png_fixture_pixels(k))
-        return _codec.encode(png_fixture_pixels(k), "zlib")
-
     def gen(batches):
         for pdf in batches:
-            rows = [{"image_id": f"mix{i:05d}", "bytes": payload(i)}
+            rows = [{"image_id": f"mix{i:05d}",
+                     "bytes": mixed_fixture_payload(i, corrupt_every)}
                     for i in pdf["id"].tolist()]
             yield pd.DataFrame(rows, columns=["image_id", "bytes"])
 

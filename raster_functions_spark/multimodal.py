@@ -95,29 +95,51 @@ def image_features(df: DataFrame, bytes_col: str = "bytes",
 
 
 def decode_metrics(df: DataFrame, bytes_col: str = "bytes",
-                   keep_cols: tuple = ("image_id",)) -> DataFrame:
+                   keep_cols: tuple = ("image_id",),
+                   on_error: str = "raise") -> DataFrame:
     """Decode any interchange payload (PNG/JPEG/BMP/PNM/engine container,
     magic-sniffed) and emit exact integer shape + pixel-sum metrics —
     the contract-query surface for the from-scratch decoders. One
     mapInPandas pass; payload bytes cross the Arrow boundary exactly once
-    and never shuffle."""
-    out_schema = T.StructType([df.schema[c] for c in keep_cols] + [
+    and never shuffle.
+
+    ``on_error='quarantine'``: a corrupt payload at crawl scale is a
+    certainty and must not kill the task — bad rows come back with
+    ``ok=false`` and sentinel metrics (-1), stay joinable/countable, and
+    the caller routes them to a quarantine sink. ``'raise'`` (default)
+    keeps fail-fast semantics for curated tables."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
+    fields = [df.schema[c] for c in keep_cols] + [
         T.StructField("bands", T.IntegerType()),
         T.StructField("h", T.IntegerType()),
         T.StructField("w", T.IntegerType()),
         T.StructField("px_sum", T.LongType()),
-    ])
+    ]
+    if quarantine:
+        fields.append(T.StructField("ok", T.BooleanType()))
+    out_schema = T.StructType(fields)
     cols = [f.name for f in out_schema]
 
     def run(batches):
         for pdf in batches:
             rows = []
             for i in range(len(pdf)):
-                px = decode_external_image(bytes(pdf[bytes_col].iloc[i]))
-                rows.append({**{c: pdf[c].iloc[i] for c in keep_cols},
-                             "bands": px.shape[0], "h": px.shape[1],
-                             "w": px.shape[2],
-                             "px_sum": int(px.astype(np.int64).sum())})
+                keep = {c: pdf[c].iloc[i] for c in keep_cols}
+                try:
+                    px = decode_external_image(bytes(pdf[bytes_col].iloc[i]))
+                    m = {"bands": px.shape[0], "h": px.shape[1],
+                         "w": px.shape[2],
+                         "px_sum": int(px.astype(np.int64).sum())}
+                    if quarantine:
+                        m["ok"] = True
+                except Exception:
+                    if not quarantine:
+                        raise
+                    m = {"bands": -1, "h": -1, "w": -1, "px_sum": -1,
+                         "ok": False}
+                rows.append({**keep, **m})
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=out_schema)

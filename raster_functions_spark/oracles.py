@@ -1138,6 +1138,28 @@ def gbt_classify_sql(n_images: int, n_rounds: int = 15) -> str:
             + ") t(image_id, n_c0, n_c1, sum_p) ORDER BY image_id")
 
 
+def mm_quarantine_sql(n: int, corrupt_every: int) -> str:
+    """mm_quarantine oracle: single-process replay of the mixed fixture
+    through the same public decoders — good rows sum exactly, corrupt rows
+    (deterministically truncated payloads) land in the quarantine bucket.
+    The distributed property under test: NO task death, every row
+    accounted for on exactly one side."""
+    from . import formats
+    from .fixtures import mixed_fixture_payload
+    n_ok = n_bad = 0
+    total = 0
+    for i in range(n):
+        try:
+            px = formats.decode_image_any(mixed_fixture_payload(i, corrupt_every))
+            n_ok += 1
+            total += int(px.astype(np.int64).sum())
+        except Exception:
+            n_bad += 1
+    return (f"SELECT ok, CAST(n AS BIGINT) AS n, CAST(sum_ok AS BIGINT) AS sum_ok "
+            f"FROM (VALUES (false, {n_bad}, NULL), (true, {n_ok}, {total})) "
+            f"t(ok, n, sum_ok) ORDER BY ok")
+
+
 def png_decode_sql(n: int) -> str:
     """mm_decode_png oracle: PNG is LOSSLESS, so the decoded pixel sums are
     the closed form the fixture was generated from — DuckDB recomputes them
