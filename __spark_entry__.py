@@ -344,6 +344,23 @@ def q_text_langid(spark, sf_dir):
             .orderBy("lang", "lang_pred"))
 
 
+def q_text_tokens(spark, sf_dir):
+    """Text: BPE-ish pre-token budget per language — letter runs, digit
+    runs, single punctuation (the pre-merge split GPT tokenizers use);
+    whitespace counts shown alongside for the undercount contrast."""
+    from raster_functions_spark import text
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .select("lang",
+                    text.token_count_bpe(F.col("text")).alias("bpe"),
+                    text.token_count(F.col("text")).alias("ws"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum("bpe").cast("long").alias("sum_bpe"),
+                 F.sum("ws").cast("long").alias("sum_ws"))
+            .orderBy("lang"))
+
+
 def q_text_quality(spark, sf_dir):
     """Text: quality features rollup per source."""
     from raster_functions_spark import text
@@ -1295,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "sim_near_dup_pairs": q_sim_near_dup_pairs,
@@ -1672,6 +1690,11 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": f"""
           SELECT lang, {_text.lang_id_sql('text')} AS lang_pred, COUNT(*) AS n
           FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""",
+        "text_tokens": f"""
+          SELECT lang, COUNT(*) AS n,
+                 CAST(SUM({_text.token_count_bpe_sql('text')}) AS BIGINT) AS sum_bpe,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws
+          FROM documents GROUP BY lang ORDER BY lang""",
         "text_quality": f"""
           WITH q AS (SELECT source, {_text.quality_sql('text')} FROM documents)
           SELECT source, COUNT(*) AS n,

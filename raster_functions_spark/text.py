@@ -40,6 +40,24 @@ def token_count(col: Column) -> Column:
     return F.size(F.split(col, " "))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+# the split GPT-style tokenizers apply before merges. The pattern uses
+# only constructs whose semantics agree between Java regex (Spark) and
+# RE2 (DuckDB), so the count is engine-portable.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Subword-budget estimator: count of BPE-style pre-tokens — the
+    number a trainer's token accountant tracks (whitespace tokens
+    undercount punctuation-heavy text badly). JVM-side regex, no UDF."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def token_count_bpe_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_PATTERN}'))"
+
+
 def word_markers_score(col: Column, lang: str) -> Column:
     """Stopword-hit score: occurrences of ' word ' (space-guarded)."""
     s = F.lit(0).cast("long")
