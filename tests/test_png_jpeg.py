@@ -349,6 +349,21 @@ def test_progressive_hand_built_eobn_run():
     assert np.array_equal(out[0, :, 8:], np.full((8, 8), 128, np.uint8))
 
 
+@settings(max_examples=12, deadline=None)
+@given(st.integers(1, 2), st.integers(1, 48), st.integers(1, 48),
+       st.sampled_from([70, 85, 95]), st.sampled_from(["444", "420"]),
+       st.integers(0, 2 ** 31 - 1))
+def test_progressive_equals_baseline_fuzz(bands_i, h, w, q, sub, seed):
+    bands = 1 if bands_i == 1 else 3
+    if bands == 1:
+        sub = "444"
+    px = _img(bands, h, w, seed=seed)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=q, subsampling=sub))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(px, quality=q,
+                                                         subsampling=sub))
+    assert np.array_equal(base, prog)
+
+
 def test_jpeg_truncated_raises_not_hangs():
     px = _img(3, 16, 16, seed=1)
     buf = jpeg.encode_jpeg(px, quality=90)
