@@ -187,6 +187,16 @@ def build_chain(df: DataFrame, spec, fmt_out: str = "zlib",
                                 grid_cols=grid_cols) if br else out
                     for br in node["branches"]]
             out = stack_tiles(outs, fmt_out=fmt_out, grid_cols=grid_cols)
+        elif node.get("op") == "stats_stretch":
+            # stats-dependent stretch = a table-level two-pass plan, not a
+            # TileOp (the .rft importer emits this for EstimateStatsHistogram
+            # StretchFunctions)
+            from ..raster import stretch_stats_apply
+            if pending_specs:
+                out = flush_linear(out, pending_specs)
+                pending_specs = []
+            out = stretch_stats_apply(out, fmt_out=fmt_out,
+                                      **node.get("args", {}))
         else:
             pending_specs.append(node)
     if pending_specs:

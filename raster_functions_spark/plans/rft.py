@@ -238,18 +238,29 @@ def _compile(node) -> list:
         return _compile(_input(a, "Raster")) + [
             {"op": "remap", "args": {"intervals": intervals}}]
     if f == "StretchFunction":
-        # only the closed-form variant maps to a per-tile chain; stats- or
-        # histogram-dependent stretches (percent clip / stddev / DRA) need
-        # the table-level two-pass pattern (cf. a10 fuzzy-mssmall)
-        if str(a.get("EstimateStatsHistogram")).lower() == "true" \
-                or str(a.get("DRA")).lower() == "true":
-            raise ValueError(
-                "stats-dependent StretchFunction (EstimateStatsHistogram/DRA) "
-                "is a two-pass table-level operation — compute the stats "
-                "DataFrame first (see the a10 fuzzy-mssmall pattern)")
-        return _compile(_input(a, "Raster")) + [
-            {"op": "stretch", "args": {"out_min": float(a.get("Min") or 0.0),
-                                       "out_max": float(a.get("Max") or 255.0)}}]
+        out_min = float(a.get("Min") or 0.0)
+        out_max = float(a.get("Max") or 255.0)
+        stype = int(a.get("StretchType") or 0)
+        stats = (str(a.get("EstimateStatsHistogram")).lower() == "true"
+                 or str(a.get("DRA")).lower() == "true")
+        inner = _compile(_input(a, "Raster"))
+        if stype == 0 and not stats:
+            return inner + [{"op": "stretch",
+                             "args": {"out_min": out_min, "out_max": out_max}}]
+        if stype == 5:                           # MinMax over dataset stats
+            return inner + [{"op": "stats_stretch",
+                             "args": {"stretch_type": "minmax",
+                                      "out_min": out_min, "out_max": out_max}}]
+        if stype == 6:                           # PercentClip from histogram
+            return inner + [{"op": "stats_stretch",
+                             "args": {"stretch_type": "percent_clip",
+                                      "min_percent": float(a.get("MinPercent") or 0.0),
+                                      "max_percent": float(a.get("MaxPercent") or 0.0),
+                                      "out_min": out_min, "out_max": out_max}}]
+        raise ValueError(
+            f"StretchFunction type {stype} (stddev/histogram-equalize/"
+            "sigmoid) not mapped — MinMax (5) and PercentClip (6) run as "
+            "two-pass table-level plans; others are display styling")
     if f == "BandArithmeticFunction":
         if int(a.get("Method") or 0) != 0:
             raise ValueError("BandArithmeticFunction predefined methods are "

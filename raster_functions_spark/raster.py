@@ -162,3 +162,88 @@ def catalog(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         rows = [codec.peek_header(bytes(b)) for b in s]
         return pd.DataFrame(rows)
     return df.withColumn("hdr", peek(F.col(bytes_col)))
+
+
+# ------------------------------------------------ stats-dependent stretch --
+
+def global_value_stats(df: DataFrame, band: int = 0,
+                       bytes_col: str = "bytes") -> tuple[float, float]:
+    """Pass 1 of a stats-dependent stretch: dataset-wide min/max of one
+    band — decomposable per-tile partials, one tiny aggregate."""
+    parts = tile_stats(df, [], {
+        "_mn": lambda px, m, b=band: float(px[b].min()),
+        "_mx": lambda px, m, b=band: float(px[b].max()),
+    }, keep_cols=[], bytes_col=bytes_col)
+    row = parts.agg(F.min("_mn").alias("mn"), F.max("_mx").alias("mx")).first()
+    return float(row["mn"]), float(row["mx"])
+
+
+def global_histogram(df: DataFrame, gmin: float, gmax: float,
+                     bins: int = 1024, band: int = 0,
+                     bytes_col: str = "bytes") -> np.ndarray:
+    """Dataset-wide value histogram over [gmin, gmax]: per-tile bincount
+    kernels → explode → codegen sum per bin (array HOF aggregation runs
+    interpreted, so the rollup goes through rows). Returns (bins,) int64."""
+    span = max(gmax - gmin, 1e-300)
+
+    def run(batches):
+        for pdf in batches:
+            hs = np.zeros(bins, np.int64)
+            for b in pdf[bytes_col]:
+                v = codec.decode(bytes(b))[band].astype(np.float64).ravel()
+                idx = np.clip(((v - gmin) / span * bins).astype(np.int64),
+                              0, bins - 1)
+                hs += np.bincount(idx, minlength=bins)
+            yield pd.DataFrame({"bin": np.arange(bins), "n": hs})
+
+    rolled = (df.select(bytes_col).mapInPandas(run, "bin int, n long")
+              .groupBy("bin").agg(F.sum("n").alias("n")).collect())
+    out = np.zeros(bins, np.int64)
+    for r in rolled:
+        out[r["bin"]] = r["n"]
+    return out
+
+
+def percent_clip_thresholds(hist: np.ndarray, gmin: float, gmax: float,
+                            min_percent: float, max_percent: float) -> tuple[float, float]:
+    """Histogram-quantized clip thresholds (the PercentClip stretch): lo =
+    lower edge of the first bin where the cumulative count reaches
+    min_percent% of pixels; hi symmetric from the top. Bin-edge
+    quantization (span/bins) is the documented resolution — the same
+    trade real renderers make when stretching from a histogram."""
+    total = int(hist.sum())
+    span = gmax - gmin
+    bins = hist.size
+    cum = np.cumsum(hist)
+    lo_k = int(np.searchsorted(cum, total * min_percent / 100.0, side="left"))
+    hi_k = int(np.searchsorted(cum, total * (1.0 - max_percent / 100.0),
+                               side="left"))
+    lo = gmin + span * min(lo_k, bins - 1) / bins
+    hi = gmin + span * (min(hi_k, bins - 1) + 1) / bins
+    return lo, max(hi, lo + 1e-12)
+
+
+def stretch_stats_apply(df: DataFrame, stretch_type: str = "minmax",
+                        min_percent: float = 0.0, max_percent: float = 0.0,
+                        out_min: float = 0.0, out_max: float = 255.0,
+                        band: int = 0, bins: int = 1024,
+                        fmt_out: str = "zlib") -> DataFrame:
+    """Stats-dependent stretch as the two-pass table-level plan (the A10
+    pattern): pass 1 aggregates the dataset statistics the template's
+    EstimateStatsHistogram flag asks for (min/max, plus a histogram for
+    percent clip); pass 2 maps the ordinary linear stretch with the
+    computed thresholds broadcast as literals. 'minmax' = StretchType 5,
+    'percent_clip' = StretchType 6."""
+    from .operators import pointwise
+    gmin, gmax = global_value_stats(df, band)
+    if stretch_type == "percent_clip":
+        hist = global_histogram(df, gmin, gmax, bins, band)
+        in_min, in_max = percent_clip_thresholds(hist, gmin, gmax,
+                                                 min_percent, max_percent)
+    elif stretch_type == "minmax":
+        in_min, in_max = gmin, max(gmax, gmin + 1e-12)
+    else:
+        raise ValueError(f"unknown stats stretch type {stretch_type!r}")
+    op = pointwise.stretch(band, in_min=in_min, in_max=in_max,
+                           out_min=out_min, out_max=out_max)
+    return apply_chain(df, [op], fmt_out=fmt_out)

@@ -176,6 +176,75 @@ def test_windchill_template_units_end_to_end(spark):
     assert np.array_equal(got[0], want)
 
 
+def test_ndsi_template_stats_stretch_end_to_end(spark):
+    """The NDSI-for-Landsat-OLI template: BandArithmetic expression over
+    bands B3/B6 → stats-dependent MinMax stretch (EstimateStatsHistogram →
+    the two-pass table-level plan) → named color ramp (display-only
+    passthrough). Exact against a whole-scene NumPy oracle including the
+    f32 quantization between chain stages."""
+    import pandas as pd
+    from raster_functions_spark import codec as _codec
+    path = ("/root/reference/functions/deprecated/"
+            "Normalized-Difference Snow Index (NDSI) for Landsat OLI.rft.xml")
+    spec = rft.load_rft(path)
+    assert [n["op"] for n in spec] == ["calculator", "stats_stretch"]
+    assert spec[0]["args"]["band_names"] in ({"B3": 2, "B6": 5},)
+    assert spec[1]["args"]["stretch_type"] == "minmax"
+    # 6-band fixture: closed-form positive values, 2×2 tiles of 32
+    rows, full = [], {}
+    for ty in range(2):
+        for tx in range(2):
+            yy, xx = np.mgrid[0:32, 0:32]
+            px = np.stack([((b + 1) * 100 + (tx * 32 + xx) * (b + 2)
+                            + (ty * 32 + yy)) % 4000 + 1
+                           for b in range(6)]).astype(np.uint16)
+            full[(ty, tx)] = px
+            rows.append({"scene_id": "s0", "tx": tx, "ty": ty, "w": 32,
+                         "h": 32, "fmt": "zlib",
+                         "bytes": _codec.encode(px, "zlib"),
+                         "cell_dx": 1.0, "cell_dy": 1.0})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = chain.build_chain(df, spec)
+    got = _assemble(out)
+    # oracle: NDSI per tile (f32), global min/max, linear stretch (f32)
+    scene = np.zeros((64, 64), np.float32)
+    for (ty, tx), px in full.items():
+        b3 = px[2].astype(np.float64)
+        b6 = px[5].astype(np.float64)
+        scene[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32] = \
+            np.asarray((b3 - b6) / (b6 + b3), np.float32)
+    gmin, gmax = float(scene.astype(np.float64).min()), float(scene.astype(np.float64).max())
+    want = np.clip((scene.astype(np.float64) - gmin) / max(gmax - gmin, 1e-12)
+                   * 255.0, 0.0, 255.0).astype(np.float32)
+    assert np.array_equal(got[0].astype(np.float32), want)
+    assert want.max() > 250 and want.min() < 5       # full range used
+
+
+def test_percent_clip_thresholds_outliers(spark):
+    """PercentClip ignores histogram-tail outliers: a scene that is 99%
+    in [0, 100] with a few 10000-valued pixels must clip in_max near 100,
+    not 10000 (bin-edge quantization documented)."""
+    import pandas as pd
+    from raster_functions_spark import codec as _codec, raster
+    rng = np.random.default_rng(5)
+    v = rng.uniform(0, 100, (64, 64))
+    v[0, :4] = 10000.0
+    rows = [{"scene_id": "s0", "tx": tx, "ty": ty, "w": 32, "h": 32,
+             "fmt": "zlib",
+             "bytes": _codec.encode(
+                 v[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32][None]
+                 .astype(np.float32), "zlib")}
+            for ty in range(2) for tx in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    gmin, gmax = raster.global_value_stats(df)
+    hist = raster.global_histogram(df, gmin, gmax, bins=2048)
+    lo, hi = raster.percent_clip_thresholds(hist, gmin, gmax, 0.5, 0.5)
+    assert hi < 200.0 and lo < 5.0
+    out = raster.stretch_stats_apply(df, "percent_clip", 0.5, 0.5)
+    px = _codec.decode(bytes(out.collect()[0]["bytes"]))
+    assert px.max() <= 255.0 and px.dtype == np.float32
+
+
 def test_unsupported_template_types_raise():
     with pytest.raises(ValueError, match="no registered engine mapping"):
         rft._compile_adapter({"ClassName": "SomethingUnknown"})
