@@ -165,6 +165,25 @@ def main() -> int:
     checks.append(("flagship >threshold AOIs: partitioned cell join, no driver collect", ok))
     out += ["\n## flagship_partitioned_route\n", p]
 
+    # 13. snapshot incremental read touches ONLY the files added after the
+    # anchor snapshot (manifest-driven file pruning, not a full-table scan
+    # plus filter)
+    import tempfile
+    from raster_functions_spark.snapshots import SnapshotTable
+    tdir = tempfile.mkdtemp(prefix="audit_snap_")
+    st = SnapshotTable(spark, tdir + "/t")
+    mk = lambda lo, hi, pv: (spark.range(lo, hi).withColumnRenamed("id", "k")
+                             .withColumn("p", F.lit(pv)))
+    st.append(mk(0, 50, 1), "p")
+    st.append(mk(50, 80, 2), "p")
+    inc = st.read_incremental(since_snapshot_id=1)
+    added = set(st.snapshots()[1]["added"])
+    files = {f.split("/t/", 1)[1] for f in inc.inputFiles()}
+    ok = files == added and inc.count() == 30
+    checks.append(("snapshot incremental scan reads only the added files", ok))
+    out += ["\n## snapshot_incremental_files\n",
+            f"added={sorted(added)}\nscanned={sorted(files)}\n"]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
