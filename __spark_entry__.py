@@ -1153,6 +1153,23 @@ def q_mm_quarantine(spark, sf_dir):
             .orderBy("ok"))
 
 
+def q_mm_ingest_rollup(spark, sf_dir):
+    """The end-to-end CRAWL INGEST pipeline in one contract: mixed-format
+    payloads (PNG incl. Adam7, JPEG incl. progressive, BMP, container;
+    every 7th bit-rotted) → from-scratch decode with quarantine →
+    closed-form georeference → Z-order cell encode (pure Column expr) —
+    every row accounted for with exact pixel sums and bit-exact cells."""
+    from raster_functions_spark import fixtures, grid, multimodal
+    imgs = fixtures.mixed_images_df(spark, 84, corrupt_every=7)
+    m = multimodal.decode_metrics(imgs, on_error="quarantine")
+    i = F.substring("image_id", 4, 5).cast("long")
+    lon = (i * 7919 % 360).cast("double") - 180.0 + 0.5
+    lat = (i * 104729 % 170).cast("double") - 85.0 + 0.5
+    return (m.withColumn("cell", grid.encode_col(lon, lat, 6))
+            .select("image_id", "ok", "cell", "px_sum")
+            .orderBy("image_id"))
+
+
 def q_snap_incremental(spark, sf_dir):
     """Iceberg-like snapshot table (snapshots.SnapshotTable): two appends +
     one partition-aligned overwrite on a fresh table, then the CURRENT
@@ -1373,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_incremental": q_snap_incremental,
         "mm_catalog": q_mm_catalog,
         "mm_quarantine": q_mm_quarantine,
+        "mm_ingest_rollup": q_mm_ingest_rollup,
     }.items()}
 
 
@@ -1457,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),
         "mm_quarantine": _orc.mm_quarantine_sql(84, 7),
+        "mm_ingest_rollup": _orc.mm_ingest_rollup_sql(84, 7, 6),
         "m3_random_forest": _orc.rf_classify_sql(400),
         "m4_gbt": _orc.gbt_classify_sql(400),
         "mm_catalog": """

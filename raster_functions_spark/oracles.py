@@ -1160,6 +1160,46 @@ def mm_quarantine_sql(n: int, corrupt_every: int) -> str:
             f"t(ok, n, sum_ok) ORDER BY ok")
 
 
+def mm_ingest_rollup_sql(n: int, corrupt_every: int, res: int) -> str:
+    """mm_ingest_rollup oracle — the end-to-end crawl-ingest contract:
+    per row, quarantine flag + exact pixel sum + Z-order cell. Hybrid
+    derivation: the LOSSLESS formats (png/bmp/container share one pixel
+    closed form) sum via generate_series; the lossy JPEG rows are
+    single-process replay VALUES; cells come from the same portable
+    cell-encode SQL the engine's Column expression mirrors bit-for-bit."""
+    from . import formats, grid
+    from .fixtures import PNG_DIMS, jpeg_fixture_payload
+    bands, hh, ww = PNG_DIMS
+    jpeg_rows = []
+    for i in range(n):
+        if i % 4 == 1 and not (corrupt_every and i % corrupt_every == 3):
+            px = formats.decode_image_any(jpeg_fixture_payload(i // 4))
+            jpeg_rows.append(f"({i}, {int(px.astype(np.int64).sum())})")
+    cell = grid.encode_sql("lon", "lat", res, "duckdb")
+    return f"""
+WITH ids AS (SELECT i FROM generate_series(0, {n - 1}) t(i)),
+geo AS (
+  SELECT i, CAST(i * 7919 % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+         CAST(i * 104729 % 170 AS DOUBLE) - 85.0 + 0.5 AS lat
+  FROM ids),
+pngsum AS (
+  SELECT k, CAST(SUM((k*13 + b*31 + y*7 + x*3) % 256) AS BIGINT) AS s
+  FROM generate_series(0, {(n - 1) // 4}) tk(k),
+       generate_series(0, {bands - 1}) tb(b),
+       generate_series(0, {hh - 1}) ty(y),
+       generate_series(0, {ww - 1}) tx(x)
+  GROUP BY k),
+jpg(ji, js) AS (VALUES {", ".join(jpeg_rows)})
+SELECT printf('mix%05d', ids.i) AS image_id,
+       ids.i % {corrupt_every} <> 3 AS ok,
+       {cell} AS cell,
+       CASE WHEN ids.i % {corrupt_every} = 3 THEN -1
+            WHEN ids.i % 4 = 1 THEN (SELECT js FROM jpg WHERE ji = ids.i)
+            ELSE (SELECT s FROM pngsum WHERE k = ids.i // 4) END AS px_sum
+FROM ids JOIN geo ON geo.i = ids.i
+ORDER BY image_id"""
+
+
 def png_decode_sql(n: int) -> str:
     """mm_decode_png oracle: PNG is LOSSLESS, so the decoded pixel sums are
     the closed form the fixture was generated from — DuckDB recomputes them
