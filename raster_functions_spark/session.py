@@ -79,8 +79,19 @@ def package_zip(path: str | None = None) -> str:
 
 def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executor Python workers regardless of
-    the driver's cwd (equivalent of launching with --py-files)."""
+    the driver's cwd (equivalent of launching with --py-files). The repo's
+    `__spark_entry__.py` ships too when present: its module-level helpers
+    (per-tile stat lambdas) are pickled BY REFERENCE into mapInPandas
+    closures, so executors must be able to import the module even when the
+    driver was launched from another directory."""
     try:
         spark.sparkContext.addPyFile(package_zip())
     except Exception:
         pass  # already added in this context, or non-local FS restrictions
+    entry = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "__spark_entry__.py")
+    if os.path.exists(entry):
+        try:
+            spark.sparkContext.addPyFile(entry)
+        except Exception:
+            pass
