@@ -135,7 +135,7 @@ def test_sweep_every_shipped_template():
         except ValueError as e:
             (redirected if ("table-level" in str(e) or "two-pass" in str(e))
              else other).append((f, str(e)))
-    assert len(loaded) >= 24, (len(loaded), other)
+    assert len(loaded) >= 26, (len(loaded), other)
     # every non-loading template gets a redirect to the table-level API
     assert not other, other
 
