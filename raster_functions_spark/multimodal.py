@@ -59,8 +59,11 @@ def image_features(df: DataFrame, bytes_col: str = "bytes",
                    fmt_col: str = "fmt", keep_cols: tuple = ("image_id",),
                    use_fake: bool = False) -> DataFrame:
     """Decode → basic feature extraction per image (mean/std/min/max + a
-    gradient-energy proxy). Engine-format rows decode for real; external
-    formats go through the stub (NotImplementedError unless use_fake)."""
+    gradient-energy proxy). Engine-format rows decode via codec;
+    PNG/JPEG/BMP/PNM payloads decode for real through the from-scratch
+    codecs (formats.decode_image_any); unrecognized payloads NaN-fill
+    their features (rows stay joinable) unless ``use_fake`` substitutes
+    the deterministic fake decoder."""
     out_schema = T.StructType([df.schema[c] for c in keep_cols]
                               + list(FEATURE_SCHEMA))
 

@@ -330,21 +330,145 @@ def sarima_css_fit_batch(Y: np.ndarray, period: int = 12,
     return c, phi, Phi
 
 
+def _batched_ols(X: np.ndarray, y: np.ndarray, ridge: float = 1e-9) -> np.ndarray:
+    """OLS over many small problems at once: X (n, T, k), y (n, T) →
+    beta (n, k) via batched normal equations (one np.linalg.solve over the
+    (n, k, k) stack — no per-series Python loop). A trace-scaled ridge term
+    keeps near-singular systems (constant pixels) solvable."""
+    XtX = np.einsum("ntk,ntj->nkj", X, X)
+    Xty = np.einsum("ntk,nt->nk", X, y)
+    k = X.shape[2]
+    scale = np.maximum(np.trace(XtX, axis1=1, axis2=2) / k, 1.0)
+    XtX = XtX + (ridge * scale)[:, None, None] * np.eye(k)[None]
+    return np.linalg.solve(XtX, Xty)
+
+
+def sarima_hr_fit_batch(Y: np.ndarray, period: int = 12, P: int = 1,
+                        Q: int = 0, iters: int = 2) -> dict:
+    """Hannan–Rissanen CSS-style fit of (1,0,0)×(P,0,Q,s)+c, vectorized
+    over many series (Y already seasonally differenced if D>0).
+
+    The reference accepts arbitrary seasonal (P,D,Q,s) with fixed
+    non-seasonal (1,0,0)+c (SeasonalARIMA.py:138-142,176-179, trend='c');
+    statsmodels solves the nonlinear CSS/ML problem per pixel. Here the
+    seasonal-MA term makes CSS nonlinear, so the classical two-step
+    Hannan–Rissanen estimator is used: (1) a long-AR fit whitens each
+    series to residual estimates, (2) OLS of y_t on lagged y's and lagged
+    step-1 residuals gives the ARMA coefficients; a refinement pass
+    recomputes residuals recursively under the fitted model and re-runs
+    the regression. Every step is a batched closed-form solve.
+
+    Returns {"c", "a1", "as", "as1", "theta"} arrays, the linear predictive
+    form  y_t = c + a1·y_{t-1} + as·y_{t-s} + as1·y_{t-s-1} + θ·e_{t-s}
+    (as/as1 zero when P=0, θ zero when Q=0; the multiplicative-AR constraint
+    as1 = −a1·as is left unconstrained, standard for HR)."""
+    Y = np.asarray(Y, dtype=np.float64)
+    n, T = Y.shape
+    s = period
+    zeros = np.zeros(n)
+    M = max(1, (s + 1) if P >= 1 else 0, s if Q >= 1 else 0)
+    if T <= M + 2:                       # too short for the seasonal lags
+        b = _batched_ols(
+            np.stack([np.ones((n, T - 1)), Y[:, :-1]], axis=2), Y[:, 1:])
+        return {"c": b[:, 0], "a1": np.clip(b[:, 1], -0.999, 0.999),
+                "as": zeros, "as1": zeros, "theta": zeros}
+
+    # step 1: long AR (lags 1..L) → residual estimates
+    L = min(max(s + 1, 4), T - 2)
+    X1 = np.stack([np.ones((n, T - L))]
+                  + [Y[:, L - l:T - l] for l in range(1, L + 1)], axis=2)
+    b1 = _batched_ols(X1, Y[:, L:])
+    e = np.zeros((n, T))
+    e[:, L:] = Y[:, L:] - np.einsum("ntk,nk->nt", X1, b1)
+
+    cols = ["c", "a1"] + (["as", "as1"] if P >= 1 else []) \
+        + (["theta"] if Q >= 1 else [])
+    out = {}
+    for _ in range(max(1, iters)):
+        feats = [np.ones((n, T - M)), Y[:, M - 1:T - 1]]
+        if P >= 1:
+            feats += [Y[:, M - s:T - s], Y[:, M - s - 1:T - s - 1]]
+        if Q >= 1:
+            feats.append(e[:, M - s:T - s])
+        b = _batched_ols(np.stack(feats, axis=2), Y[:, M:])
+        out = {k: b[:, i] for i, k in enumerate(cols)}
+        for k in ("a1", "as", "theta"):
+            if k in out:
+                out[k] = np.clip(out[k], -0.999, 0.999)
+        # recompute residuals recursively under the fitted model (T small:
+        # the loop is over time, vectorized across all series)
+        if Q >= 1:
+            e = np.zeros((n, T))
+            for t in range(M, T):
+                pred = out["c"] + out["a1"] * Y[:, t - 1]
+                if P >= 1:
+                    pred = pred + out["as"] * Y[:, t - s] \
+                        + out["as1"] * Y[:, t - s - 1]
+                pred = pred + out["theta"] * e[:, t - s]
+                e[:, t] = Y[:, t] - pred
+    for k in ("as", "as1", "theta"):
+        out.setdefault(k, zeros)
+    out["_resid"] = e
+    return out
+
+
 def sarima_forecast_batch(Y: np.ndarray, horizon: int, period: int = 12,
-                          iters: int = 25) -> np.ndarray:
+                          iters: int = 25,
+                          seasonal_order: tuple[int, int, int] = (1, 0, 0)
+                          ) -> np.ndarray:
     """Fit + recursive h-step forecast for a batch of series: returns
     (n_series, horizon). Forecast recursion uses actuals where available
-    and prior forecasts beyond the sample (standard SARIMA prediction)."""
+    and prior forecasts beyond the sample (standard SARIMA prediction).
+
+    ``seasonal_order`` = (P, D, Q) at period s — the reference's
+    parameter surface (SeasonalARIMA.py:138-142: arbitrary seasonal order
+    with fixed non-seasonal (1,0,0)+c). (1,0,0) keeps the exact
+    coordinate-descent CSS path (byte-stable with prior releases); other
+    orders difference D times, fit via Hannan–Rissanen, forecast, and
+    integrate back."""
     Y = np.asarray(Y, dtype=np.float64)
-    c, phi, Phi = sarima_css_fit_batch(Y, period, iters)
     s = period
+    P, D, Q = seasonal_order
     T = Y.shape[1]
-    buf = np.concatenate([Y, np.zeros((Y.shape[0], horizon))], axis=1)
+    if (P, D, Q) == (1, 0, 0):
+        c, phi, Phi = sarima_css_fit_batch(Y, period, iters)
+        buf = np.concatenate([Y, np.zeros((Y.shape[0], horizon))], axis=1)
+        for h in range(horizon):
+            t = T + h
+            buf[:, t] = (c + phi * buf[:, t - 1] + Phi * buf[:, t - s]
+                         - phi * Phi * buf[:, t - s - 1])
+        return buf[:, T:]
+    if D > 1:
+        raise ValueError("seasonal differencing D > 1 is not supported "
+                         "(the reference's shipped templates use D ∈ {0, 1})")
+    W = Y
+    for _ in range(D):
+        if W.shape[1] <= s:             # can't difference: naive hold
+            return np.repeat(Y[:, -1:], horizon, axis=1)
+        W = W[:, s:] - W[:, :-s]
+    fit = sarima_hr_fit_batch(W, period, P=P, Q=Q)
+    Tw = W.shape[1]
+    wbuf = np.concatenate([W, np.zeros((W.shape[0], horizon))], axis=1)
+    ebuf = np.concatenate([fit.get("_resid", np.zeros_like(W)),
+                           np.zeros((W.shape[0], horizon))], axis=1)
     for h in range(horizon):
-        t = T + h
-        buf[:, t] = (c + phi * buf[:, t - 1] + Phi * buf[:, t - s]
-                     - phi * Phi * buf[:, t - s - 1])
-    return buf[:, T:]
+        t = Tw + h
+        pred = fit["c"] + fit["a1"] * wbuf[:, t - 1]
+        if t - s >= 0:
+            pred = pred + fit["as"] * wbuf[:, t - s] \
+                + fit["theta"] * ebuf[:, t - s]
+        if t - s - 1 >= 0:
+            pred = pred + fit["as1"] * wbuf[:, t - s - 1]
+        wbuf[:, t] = pred
+    # integrate the seasonal difference back: y_t = w_t + y_{t-s}
+    out = wbuf[:, Tw:]
+    if D == 1:
+        ybuf = np.concatenate([Y, np.zeros((Y.shape[0], horizon))], axis=1)
+        for h in range(horizon):
+            t = T + h
+            ybuf[:, t] = out[:, h] + ybuf[:, t - s]
+        out = ybuf[:, T:]
+    return out
 
 
 def sarima_forecast_by_group(df, group_cols: list[str], value_col: str,
@@ -373,6 +497,61 @@ def sarima_forecast_by_group(df, group_cols: list[str], value_col: str,
         return pd.DataFrame([row])
 
     return df.groupBy(*group_cols).applyInPandas(per_group, schema=out_schema)
+
+
+def sarima_template_delta(df, data_start_year: int, train_start_year: int,
+                          train_end_year: int, predict_year: int,
+                          predict_month: int,
+                          seasonal_order: tuple[int, int, int, int] = (0, 1, 1, 12),
+                          current_year: int | None = None,
+                          group_cols: list[str] = ["scene_id"],
+                          order_col: str = "t", value_band: int = 0,
+                          fmt_out: str = "zlib"):
+    """The SeasonalARIMA .rft template's exact product: per-pixel
+    delta = ŷ(predict_year) − ŷ(current_year) at predict_month, fitted on
+    the monthly series between train_start_year and train_end_year
+    (SeasonalARIMA.py:176-216: order (1,0,0) × the template's seasonal
+    (P,D,Q,s), trend='c'; index arithmetic replicated verbatim).
+    ``current_year`` replaces the reference's wall-clock datetime.now()
+    (SeasonalARIMA.py:181) with an explicit argument — default
+    train_end_year + 1 — so runs are deterministic and replayable."""
+    from pyspark.sql import types as T
+    from .. import codec
+
+    P, D, Q, s = seasonal_order
+    cy = train_end_year + 1 if current_year is None else int(current_year)
+    i0 = (train_start_year - data_start_year) * 12
+    i1 = (train_end_year - data_start_year) * 12
+    j_final = (predict_year - train_end_year) * 12 - (12 - predict_month)
+    j_cur = (cy - train_end_year) * 12 - (12 - predict_month)
+    if min(j_final, j_cur) < 0:
+        raise ValueError("predict/current year precede the training end")
+    horizon = max(j_final, j_cur) + 1
+
+    out_schema = T.StructType([df.schema[c] for c in group_cols] + [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()), T.StructField("dtype", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_obs", T.IntegerType())])
+
+    def per_scene(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        stack = np.stack([codec.decode(bytes(b))[value_band] for b in pdf["bytes"]])
+        n_t, h, w = stack.shape
+        Y = stack.reshape(n_t, -1).T.astype(np.float64)[:, i0:i1]
+        if Y.shape[1] < 2 * s + 2:      # too short: the engine-wide fallback
+            delta = np.zeros((h, w), np.float32)
+        else:
+            fc = sarima_forecast_batch(Y, horizon, period=s,
+                                       seasonal_order=(P, D, Q))
+            delta = (fc[:, j_final] - fc[:, j_cur]).reshape(h, w).astype(np.float32)
+        row = {c: key[i] for i, c in enumerate(group_cols)}
+        row.update({"bytes": codec.encode(delta[None], fmt_out), "w": w, "h": h,
+                    "bands": 1, "dtype": "f4", "fmt": fmt_out, "n_obs": n_t})
+        return pd.DataFrame([row])
+
+    return df.groupBy(*group_cols).applyInPandas(per_scene, schema=out_schema)
 
 
 def sarima_stack_delta(df, period: int = 12, horizon: int = 12,

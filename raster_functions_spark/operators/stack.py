@@ -129,6 +129,54 @@ def stack_topk(df: DataFrame, k: int, group_cols: list[str] = ["scene_id"],
     return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
 
 
+def find_max_k(df: DataFrame, k: int = 1, cap: float = 100.0,
+               group_cols: list[str] = ["scene_id"],
+               fmt_out: str = "zlib", value_band: int = 0) -> DataFrame:
+    """Per-pixel k-th max across the stack with the FindMax family's exact
+    validity rule (FindMax.py:66-84, FindSecondMax.py:73,
+    FindThirdMax.py:73): values > ``cap`` are invalidated to −1 before the
+    sort, and pixels where every member is invalid stay −1. This is the
+    math the FindMaxPixel_Mosaic .rft templates bind (the sort-then-index
+    over the acquisition axis), vectorized per tile group."""
+    def reducer(s):
+        v = s.copy()
+        v[v > cap] = -1.0
+        srt = np.sort(v, axis=0)         # ascending; k-th max = [-k]
+        out = srt[-k] if v.shape[0] >= k else srt[0]
+        all_invalid = ~(v != -1.0).any(axis=0)
+        out = np.where(all_invalid, -1.0, out)
+        return out
+    schema = _out_schema(group_cols, df)
+    def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
+                             value_band, None, (), None)
+    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
+
+
+def stack_coalesce(df: DataFrame, group_cols: list[str] = ["scene_id"],
+                   order_col: str | None = None, nodata: float | None = None,
+                   fmt_out: str = "zlib") -> DataFrame:
+    """Per-pixel FIRST-valid composite along the ordered stack — the mosaic
+    merge operator (MergeRasters.rft.xml) and the Con(IsNull(a), b, a)
+    RemoveNoData construction (RemoveNoData.rft.xml) in one primitive:
+    walk members in ``order_col`` order and keep the first pixel that is
+    not NaN (and not ``nodata`` if given). Pixels invalid in every member
+    stay NaN."""
+    def reducer(s):
+        valid = ~np.isnan(s)
+        if nodata is not None:
+            valid &= s != nodata
+        first = valid.argmax(axis=0)                      # first True index
+        any_valid = valid.any(axis=0)
+        picked = np.take_along_axis(s, first[None], axis=0)[0]
+        return np.where(any_valid, picked, np.nan)
+    schema = _out_schema(group_cols, df)
+    def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
+                             None, None, (), order_col)
+    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
+
+
 def percent_above_threshold(df: DataFrame, threshold: float,
                             group_cols: list[str] = ["scene_id"],
                             value_band: int = 0, above: bool = True,

@@ -1489,3 +1489,50 @@ def cloud_fill_sql(n_scenes: int = 4, tile: int = 32, window: int = 8) -> str:
     return ("SELECT scene_id, sum_v FROM (VALUES "
             + ", ".join(rows)
             + ") t(scene_id, sum_v) ORDER BY scene_id")
+
+
+def rft_findmax_sql(n_scenes: int = 3, n_t: int = 6, tile: int = 16,
+                    mod: int = 150) -> str:
+    """rft_mosaic_findmax oracle: the FindMaxPixel_Mosaic template's math
+    re-derived closed-form — per-pixel max across the collection after
+    invalidating values > 100 to −1 (FindMax.py:66-84); all-invalid pixels
+    stay −1 (max of all −1). The fixture pixels are
+    (s·31 + t·17 + y·tile + x) % mod, so the whole reduction is one
+    GROUP BY."""
+    return f"""
+WITH px AS (
+  SELECT s, t, y, x,
+         CAST((s*31 + t*17 + y*{tile} + x) % {mod} AS DOUBLE) AS v
+  FROM generate_series(0, {n_scenes - 1}) ts(s),
+       generate_series(0, {n_t - 1}) tt(t),
+       generate_series(0, {tile - 1}) ty(y),
+       generate_series(0, {tile - 1}) tx(x)),
+capped AS (
+  SELECT s, y, x, MAX(CASE WHEN v > 100 THEN -1.0 ELSE v END) AS m
+  FROM px GROUP BY s, y, x)
+SELECT 'scene' || s AS scene_id, {n_t} AS n_rasters,
+       CAST(SUM(m) AS BIGINT) AS sum_v
+FROM capped GROUP BY s ORDER BY scene_id"""
+
+
+def sarima_seasonal_sql(tile: int = 8, n_t: int = 144) -> str:
+    """m5_sarima_seasonal oracle: the (1,0,0)×(0,1,1,12) per-pixel fit is
+    iterative (Hannan–Rissanen batched OLS + recursive residual pass), so
+    — replay-oracle style (m3/m4 precedent) — the expected per-scene delta
+    sum is computed by a single-process replay of the same public fitter
+    over the same closed-form fixture and embedded as VALUES. The
+    distributed path under test: groupBy(scene) applyInPandas, whole-tile
+    batch fit, template index arithmetic."""
+    from .fixtures import sarima_monthly_stack
+    from .operators import ml
+    full = sarima_monthly_stack(tile, n_t)
+    Y = full.reshape(n_t, -1).T.astype(np.float64)[:, 0:120]
+    pm = 6
+    j_final = (2003 - 2000) * 12 - (12 - pm)
+    j_cur = (2001 - 2000) * 12 - (12 - pm)
+    fc = ml.sarima_forecast_batch(Y, j_final + 1, period=12,
+                                  seasonal_order=(0, 1, 1))
+    delta = (fc[:, j_final] - fc[:, j_cur]).astype(np.float32)
+    s = round(float(delta.astype(np.float64).sum()), 3)
+    return (f"SELECT scene_id, CAST(n_obs AS INT) AS n_obs, sum_delta "
+            f"FROM (VALUES ('s0', {n_t}, {s!r})) t(scene_id, n_obs, sum_delta)")

@@ -73,6 +73,27 @@ REGISTRY: dict[str, Callable[..., TileOp]] = {
 }
 
 
+def _zonal_remap_builder(zones, value_band: int = 0, zone_band: int = 1,
+                         default: float = 255.0,
+                         background: float | None = None) -> TileOp:
+    """REGISTRY adapter for the per-pixel ZonalRemap: the .rft importer
+    hands zones as JSON-able rows ({zone_id, zmin, zmax, zval}; open ends
+    None) — either inline from the template's RecordSet or resolved from
+    build_chain's ctx when the template binds the table at runtime."""
+    import pandas as pd
+
+    from ..operators import zonal
+    zpdf = pd.DataFrame(list(zones))
+    for c in ("zmin", "zmax", "zval"):
+        if c not in zpdf.columns:
+            zpdf[c] = np.nan
+    return zonal.zonal_remap(zpdf, value_band=value_band, zone_band=zone_band,
+                             default=default, background=background)
+
+
+REGISTRY["zonal_remap"] = _zonal_remap_builder
+
+
 def register(name: str, builder: Callable[..., TileOp]) -> None:
     """Plugin registration — the UDF-protocol analog (SURVEY.md §2.11)."""
     REGISTRY[name] = builder
@@ -104,14 +125,18 @@ def stack_tiles(dfs: list[DataFrame], fmt_out: str = "zlib",
 
     from .. import codec
 
-    keys = list(grid_cols)
+    keys = [c for c in grid_cols if c in dfs[0].columns]
     pixel_cols = ("bytes", "w", "h", "bands", "dtype", "fmt")
     base = dfs[0].withColumnRenamed("bytes", "_b0").drop(
         *[c for c in pixel_cols[1:] if c in dfs[0].columns])
     joined = base
     for k, d in enumerate(dfs[1:], start=1):
+        # a branch that reduced away part of the grid (a mosaic composite
+        # keyed by tile position only) joins on the keys it still carries —
+        # the member-level rows each pick up their group's composite
+        dk = [c for c in keys if c in d.columns]
         joined = joined.join(
-            d.select(*keys, F.col("bytes").alias(f"_b{k}")), keys)
+            d.select(*dk, F.col("bytes").alias(f"_b{k}")), dk)
     bcols = [f"_b{k}" for k in range(len(dfs))]
     keep = [c for c in joined.columns if c not in bcols]
     out_schema = T.StructType(
@@ -146,9 +171,26 @@ def stack_tiles(dfs: list[DataFrame], fmt_out: str = "zlib",
     return joined.mapInPandas(run, schema=out_schema)
 
 
+def _resolve_ctx_args(args: dict, ctx: dict | None) -> dict:
+    """Replace {"$ctx": name} placeholders (runtime-bound template
+    variables, e.g. ZonalRemap's zone table) with values from ctx."""
+    out = {}
+    for k, v in (args or {}).items():
+        if isinstance(v, dict) and set(v) == {"$ctx"}:
+            name = v["$ctx"]
+            if ctx is None or name not in ctx:
+                raise ValueError(
+                    f"chain arg {k!r} is bound at runtime — pass "
+                    f"build_chain(..., ctx={{{name!r}: ...}})")
+            v = ctx[name]
+        out[k] = v
+    return out
+
+
 def build_chain(df: DataFrame, spec, fmt_out: str = "zlib",
                 meta_cols: tuple[str, ...] = (),
-                grid_cols: tuple[str, str, str] = ("scene_id", "tx", "ty")) -> DataFrame:
+                grid_cols: tuple[str, str, str] = ("scene_id", "tx", "ty"),
+                ctx: dict | None = None) -> DataFrame:
     """Apply a chain spec to a tile table: consecutive pointwise ops fuse
     into one decode→kernels→encode pass; each focal op becomes a halo
     exchange stage.
@@ -157,14 +199,22 @@ def build_chain(df: DataFrame, spec, fmt_out: str = "zlib",
     .rft.xml importer for multi-input templates) evaluate each branch from
     the current tile table and band-concatenate the results via
     :func:`stack_tiles`. Branches share the parent's lineage — for deep
-    parents, persist the input before calling."""
+    parents, persist the input before calling.
+
+    ``{"op": "mosaic", "kind": ..., "args": ...}`` nodes (collection-level
+    templates) route to :func:`plans.mosaic.apply_mosaic`;
+    ``{"op": "select_by_pixel_size", ...}`` routes between its two branches
+    by ``ctx['request_cellsize']`` (or the table's own cell size). ``ctx``
+    also resolves runtime-bound template variables ({"$ctx": name} args)
+    and mosaic bindings (member_col, replacement/mask/dem tables …)."""
     if isinstance(spec, str):
         spec = json.loads(spec)
     out = df
     pending_specs: list = []
 
     def flush_linear(cur: DataFrame, nodes: list) -> DataFrame:
-        ops = parse_chain(nodes)
+        ops = parse_chain([{**n, "args": _resolve_ctx_args(n.get("args"), ctx)}
+                           for n in nodes])
         pending: list[TileOp] = []
         for op in ops:
             if op.padding == 0:
@@ -184,9 +234,42 @@ def build_chain(df: DataFrame, spec, fmt_out: str = "zlib",
                 out = flush_linear(out, pending_specs)
                 pending_specs = []
             outs = [build_chain(out, br, fmt_out=fmt_out, meta_cols=meta_cols,
-                                grid_cols=grid_cols) if br else out
+                                grid_cols=grid_cols, ctx=ctx) if br else out
                     for br in node["branches"]]
             out = stack_tiles(outs, fmt_out=fmt_out, grid_cols=grid_cols)
+        elif node.get("op") == "mosaic":
+            from . import mosaic as _mosaic
+            if pending_specs:
+                out = flush_linear(out, pending_specs)
+                pending_specs = []
+            out = _mosaic.apply_mosaic(out, node["kind"],
+                                       _resolve_ctx_args(node.get("args"), ctx),
+                                       ctx=ctx, grid_cols=grid_cols,
+                                       fmt_out=fmt_out)
+        elif node.get("op") == "select_by_pixel_size":
+            if pending_specs:
+                out = flush_linear(out, pending_specs)
+                pending_specs = []
+            thr = float((node.get("args") or {}).get("threshold", 0.0))
+            v = (ctx or {}).get("request_cellsize")
+            if v is None:
+                if "cell_dx" in out.columns and "cell_dy" in out.columns:
+                    # metadata-scale scalar aggregate (one row) — mirrors
+                    # props['cellSize'] in SelectByPixelSize.py:updatePixels
+                    v = float(out.select(
+                        ((F.avg("cell_dx") + F.avg("cell_dy")) / 2.0)
+                        .alias("v")).first()["v"])
+                else:
+                    v = 1.0
+            if thr <= 0.0:
+                # reference default: mean of the two input cell sizes —
+                # both branches derive from this table, so thr == v and the
+                # coarse branch (r2) wins, matching `v < threshold` = False
+                thr = v
+            branch = node["branches"][0] if v < thr else node["branches"][1]
+            out = build_chain(out, branch, fmt_out=fmt_out,
+                              meta_cols=meta_cols, grid_cols=grid_cols,
+                              ctx=ctx)
         elif node.get("op") == "stats_stretch":
             # stats-dependent stretch = a table-level two-pass plan, not a
             # TileOp (the .rft importer emits this for EstimateStatsHistogram

@@ -322,14 +322,32 @@ def _compile(node) -> list:
     if f == "PythonAdapterFunction":
         return _compile_adapter(a)
     if f == "MergeRastersFunction":
-        raise ValueError("MergeRastersFunction merges a raster COLLECTION — "
-                         "use the table-level API: union/dedup merge "
-                         "(contract query u1_union_dedup)")
+        # mosaic FIRST merge: per-pixel first-valid member along the
+        # collection order (deprecated/MergeRasters.rft.xml binds the
+        # collection at runtime)
+        return [{"op": "mosaic", "kind": "merge_first", "args": {}}]
     if f == "LocalFunction":
-        raise ValueError("LocalFunction cell statistics run across a raster "
-                         "COLLECTION — use the table-level API: stack "
-                         "composites (query a1) / pointwise mask-replace ops")
+        return _compile_local(a)
     raise ValueError(f"unsupported .rft.xml function type {f!r}")
+
+
+def _compile_local(a: dict) -> list:
+    """LocalFunction trees. The only shipped use is RemoveNoData.rft.xml:
+    an outer 3-input Local over [Local(op 31)(A), B, A] — structurally
+    Con(IsNull(A), B, A), i.e. per-pixel coalesce(A, B) (the op-code
+    reading is inferred from the 1-input-inner/3-input-outer shape and the
+    template's name; the numeric enum is not publicly documented). That is
+    exactly the mosaic first-valid composite."""
+    op = int(a.get("Operation") or 0)
+    rasters = a.get("Rasters") or []
+    inner_local = [r for r in rasters if isinstance(r, dict)
+                   and r.get("function") == "LocalFunction"]
+    if len(rasters) == 3 and len(inner_local) == 1 and op == 78:
+        return [{"op": "mosaic", "kind": "merge_first", "args": {}}]
+    raise ValueError(
+        f"LocalFunction operation {op} over {len(rasters)} rasters has no "
+        "engine mapping — general cell statistics across a COLLECTION run "
+        "through the table-level API: stack composites (query a1)")
 
 
 def _compile_calculator(a: dict) -> list:
@@ -372,25 +390,84 @@ def _compile_calculator(a: dict) -> list:
 
 
 # Classes whose semantics are MOSAIC/COLLECTION-level (they aggregate or
-# route across many co-registered rasters of a mosaic dataset): an .rft
-# chain is a per-tile plan, so these map to the engine's table-level API
-# instead — the error names the exact entry point (and its oracle-checked
-# contract query) so template users know where to go.
-MOSAIC_LEVEL: dict[str, str] = {
-    "FindMax": "stack.find_max_k rollup (contract query a8_topk_per_group)",
-    "FindSecondMax": "stack.find_max_k rollup (contract query a8_topk_per_group)",
-    "FindThirdMax": "stack.find_max_k rollup (contract query a8_topk_per_group)",
-    "LandsatPixelPercentile": "stack QA-masked percentile (queries a4/a5, img_stack_median)",
-    "LandsatImageSynthesis": "stack month synthesis (query a6_month_synthesis)",
-    "Landsat_Image_Synthesis": "stack month synthesis (query a6_month_synthesis)",
-    "PercentAboveThreshold": "stack.percent_above (queries a7, a7_px)",
-    "SeasonalARIMA": "ml.sarima_stack_delta / sarima_forecast_by_group (m5_sarima)",
-    "Aggregate": "stack aggregate composites (query a1)",
-    "StepwiseLocalRadiometricAdjustment": "multiraster.cloud_fill (img_cloud_fill)",
-    "TopographicCCorrection": "multiraster.topographic_c_correction (a9_regression)",
-    "ZonalRemap": "spatial.zonal_remap_col — zone-table join (queries p9, j2)",
-    "SelectByPixelSize": "pyramid resolution routing (query j8_routing)",
+# route across many co-registered rasters of a mosaic dataset —
+# `__IsRasterArray__` variables with MatchVariable/UnionDimension
+# PropertySets). A per-tile chain can't express them; they compile to a
+# {"op": "mosaic", "kind": ..., "args": {...}} node that build_chain routes
+# to plans.mosaic.apply_mosaic — a groupBy(tile position) stack reduction
+# on the collection's tile table. Each entry: kind + the scalar template
+# arguments to forward ({xml_name: conv}).
+MOSAIC_CLASSES: dict[str, dict] = {
+    "FindMax": {"kind": "find_max_k", "const": {"k": 1}},
+    "FindSecondMax": {"kind": "find_max_k", "const": {"k": 2}},
+    "FindThirdMax": {"kind": "find_max_k", "const": {"k": 3}},
+    "LandsatPixelPercentile": {"kind": "pixel_percentile", "scalars": {
+        "sensor": str, "percentile": float, "start_day": int,
+        "start_year": int, "end_day": int, "end_year": int}},
+    "LandsatImageSynthesis": {"kind": "month_synthesis", "scalars": {
+        "sensor": str, "predict_month": str}},
+    "Landsat_Image_Synthesis": {"kind": "month_synthesis", "scalars": {
+        "predict_month": str}},
+    "PercentAboveThreshold": {"kind": "percent_above", "scalars": {
+        "threshold": float, "start_date": str, "end_date": str}},
+    "SeasonalARIMA": {"kind": "sarima_delta", "scalars": {
+        "data_start_year": int, "train_start_year": int,
+        "train_end_year": int, "predict_year": int, "predict_month": str,
+        "seasonal_order": lambda v: tuple(
+            int(x) for x in str(v).split(","))}},
+    "Aggregate": {"kind": "aggregate", "scalars": {"method": str}},
+    "StepwiseLocalRadiometricAdjustment": {"kind": "stepwise_adjust",
+                                           "scalars": {"size_of_window": int}},
+    "TopographicCCorrection": {"kind": "topographic_c"},
 }
+
+
+def _compile_mosaic_adapter(cls: str, spec: dict, a: dict) -> list:
+    args: dict = dict(spec.get("const") or {})
+    for xml_name, conv in (spec.get("scalars") or {}).items():
+        if a.get(xml_name) is not None:
+            args[xml_name] = conv(a[xml_name])
+    node = {"op": "mosaic", "kind": spec["kind"], "args": args}
+    # real (non-placeholder) raster inputs become a pre-chain applied to
+    # every collection member before the stack reduction
+    raster_ins = [(k, v) for k, v in a.items()
+                  if k not in ("PythonModule", "ClassName") and _is_raster(v)
+                  and v is not RASTER_INPUT]
+    if raster_ins:
+        pre = _compile(raster_ins[0][1])
+        return pre + [node]
+    return [node]
+
+
+def _compile_zonal_remap(a: dict) -> list:
+    """deprecated/ZonalRemap.rft.xml → the per-pixel zonal_remap TileOp
+    over a 2-branch stack (value raster = band 0, zone raster = band 1).
+    The template's ztable may carry an inline RecordSet; the shipped file
+    leaves it blank (bound at runtime) → a {"$ctx": "zones"} placeholder
+    that build_chain resolves from its ctx dict (zones: list of
+    {zone_id, zmin, zmax, zval} rows, open ends as None)."""
+    zid = str(a.get("zid") or "ZoneID")
+    zmin = str(a.get("zmin") or "ZoneMin")
+    zmax = str(a.get("zmax") or "ZoneMax")
+    zval = str(a.get("zval") or "ZoneValue")
+    zt = a.get("ztable")
+    if isinstance(zt, dict) and zt.get("records"):
+        zones = [{"zone_id": int(r[zid]), "zmin": r.get(zmin),
+                  "zmax": r.get(zmax), "zval": r.get(zval)}
+                 for r in zt["records"]]
+    else:
+        zones = {"$ctx": "zones"}
+    args = {"zones": zones, "value_band": 0, "zone_band": 1,
+            "default": float(a.get("defzval") or 255.0),
+            "background": float(a.get("background") or 0.0)}
+    vr = a.get("vraster", RASTER_INPUT)
+    zr = a.get("zraster", RASTER_INPUT)
+    if not _is_raster(zr):      # zone raster optional (ZonalRemap.py:170)
+        raise ValueError("ZonalRemap without a zone raster applies one "
+                         "global interval table — use the table-level API: "
+                         "pointwise remap (query f14_remap)")
+    return [{"op": "branch_stack", "branches": [_compile(vr), _compile(zr)]},
+            {"op": "zonal_remap", "args": args}]
 
 
 def _compile_adapter(a: dict) -> list:
@@ -401,12 +478,20 @@ def _compile_adapter(a: dict) -> list:
         mod = str(a.get("PythonModule") or "")
         cls = mod.replace("\\", "/").rsplit("/", 1)[-1]
     cls = cls.removesuffix(".pyd").removesuffix(".py")
+    if cls in MOSAIC_CLASSES:
+        return _compile_mosaic_adapter(cls, MOSAIC_CLASSES[cls], a)
+    if cls == "SelectByPixelSize":
+        # two real raster inputs routed by request cell size — a structural
+        # node build_chain resolves against ctx['request_cellsize'] (or the
+        # table's own cell size), matching SelectByPixelSize.py:updatePixels
+        return [{"op": "select_by_pixel_size",
+                 "args": {"threshold": float(a.get("threshold") or 0.0)},
+                 "branches": [_compile(_input(a, "r1")),
+                              _compile(_input(a, "r2"))]}]
+    if cls == "ZonalRemap":
+        return _compile_zonal_remap(a)
     spec = ADAPTER_CLASSES.get(cls)
     if spec is None:
-        if cls in MOSAIC_LEVEL:
-            raise ValueError(
-                f"{cls} operates across a raster COLLECTION, not per tile — "
-                f"use the engine's table-level API: {MOSAIC_LEVEL[cls]}")
         raise ValueError(
             f"PythonAdapterFunction class {cls!r} has no registered engine "
             f"mapping (known: {sorted(ADAPTER_CLASSES)}); register the "
