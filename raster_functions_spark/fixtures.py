@@ -524,3 +524,32 @@ def sarima_monthly_stack_pdf(tile: int = 8, n_t: int = 144) -> pd.DataFrame:
         {"scene_id": "s0", "t": t,
          "bytes": codec.encode(full[t][None], "zlib"), "w": tile, "h": tile}
         for t in range(n_t)])
+
+
+def _mp4_frame(i: int, t: int, tile: int = 16) -> np.ndarray:
+    yy, xx = np.mgrid[0:tile, 0:tile]
+    return ((i * 13 + t * 7 + yy * tile + xx) % 251).astype(np.uint8)
+
+
+def mp4_videos_pdf(n: int = 30, tile: int = 16) -> pd.DataFrame:
+    """Deterministic MP4 fixture corpus: motion-JPEG containers with
+    4..6 frames of closed-form gray pixels; every 5th video is avc1-tagged
+    (real demux, undecodable codec → quarantine metadata) and every 9th is
+    a truncated container (corrupt → full quarantine row)."""
+    from . import formats, jpeg
+    rows = []
+    for i in range(n):
+        n_frames = 4 + i % 3
+        frames = [jpeg.encode_jpeg(_mp4_frame(i, t, tile)[None], quality=90)
+                  for t in range(n_frames)]
+        tag = "avc1" if i % 5 == 4 else "jpeg"
+        buf = formats.encode_mp4_samples(frames, tag, tile, tile)
+        if i % 9 == 8:
+            buf = buf[: len(buf) // 3]            # bit-rot: body truncated
+        rows.append({"video_id": f"vid{i:05d}", "bytes": buf,
+                     "n_frames": n_frames})
+    return pd.DataFrame(rows)
+
+
+def mp4_videos_df(spark: SparkSession, n: int = 30) -> DataFrame:
+    return spark.createDataFrame(mp4_videos_pdf(n))

@@ -9,8 +9,12 @@ Opaque ``binary`` payload columns with typed metadata, driven through
 - PNG (formats.decode_png: stdlib zlib + the five scanline filters),
 - baseline JPEG (jpeg.py: Annex-K huffman + the shared 8×8 DCT basis).
 
-Video container demux (MP4 et al.) remains out of scope — frame_sample
-operates on band-stacked frame tensors in the engine container.
+Video containers demux for real (round 4): formats.demux_mp4 walks the
+ISO-BMFF box tree (moov → video trak → stsc/stsz/stco sample map) and
+``video_decode_metrics`` decodes image-coded tracks (motion-JPEG / PNG
+samples); other codecs (avc1/hvc1 …) surface demuxed metadata with
+ok=false — the quarantine contract. frame_sample additionally operates
+on band-stacked frame tensors in the engine container.
 """
 
 from __future__ import annotations
@@ -224,3 +228,63 @@ def frame_sample(df: DataFrame, every_n: int, frames_col: str = "bands") -> Data
             out[frames_col] = np.array(nb, np.int32)
             yield out
     return df.mapInPandas(run, schema=df.schema)
+
+
+def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
+                         keep_cols: tuple = ("video_id",),
+                         every_n: int = 1,
+                         on_error: str = "quarantine") -> DataFrame:
+    """Video-container ingest: demux ISO-BMFF (MP4) payloads through the
+    from-scratch box parser (formats.demux_mp4 — samples located via
+    stsc/stsz/stco, never by scanning mdat), decode every ``every_n``-th
+    sample when the track is image-coded (motion-JPEG 'jpeg'/'mjpa' or
+    'png '), and emit exact frame/pixel metrics. Tracks coded with codecs
+    this environment cannot decode (avc1/hvc1 …) keep their demuxed
+    metadata (codec tag, frame count, dims) with ok=false — the same
+    quarantine contract the image path applies to arithmetic-coded JPEG.
+    One mapInPandas pass; payload bytes cross Arrow exactly once."""
+    from . import formats
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError("on_error must be 'raise' or 'quarantine'")
+    quarantine = on_error == "quarantine"
+    out_schema = T.StructType([df.schema[c] for c in keep_cols] + [
+        T.StructField("codec", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_decoded", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ])
+    cols = [f.name for f in out_schema]
+    decodable = ("jpeg", "mjpa", "png")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                keep = {c: pdf[c].iloc[i] for c in keep_cols}
+                try:
+                    tag, samples = formats.demux_mp4(bytes(pdf[bytes_col].iloc[i]))
+                    m = {"codec": tag, "n_frames": len(samples),
+                         "n_decoded": 0, "h": -1, "w": -1, "px_sum": -1,
+                         "ok": False}
+                    if tag.strip() in decodable:
+                        total, nd, hh, ww = 0, 0, -1, -1
+                        for s in samples[::every_n]:
+                            px = formats.decode_image_any(s)
+                            total += int(px.astype(np.int64).sum())
+                            hh, ww = int(px.shape[1]), int(px.shape[2])
+                            nd += 1
+                        m.update({"n_decoded": nd, "h": hh, "w": ww,
+                                  "px_sum": total, "ok": True})
+                except Exception:
+                    if not quarantine:
+                        raise
+                    m = {"codec": "", "n_frames": -1, "n_decoded": -1,
+                         "h": -1, "w": -1, "px_sum": -1, "ok": False}
+                rows.append({**keep, **m})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1536,3 +1536,38 @@ def sarima_seasonal_sql(tile: int = 8, n_t: int = 144) -> str:
     s = round(float(delta.astype(np.float64).sum()), 3)
     return (f"SELECT scene_id, CAST(n_obs AS INT) AS n_obs, sum_delta "
             f"FROM (VALUES ('s0', {n_t}, {s!r})) t(scene_id, n_obs, sum_delta)")
+
+
+def video_decode_sql(n: int = 30, every_n: int = 2) -> str:
+    """mm_decode_video oracle: single-process replay of the same public
+    container builder + demux + frame decode (replay-VALUES style — the
+    JPEG entropy decode is not SQL-expressible). The distributed path
+    under test: mapInPandas demux/decode batches, quarantine rows stay
+    joinable, exact pixel sums on the sampled frames."""
+    from . import formats, multimodal
+    from .fixtures import mp4_videos_pdf
+    pdf = mp4_videos_pdf(n)
+    rows = []
+    for _, r in pdf.iterrows():
+        try:
+            tag, samples = formats.demux_mp4(bytes(r["bytes"]))
+            if tag.strip() in ("jpeg", "mjpa", "png"):
+                tot, nd, hh, ww = 0, 0, -1, -1
+                for s in samples[::every_n]:
+                    px = formats.decode_image_any(s)
+                    tot += int(px.astype(np.int64).sum())
+                    hh, ww = int(px.shape[1]), int(px.shape[2])
+                    nd += 1
+                vals = (tag, len(samples), nd, hh, ww, tot, "true")
+            else:
+                vals = (tag, len(samples), 0, -1, -1, -1, "false")
+        except Exception:
+            vals = ("", -1, -1, -1, -1, -1, "false")
+        rows.append(f"('{r['video_id']}', '{vals[0]}', {vals[1]}, {vals[2]}, "
+                    f"{vals[3]}, {vals[4]}, {vals[5]}, {vals[6]})")
+    return ("SELECT video_id, codec, CAST(n_frames AS INT) AS n_frames, "
+            "CAST(n_decoded AS INT) AS n_decoded, CAST(h AS INT) AS h, "
+            "CAST(w AS INT) AS w, CAST(px_sum AS BIGINT) AS px_sum, ok "
+            "FROM (VALUES " + ", ".join(rows)
+            + ") t(video_id, codec, n_frames, n_decoded, h, w, px_sum, ok) "
+            "ORDER BY video_id")

@@ -257,10 +257,22 @@ def _compile(node) -> list:
                                       "min_percent": float(a.get("MinPercent") or 0.0),
                                       "max_percent": float(a.get("MaxPercent") or 0.0),
                                       "out_min": out_min, "out_max": out_max}}]
+        if stype == 3:                           # StandardDeviation (μ ± nσ)
+            return inner + [{"op": "stats_stretch",
+                             "args": {"stretch_type": "stddev",
+                                      "n_std": float(
+                                          a.get("NumberOfStandardDeviation")
+                                          or 2.0),
+                                      "out_min": out_min, "out_max": out_max}}]
+        if stype == 4:                           # Histogram Equalize (CDF)
+            return inner + [{"op": "stats_stretch",
+                             "args": {"stretch_type": "hist_equalize",
+                                      "out_min": out_min, "out_max": out_max}}]
         raise ValueError(
-            f"StretchFunction type {stype} (stddev/histogram-equalize/"
-            "sigmoid) not mapped — MinMax (5) and PercentClip (6) run as "
-            "two-pass table-level plans; others are display styling")
+            f"StretchFunction type {stype} (sigmoid/custom) not mapped — "
+            "MinMax (5), PercentClip (6), StdDev (3) and HistogramEqualize "
+            "(4) run as two-pass table-level plans; sigmoid is display "
+            "styling with no published pixel formula")
     if f == "BandArithmeticFunction":
         if int(a.get("Method") or 0) != 0:
             raise ValueError("BandArithmeticFunction predefined methods are "

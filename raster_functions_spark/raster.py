@@ -223,17 +223,38 @@ def percent_clip_thresholds(hist: np.ndarray, gmin: float, gmax: float,
     return lo, max(hi, lo + 1e-12)
 
 
+def global_mean_std(df: DataFrame, band: int = 0,
+                    bytes_col: str = "bytes") -> tuple[float, float]:
+    """Dataset-wide population μ/σ of one band — decomposable (Σx, Σx², n)
+    per-tile partials, one tiny final aggregate (the A10 two-pass shape)."""
+    parts = tile_stats(df, [], {
+        "_s1": lambda px, m, b=band: float(px[b].astype(np.float64).sum()),
+        "_s2": lambda px, m, b=band: float((px[b].astype(np.float64) ** 2).sum()),
+        "_n": lambda px, m, b=band: float(px[b].size),
+    }, keep_cols=[], bytes_col=bytes_col)
+    row = parts.agg(F.sum("_s1").alias("s1"), F.sum("_s2").alias("s2"),
+                    F.sum("_n").alias("n")).first()
+    mu = row["s1"] / row["n"]
+    var = max(row["s2"] / row["n"] - mu * mu, 0.0)
+    return float(mu), float(np.sqrt(var))
+
+
 def stretch_stats_apply(df: DataFrame, stretch_type: str = "minmax",
                         min_percent: float = 0.0, max_percent: float = 0.0,
                         out_min: float = 0.0, out_max: float = 255.0,
                         band: int = 0, bins: int = 1024,
+                        n_std: float = 2.0,
                         fmt_out: str = "zlib") -> DataFrame:
     """Stats-dependent stretch as the two-pass table-level plan (the A10
     pattern): pass 1 aggregates the dataset statistics the template's
-    EstimateStatsHistogram flag asks for (min/max, plus a histogram for
-    percent clip); pass 2 maps the ordinary linear stretch with the
-    computed thresholds broadcast as literals. 'minmax' = StretchType 5,
-    'percent_clip' = StretchType 6."""
+    EstimateStatsHistogram flag asks for; pass 2 maps the stretch with the
+    computed scalars broadcast as literals.
+
+    'minmax' = StretchType 5; 'percent_clip' = 6 (histogram-quantized
+    thresholds); 'stddev' = 3 (linear over μ ± n_std·σ — the template's
+    NumberOfStandardDeviation); 'hist_equalize' = 4 (the classic CDF
+    transfer: out = out_min + span·cdf(v), the histogram LUT broadcast to
+    a per-pixel searchsorted gather)."""
     from .operators import pointwise
     gmin, gmax = global_value_stats(df, band)
     if stretch_type == "percent_clip":
@@ -242,6 +263,25 @@ def stretch_stats_apply(df: DataFrame, stretch_type: str = "minmax",
                                                  min_percent, max_percent)
     elif stretch_type == "minmax":
         in_min, in_max = gmin, max(gmax, gmin + 1e-12)
+    elif stretch_type == "stddev":
+        mu, sd = global_mean_std(df, band)
+        in_min = max(gmin, mu - n_std * sd)
+        in_max = min(gmax, mu + n_std * sd)
+        in_max = max(in_max, in_min + 1e-12)
+    elif stretch_type == "hist_equalize":
+        hist = global_histogram(df, gmin, gmax, bins, band)
+        total = max(int(hist.sum()), 1)
+        cdf = np.cumsum(hist) / total              # (bins,) in (0, 1]
+        span_in = max(gmax - gmin, 1e-300)
+        lut = (out_min + (out_max - out_min) * cdf).astype(np.float64)
+
+        def fn(px, meta, b=band, lo=gmin, sp=span_in, nb=bins, L=lut):
+            v = px[b].astype(np.float64)
+            idx = np.clip(((v - lo) / sp * nb).astype(np.int64), 0, nb - 1)
+            return L[idx].astype(np.float32)
+
+        op = TileOp("hist_equalize", fn, bands_out=1, dtype_out="f4")
+        return apply_chain(df, [op], fmt_out=fmt_out)
     else:
         raise ValueError(f"unknown stats stretch type {stretch_type!r}")
     op = pointwise.stretch(band, in_min=in_min, in_max=in_max,

@@ -189,7 +189,10 @@ class SnapshotTable:
         hi = until_snapshot_id if until_snapshot_id is not None else root["current"]
         files: list[str] = []
         for s in root["snapshots"]:
-            if since_snapshot_id < s["id"] <= hi:
+            # compaction rewrites EXISTING rows into fewer files — its
+            # "added" files carry no new data, so incremental consumers
+            # must skip them (Iceberg's replace-commit semantics)
+            if since_snapshot_id < s["id"] <= hi and s["op"] != "compact":
                 files.extend(s["added"])
         return self._read_files(files)
 
@@ -216,6 +219,48 @@ class SnapshotTable:
                 .queryName(query_name).trigger(availableNow=True).start())
 
     # --------------------------------------------------------- maintain ----
+
+    def compact(self, min_files_per_value: int = 2,
+                run_id: str | None = None) -> int:
+        """Small-file compaction: partition values whose live file count ≥
+        ``min_files_per_value`` are rewritten into one file per value (a
+        streaming sink committing per microbatch accretes one file set per
+        batch — exactly the small-file problem Iceberg's rewrite_data_files
+        addresses). Metadata-safe by construction:
+
+        - old files stay immutable (time travel to pre-compact snapshots
+          still works; expire_snapshots reclaims them later);
+        - the commit is op='compact', which read_incremental SKIPS — the
+          rewritten rows are not new data;
+        - logical content is unchanged (same rows, fewer files);
+        - values below the threshold keep their existing files untouched.
+
+        Returns the new snapshot id (current id when nothing qualifies)."""
+        root = self._root()
+        prior = self._find_run(root, run_id)
+        if prior is not None:
+            return prior["id"]
+        if root["current"] is None:
+            raise ValueError("compact on an empty table")
+        pcol = root["partition_col"]
+        live = self._manifest(root["current"])
+        by_val: dict[str, list[dict]] = {}
+        for f in live:
+            by_val.setdefault(f["partition"], []).append(f)
+        targets = {v for v, fs in by_val.items()
+                   if len(fs) >= min_files_per_value}
+        if not targets:
+            return root["current"]
+        src = [f["path"] for f in live if f["partition"] in targets]
+        df = (self._read_files(src)
+              .repartition(len(targets), F.col(pcol)))  # one file per value
+        next_id = root["current"] + 1
+        added = self._write_data(df, pcol, next_id)
+        kept = [f for f in live if f["partition"] not in targets]
+        return self._commit("compact", added, kept + added, pcol, run_id,
+                            {"compacted_values": sorted(targets),
+                             "files_before": len(src),
+                             "files_after": len(added)})
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete data

@@ -125,3 +125,68 @@ def test_decode_external_image_rejects_malformed_jpeg():
         multimodal.decode_external_image(b"\xff\xd8\xff\xe0JFIF....")
     with pytest.raises(ValueError, match="unrecognized"):
         multimodal.decode_external_image(b"\x00\x11\x22\x33")
+
+
+# ----------------------------------------------------------- ISO-BMFF ------
+
+def test_mp4_mux_demux_roundtrip_chunk_mapping():
+    """Samples recovered through stsc/stsz/stco byte ranges, not by
+    scanning mdat — uneven sample sizes + 3-per-chunk layout exercise the
+    run-length chunk map."""
+    from raster_functions_spark import jpeg
+    frames = []
+    for t in range(8):
+        px = _img(1, 8 + 4 * (t % 2), 8, seed=t)   # alternating sizes
+        frames.append(jpeg.encode_jpeg(px, quality=85))
+    buf = formats.encode_mp4_samples(frames, "jpeg", 8, 8)
+    tag, out = formats.demux_mp4(buf)
+    assert tag.strip() == "jpeg"
+    assert [len(s) for s in out] == [len(f) for f in frames]
+    assert all(a == b for a, b in zip(frames, out))
+    meta = formats.peek_mp4(buf)
+    assert meta["n_samples"] == 8 and meta["codec"].strip() == "jpeg"
+    assert meta["duration_s"] > 0
+
+
+def test_mp4_png_samples_decode():
+    frames = [formats.encode_png(_img(1, 8, 8, seed=t)) for t in range(3)]
+    buf = formats.encode_mp4_samples(frames, "png", 8, 8)
+    tag, out = formats.demux_mp4(buf)
+    assert tag.strip() == "png"
+    for t, s in enumerate(out):
+        assert np.array_equal(formats.decode_png(s), _img(1, 8, 8, seed=t))
+
+
+def test_mp4_corrupt_and_foreign_codec():
+    frames = [b"\x00" * 40, b"\x01" * 41]
+    buf = formats.encode_mp4_samples(frames, "avc1", 16, 16)
+    tag, out = formats.demux_mp4(buf)
+    assert tag == "avc1" and len(out) == 2        # demux works regardless
+    with pytest.raises(ValueError):
+        formats.demux_mp4(buf[: len(buf) // 3])   # truncated: no moov
+    with pytest.raises(ValueError, match="ftyp"):
+        formats.demux_mp4(b"\x00" * 64)
+
+
+def test_video_decode_metrics_quarantine(spark):
+    """The Spark surface: mixed corpus (MJPEG / avc1 / truncated) —
+    quarantine rows stay joinable, good rows carry exact sampled sums."""
+    from raster_functions_spark import fixtures
+    df = fixtures.mp4_videos_df(spark, 18)
+    out = multimodal.video_decode_metrics(df, every_n=2).toPandas() \
+        .set_index("video_id").sort_index()
+    pdf = fixtures.mp4_videos_pdf(18)
+    for i, (_, r) in enumerate(pdf.iterrows()):
+        row = out.loc[r["video_id"]]
+        if i % 9 == 8:
+            assert not row["ok"] and row["n_frames"] == -1
+        elif i % 5 == 4:
+            assert not row["ok"] and row["codec"] == "avc1" \
+                and row["n_frames"] == r["n_frames"]
+        else:
+            assert row["ok"] and row["n_decoded"] == -(-r["n_frames"] // 2)
+            from raster_functions_spark import jpeg
+            want = sum(int(jpeg.decode_jpeg(jpeg.encode_jpeg(
+                fixtures._mp4_frame(i, t)[None], quality=90))
+                .astype(np.int64).sum()) for t in range(0, r["n_frames"], 2))
+            assert int(row["px_sum"]) == want

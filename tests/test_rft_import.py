@@ -509,3 +509,95 @@ def test_unsupported_template_types_raise():
         rft._compile_adapter({"ClassName": "SomethingUnknown"})
     with pytest.raises(ValueError, match="unsupported .rft"):
         rft._compile({"function": "MysteryFunction", "args": {}})
+
+
+def test_stddev_and_histeq_stretch_two_pass(spark):
+    """StretchType 3 (μ ± nσ) and 4 (CDF equalize) as two-pass plans —
+    whole-scene NumPy oracles including bin-edge quantization."""
+    import pandas as pd
+    from raster_functions_spark import codec as _codec, raster
+    rng = np.random.default_rng(11)
+    v = rng.normal(100, 25, (64, 64))
+    rows = [{"scene_id": "s0", "tx": tx, "ty": ty, "w": 32, "h": 32,
+             "fmt": "zlib",
+             "bytes": _codec.encode(
+                 v[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32][None]
+                 .astype(np.float32), "zlib")}
+            for ty in range(2) for tx in range(2)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    v32 = v.astype(np.float32).astype(np.float64)
+
+    # stddev: linear over [μ-2σ, μ+2σ] clamped to data range
+    out = raster.stretch_stats_apply(df, "stddev", n_std=2.0)
+    got = {(r["ty"], r["tx"]): codec.decode(bytes(r["bytes"]))[0]
+           for r in out.collect()}
+    mu, sd = v32.mean(), v32.std()
+    gmin, gmax = v32.min(), v32.max()
+    lo, hi = max(gmin, mu - 2 * sd), min(gmax, mu + 2 * sd)
+    want = np.clip((v32 - lo) / (hi - lo) * 255.0, 0.0, 255.0)
+    asm = np.zeros((64, 64))
+    for (ty, tx), px in got.items():
+        asm[ty * 32:(ty + 1) * 32, tx * 32:(tx + 1) * 32] = px
+    assert np.allclose(asm, want, atol=1e-4)
+    # interior values really stretched (not passthrough)
+    assert abs(asm.mean() - v32.mean()) > 1.0
+
+    # hist-equalize: CDF transfer — output histogram must be ~flat
+    out2 = raster.stretch_stats_apply(df, "hist_equalize", bins=256)
+    got2 = np.zeros((64, 64))
+    for r in out2.collect():
+        got2[r["ty"] * 32:(r["ty"] + 1) * 32,
+             r["tx"] * 32:(r["tx"] + 1) * 32] = \
+            codec.decode(bytes(r["bytes"]))[0]
+    hist = np.histogram(got2, bins=16, range=(0, 255))[0]
+    assert hist.min() > 0.5 * hist.mean()         # flattened vs gaussian in
+    # exact vs NumPy replay of the same CDF LUT
+    h = np.histogram(v32, bins=256, range=(v32.min(), v32.max()))[0]
+    # (engine bins by ((v-gmin)/span*bins).astype(int) clip — replay that)
+    span = v32.max() - v32.min()
+    idx = np.clip(((v32 - v32.min()) / span * 256).astype(np.int64), 0, 255)
+    cnt = np.bincount(idx.ravel(), minlength=256)
+    cdf = np.cumsum(cnt) / cnt.sum()
+    lut = (0.0 + 255.0 * cdf)
+    assert np.allclose(got2, lut[idx].astype(np.float32), atol=1e-5)
+
+
+def test_stretch_type3_template_xml_compiles():
+    """A type-3 StretchFunction template (none ship with the reference —
+    synthesized XML with the reference's own argument names) compiles to
+    the stddev two-pass node with NumberOfStandardDeviation forwarded."""
+    import tempfile, os
+    xml = """<RasterFunctionTemplate xsi:type='typens:RasterFunctionTemplate'
+      xmlns:xsi='http://www.w3.org/2001/XMLSchema-instance'
+      xmlns:xs='http://www.w3.org/2001/XMLSchema'
+      xmlns:typens='http://www.esri.com/schemas/ArcGIS/3.3.0'>
+      <Name>SD</Name>
+      <Function xsi:type='typens:StretchFunction'/>
+      <Arguments xsi:type='typens:StretchFunctionArguments'>
+        <Names xsi:type='typens:ArrayOfString'>
+          <String>Raster</String><String>StretchType</String>
+          <String>Min</String><String>Max</String>
+          <String>NumberOfStandardDeviation</String>
+          <String>EstimateStatsHistogram</String>
+        </Names>
+        <Values xsi:type='typens:ArrayOfAnyType'>
+          <AnyType xsi:type='typens:RasterFunctionVariable'>
+            <Name>Raster</Name><IsDataset>true</IsDataset></AnyType>
+          <AnyType xsi:type='xs:int'>3</AnyType>
+          <AnyType xsi:type='xs:double'>0</AnyType>
+          <AnyType xsi:type='xs:double'>255</AnyType>
+          <AnyType xsi:type='xs:double'>2.5</AnyType>
+          <AnyType xsi:type='xs:boolean'>true</AnyType>
+        </Values>
+      </Arguments>
+    </RasterFunctionTemplate>"""
+    with tempfile.NamedTemporaryFile("w", suffix=".rft.xml",
+                                     delete=False) as f:
+        f.write(xml)
+    try:
+        spec = rft.load_rft(f.name)
+    finally:
+        os.unlink(f.name)
+    assert spec == [{"op": "stats_stretch",
+                     "args": {"stretch_type": "stddev", "n_std": 2.5,
+                              "out_min": 0.0, "out_max": 255.0}}]

@@ -129,3 +129,52 @@ def test_empty_table_and_missing_snapshot_errors(spark, table):
         table.read()
     with pytest.raises(ValueError, match="append first"):
         table.overwrite_partitions(_df(spark, (0, 1), 1), [1])
+
+
+def test_compact_rewrites_small_files_metadata_safe(spark, table):
+    """Three appends to partition 1 → 3+ small files; compact rewrites the
+    value to one file, keeps logical content identical, preserves time
+    travel to pre-compact snapshots, and leaves sub-threshold values'
+    files untouched."""
+    table.append(_df(spark, (0, 5), 1), "p_cell")
+    table.append(_df(spark, (5, 9), 1), "p_cell")
+    table.append(_df(spark, (9, 12), 1), "p_cell")
+    table.append(_df(spark, (12, 14), 2), "p_cell")          # 1 file, value 2
+    live_before = table._manifest(table.current_id)
+    n1_before = sum(1 for f in live_before if f["partition"] == "1")
+    f2_before = sorted(f["path"] for f in live_before if f["partition"] == "2")
+    assert n1_before >= 3
+    before = sorted(r["image_id"] for r in table.read().collect())
+
+    # threshold above value 2's file count: only value 1 is rewritten
+    sid = table.compact(min_files_per_value=len(f2_before) + 1)
+    assert table.snapshots()[-1]["op"] == "compact"
+    live = table._manifest(sid)
+    assert sum(1 for f in live if f["partition"] == "1") == 1
+    assert sorted(f["path"] for f in live if f["partition"] == "2") == f2_before
+    assert sorted(r["image_id"] for r in table.read().collect()) == before
+    # time travel: pre-compact snapshot still reads the old small files
+    assert table.read(snapshot_id=3).count() == 12
+    # idempotent: same run_id short-circuits; nothing-to-do returns current
+    assert table.compact(min_files_per_value=2, run_id="c1") == \
+        table.compact(min_files_per_value=2, run_id="c1")
+    assert table.compact(min_files_per_value=99) == table.current_id
+
+
+def test_incremental_after_compact_skips_rewritten_rows(spark, table):
+    """read_incremental must never re-deliver rows a compaction rewrote:
+    consumer checkpoints at snapshot N, compaction runs, a real append
+    lands — the incremental scan returns ONLY the append's rows."""
+    table.append(_df(spark, (0, 6), 1), "p_cell")
+    table.append(_df(spark, (6, 10), 1), "p_cell")
+    checkpoint = table.current_id
+    table.compact(min_files_per_value=2)
+    table.append(_df(spark, (100, 104), 3), "p_cell")
+    inc = table.read_incremental(since_snapshot_id=checkpoint)
+    got = sorted(r["image_id"] for r in inc.collect())
+    assert got == [100, 101, 102, 103]
+    # and expire after compact reclaims the replaced small files
+    deleted = table.expire_snapshots(keep_last=1)
+    assert deleted                                            # old files gone
+    assert sorted(r["image_id"] for r in table.read().collect()) == \
+        list(range(0, 10)) + [100, 101, 102, 103]
