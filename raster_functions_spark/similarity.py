@@ -65,6 +65,28 @@ def _cosine_rows_udf():
     return cos
 
 
+def _partial_topk(S: np.ndarray, nid: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row partial top-k of a score matrix under the SAME total order
+    as the final merge window: (-score, neighbor_id asc). argpartition
+    alone breaks ties at the k-th boundary arbitrarily, which would let a
+    globally-ranked candidate be dropped inside its batch and make the
+    result depend on partitioning. Cheap exact scheme: partition by score,
+    widen to ALL entries tied with the k-th score, then lexsort just that
+    candidate set. Returns (n_rows, kk) column indices into S."""
+    n_c = S.shape[1]
+    part = np.empty((S.shape[0], kk), dtype=np.int64)
+    for qi in range(S.shape[0]):
+        srow = S[qi]
+        if n_c > 4 * kk:
+            cut = np.argpartition(-srow, kk - 1)[:kk]
+            cand = np.flatnonzero(srow >= srow[cut].min())
+        else:
+            cand = np.arange(n_c)
+        order = np.lexsort((nid[cand], -srow[cand]))[:kk]
+        part[qi] = cand[order]
+    return part
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "vec_id") -> DataFrame:
@@ -96,24 +118,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                 S = np.where(den == 0.0, 0.0, (Q @ C.T) / den)  # (n_q, n_c)
             nid = pdf["neighbor_id"].to_numpy(np.int64)
             kk = min(k, S.shape[1])
-            # per-batch partial top-k under the SAME total order as the
-            # final window: (-score, neighbor_id asc). argpartition alone
-            # breaks ties at the k-th boundary arbitrarily, which would
-            # let a globally-ranked candidate be dropped inside its batch
-            # and make the result depend on partitioning. Cheap exact
-            # scheme: partition by score, widen to ALL entries tied with
-            # the k-th score, then lexsort just that candidate set.
-            n_c = S.shape[1]
-            part = np.empty((S.shape[0], kk), dtype=np.int64)
-            for qi in range(S.shape[0]):
-                srow = S[qi]
-                if n_c > 4 * kk:
-                    cut = np.argpartition(-srow, kk - 1)[:kk]
-                    cand = np.flatnonzero(srow >= srow[cut].min())
-                else:
-                    cand = np.arange(n_c)
-                order = np.lexsort((nid[cand], -srow[cand]))[:kk]
-                part[qi] = cand[order]
+            part = _partial_topk(S, nid, kk)
             rows_q = np.repeat(q["ids"], kk)
             rows_n = nid[part.ravel()]
             rows_s = np.take_along_axis(S, part, axis=1).ravel()
@@ -209,11 +214,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              train_sample: int = 2000) -> DataFrame:
     """IVF ANN: k-means centroids (trained driver-side on a deterministic
     sample, broadcast) partition the corpus into inverted lists; each query
-    probes its ``n_probe`` nearest lists, exact cosine (vectorized pandas
-    UDF) within candidates.
+    probes its ``n_probe`` nearest lists, exact cosine GEMM against only
+    those lists' members.
 
-    Scale shape: ONE corpus shuffle on list id (or none if the table is
-    written bucketed by list), candidate set ≈ corpus·n_probe/n_lists.
+    Scale shape: ZERO shuffles beyond the final n_q·k-row top-k merge —
+    corpus batches stream through one mapInPandas that assigns rows to
+    lists and scores each list against its probing queries; flops =
+    candidate count (≈ corpus·n_probe/n_lists per query) × dim, and
+    candidates never materialize as rows.
 
     The k-means training sample is the train_sample LOWEST ids (a TakeOrdered
     top-K, not a full sort) — a bare limit() is partition-order-dependent and
@@ -225,33 +233,66 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
         .toPandas()[vec_col].to_numpy())
     C = _kmeans_fit(sample.astype(np.float64), n_lists)
     spark = corpus.sparkSession
-    bC = spark.sparkContext.broadcast(C)
 
-    @F.pandas_udf("long")
-    def nearest_list(v):
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        Cv = bC.value
-        d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ Cv.T + (Cv ** 2).sum(1)[None, :])
-        return pd.Series(d2.argmin(1).astype(np.int64))
+    # query side is the broadcastable dim: matrix + per-query probe sets
+    # computed driver-side (n_q × n_lists distances — tiny)
+    q_pdf = queries.select(F.col(qid_col).alias("query_id"),
+                           F.col(vec_col).alias("qv")).toPandas()
+    Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    d2q = ((Q ** 2).sum(1)[:, None] - 2 * Q @ C.T + (C ** 2).sum(1)[None, :])
+    probed = np.argsort(d2q, axis=1)[:, :n_probe]          # (n_q, n_probe)
+    probers = [np.nonzero((probed == l).any(axis=1))[0]    # queries per list
+               for l in range(n_lists)]
+    bq = spark.sparkContext.broadcast({
+        "ids": q_pdf["query_id"].to_numpy(np.int64), "Q": Q,
+        "C": C, "probers": probers})
 
-    @F.pandas_udf("array<long>")
-    def probe_lists(v):
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        Cv = bC.value
-        d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ Cv.T + (Cv ** 2).sum(1)[None, :])
-        return pd.Series(list(np.argsort(d2, axis=1)[:, :n_probe].astype(np.int64)))
+    # GEMM-shaped candidate scoring (round-4 rewrite): the old plan
+    # materialized the (candidate × query) join as ROWS carrying both
+    # embedding arrays and scored them one pair at a time — measured 17×
+    # slower than brute force at 200k×64 (BENCH/notes_r4.md). Now each
+    # corpus batch assigns its rows to lists in one GEMM vs the centroids,
+    # then scores each list's members against ONLY the queries probing
+    # that list — flops = true IVF candidate count × dim, candidates never
+    # become rows, no shuffle beyond the final n_q·k-row top-k merge.
+    def score(batches):
+        b = bq.value
+        Qv, Cv = b["Q"], b["C"]
+        qn = np.sqrt(np.einsum("ij,ij->i", Qv, Qv))
+        for pdf in batches:
+            Cb = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            d2 = ((Cb ** 2).sum(1)[:, None] - 2 * Cb @ Cv.T
+                  + (Cv ** 2).sum(1)[None, :])
+            assign = d2.argmin(1)
+            cn = np.sqrt(np.einsum("ij,ij->i", Cb, Cb))
+            out_q, out_n, out_s = [], [], []
+            for l in np.unique(assign):
+                qi = b["probers"][l]
+                if qi.size == 0:
+                    continue
+                csel = np.nonzero(assign == l)[0]
+                den = qn[qi][:, None] * cn[csel][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(den == 0.0, 0.0,
+                                 (Qv[qi] @ Cb[csel].T) / den)
+                kk = min(k, S.shape[1])
+                part = _partial_topk(S, nid[csel], kk)
+                out_q.append(np.repeat(b["ids"][qi], kk))
+                out_n.append(nid[csel][part.ravel()])
+                out_s.append(np.take_along_axis(S, part, axis=1).ravel())
+            if not out_q:
+                continue
+            yield pd.DataFrame({"query_id": np.concatenate(out_q),
+                                "neighbor_id": np.concatenate(out_n),
+                                "score": np.concatenate(out_s)})
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv"),
-                      nearest_list(F.col(vec_col)).alias("list_id"))
-    q = (queries.select(F.col(qid_col).alias("query_id"),
-                        F.col(vec_col).cast("array<double>").alias("qv"),
-                        probe_lists(F.col(vec_col)).alias("lists"))
-         .select("query_id", "qv", F.explode("lists").alias("list_id")))
-    scored = (c.join(F.broadcast(q), "list_id")
-              .withColumn("score", _cosine_rows_udf()(F.col("qv"), F.col("cv"))))
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    partials = c.mapInPandas(
+        score, "query_id long, neighbor_id long, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (partials.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")))
 
