@@ -184,6 +184,16 @@ def main() -> int:
     out += ["\n## snapshot_incremental_files\n",
             f"added={sorted(added)}\nscanned={sorted(files)}\n"]
 
+    # 14. IVF ANN: candidates never materialize as join rows — the plan is
+    # a single mapInPandas over the corpus scan + the tiny top-k window
+    # merge (no Join operator of any kind; round-4 rewrite)
+    import re as _re
+    p = plan_of(em.q_ann_ivf(spark, SF))
+    ok = ("Join" not in p and "CartesianProduct" not in p
+          and len(_re.findall(r"\(\d+\) MapInPandas", p)) == 1)
+    checks.append(("ivf ANN scores in one mapInPandas, no candidate join", ok))
+    out += ["\n## q_ann_ivf\n", p]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
