@@ -1298,6 +1298,19 @@ def q_mm_decode_video(spark, sf_dir):
             .orderBy("video_id"))
 
 
+def q_ann_lsh_multi(spark, sf_dir):
+    """Amplified multi-table LSH ANN (4 sign-hash tables, OR-amplified
+    candidates, per-bucket GEMM scoring — no join, no candidate rows) over
+    the deterministic clustered fixture corpus; integer-only output ranks
+    vs a single-process replay oracle."""
+    from raster_functions_spark import fixtures, similarity
+    corpus, queries = fixtures.ann_vectors_dfs(spark, 2000, 8, 32)
+    return (similarity.lsh_multi_topk(corpus, queries, k=5, n_bits=8,
+                                      n_tables=4)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank"))
+
+
 def q_rft_mosaic_findmax(spark, sf_dir):
     """§2.11 mosaic-level plan language end to end: the reference's OWN
     FindMaxPixel_Mosaic.rft.xml (an ``__IsRasterArray__`` collection
@@ -1374,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rft_mosaic_findmax": q_rft_mosaic_findmax,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
         "mm_decode_video": q_mm_decode_video,
+        "ann_lsh_multi": q_ann_lsh_multi,
         # never driver-checked before round 4 (VERDICT r3 list)
         "mm_resize": q_mm_resize,
         "mm_decode_png": q_mm_decode_png,
@@ -1532,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
         "f3_arith_div": _orc.arith_div_sql(400),
         "rft_mosaic_findmax": _orc.rft_findmax_sql(3, 6, 16, 150),
         "mm_decode_video": _orc.video_decode_sql(30, 2),
+        "ann_lsh_multi": _orc.lsh_multi_sql(2000, 8, 32, 5, 8, 4),
         "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),
         "a6_month_synthesis": _orc.month_synthesis_sql(3, 24, 16, 1),
         "a10_fuzzy_mssmall": _orc.fuzzy_mssmall_sql(3, 2, 32, 2.0),

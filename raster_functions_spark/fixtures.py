@@ -553,3 +553,31 @@ def mp4_videos_pdf(n: int = 30, tile: int = 16) -> pd.DataFrame:
 
 def mp4_videos_df(spark: SparkSession, n: int = 30) -> DataFrame:
     return spark.createDataFrame(mp4_videos_pdf(n))
+
+
+def ann_vectors(n: int = 2000, nq: int = 8, dim: int = 32):
+    """Deterministic ANN fixture: clustered float vectors from splitmix64
+    (16 centers; corpus + nq perturbed queries). Returns (ids, X, qids, Q)."""
+    def unit(idx, salt):
+        u = splitmix64(idx.astype(np.uint64) ^ np.uint64(salt)).astype(np.float64)
+        return u / float(2 ** 64) - 0.5
+    centers = unit(np.arange(16 * dim, dtype=np.uint64), 0xC0FFEE).reshape(16, dim) * 4.0
+    idx = np.arange(n * dim, dtype=np.uint64)
+    noise = unit(idx, 0xBEEF).reshape(n, dim)
+    assign = (splitmix64(np.arange(n, dtype=np.uint64)) % np.uint64(16)).astype(np.int64)
+    X = centers[assign] + noise
+    qsel = np.arange(nq, dtype=np.int64) * (n // nq)
+    qnoise = unit(np.arange(nq * dim, dtype=np.uint64), 0xF00D).reshape(nq, dim) * 0.2
+    Q = X[qsel] + qnoise
+    return (np.arange(n, dtype=np.int64), X,
+            np.arange(nq, dtype=np.int64) + 1_000_000, Q)
+
+
+def ann_vectors_dfs(spark: SparkSession, n: int = 2000, nq: int = 8,
+                    dim: int = 32):
+    ids, X, qids, Q = ann_vectors(n, nq, dim)
+    corpus = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": ids, "embedding": [r.tolist() for r in X]}))
+    queries = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": qids, "embedding": [r.tolist() for r in Q]}))
+    return corpus, queries

@@ -1571,3 +1571,39 @@ def video_decode_sql(n: int = 30, every_n: int = 2) -> str:
             "FROM (VALUES " + ", ".join(rows)
             + ") t(video_id, codec, n_frames, n_decoded, h, w, px_sum, ok) "
             "ORDER BY video_id")
+
+
+def lsh_multi_sql(n: int = 2000, nq: int = 8, dim: int = 32, k: int = 5,
+                  n_bits: int = 8, n_tables: int = 4) -> str:
+    """ann_lsh_multi oracle: single-process replay of the amplified-LSH
+    candidate generation + cosine ranking over the deterministic fixture
+    corpus (the per-bucket GEMM sub-blocks produce bit-identical dots to
+    the replay's, since dgemm sums along the shared dim axis per output
+    element — verified by the cross-parallelism identity drive)."""
+    from .fixtures import ann_vectors
+    from .similarity import _hyperplanes
+    ids, X, qids, Q = ann_vectors(n, nq, dim)
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+    cand = [set() for _ in range(nq)]
+    for t in range(n_tables):
+        H = _hyperplanes(dim, n_bits, table=t)
+        cb = ((X @ H.T) > 0).astype(np.int64) @ pow2
+        qb = ((Q @ H.T) > 0).astype(np.int64) @ pow2
+        for qi in range(nq):
+            for ci in np.nonzero(cb == qb[qi])[0]:
+                cand[qi].add(int(ci))
+    qn = np.sqrt((Q ** 2).sum(1))
+    cn = np.sqrt((X ** 2).sum(1))
+    rows = []
+    for qi in range(nq):
+        cs = np.array(sorted(cand[qi]), dtype=np.int64)
+        if cs.size == 0:
+            continue
+        S = (Q[qi] @ X[cs].T) / (qn[qi] * cn[cs])
+        order = np.lexsort((ids[cs], -S))[:k]
+        for r, j in enumerate(order, start=1):
+            rows.append(f"({qids[qi]}, {ids[cs[j]]}, {r})")
+    return ("SELECT CAST(query_id AS BIGINT) AS query_id, "
+            "CAST(neighbor_id AS BIGINT) AS neighbor_id, "
+            "CAST(rank AS INT) AS rank FROM (VALUES " + ", ".join(rows)
+            + ") t(query_id, neighbor_id, rank) ORDER BY query_id, rank")

@@ -134,11 +134,13 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
             .select("query_id", "neighbor_id", "rank"))
 
 
-def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+def _hyperplanes(dim: int, n_bits: int, table: int = 0) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from splitmix64 — identical
-    on every executor/run (no RNG state)."""
+    on every executor/run (no RNG state). ``table`` selects an independent
+    set (table 0 = the historical planes, byte-stable with prior rounds)."""
     scale = float(2**64)
-    idx = np.arange(n_bits * dim, dtype=np.uint64)
+    idx = (np.arange(n_bits * dim, dtype=np.uint64)
+           + np.uint64((table * 0x9E3779B97F4A7C15) % (1 << 64)))
     u = splitmix64(idx).astype(np.float64) / scale  # U(0,1)
     # approx normal via sum of 4 uniforms (CLT, cheap, deterministic)
     u2 = splitmix64(idx ^ np.uint64(0xABCDEF)).astype(np.float64) / scale
@@ -186,6 +188,102 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")))
+
+
+def lsh_multi_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "vec_id", n_bits: int = 8,
+                   n_tables: int = 4, dim: int | None = None) -> DataFrame:
+    """Amplified hyperplane LSH: ``n_tables`` independent sign-hash tables;
+    a corpus vector is a candidate when it shares a bucket with the query
+    in ANY table (the classic OR-amplification — collision probability
+    1 − (1 − p^b)^L, steeply better recall than single-table bit-flip
+    probing; measured table in BENCH/notes_r4.md).
+
+    Scale shape mirrors ivf_topk's round-4 rewrite: queries broadcast as a
+    matrix + per-table bucket→query lookup; corpus batches stream through
+    ONE mapInPandas that buckets rows per table (sign GEMM), scores each
+    occupied bucket's members against only its probing queries, dedups
+    (query, neighbor) pairs across tables, and emits per-query partial
+    top-k. No join, no candidate rows, shuffle = n_q·k partials."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    Hs = np.stack([_hyperplanes(dim, n_bits, table=t)
+                   for t in range(n_tables)])          # (L, bits, dim)
+    q_pdf = queries.select(F.col(qid_col).alias("query_id"),
+                           F.col(vec_col).alias("qv")).toPandas()
+    Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def buckets_of(X: np.ndarray, t: int) -> np.ndarray:
+        return ((X @ Hs[t].T) > 0).astype(np.int64) @ pow2
+
+    lookups = []
+    for t in range(n_tables):
+        qb = buckets_of(Q, t)
+        d: dict[int, np.ndarray] = {}
+        for b in np.unique(qb):
+            d[int(b)] = np.nonzero(qb == b)[0]
+        lookups.append(d)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast({
+        "ids": q_pdf["query_id"].to_numpy(np.int64), "Q": Q, "H": Hs,
+        "lookups": lookups})
+
+    def score(batches):
+        b = bq.value
+        Qv = b["Q"]
+        qn = np.sqrt(np.einsum("ij,ij->i", Qv, Qv))
+        p2 = (1 << np.arange(n_bits)).astype(np.int64)
+        for pdf in batches:
+            Cb = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            cn = np.sqrt(np.einsum("ij,ij->i", Cb, Cb))
+            tq, tn, ts = [], [], []
+            for t in range(len(b["H"])):
+                cbuck = ((Cb @ b["H"][t].T) > 0).astype(np.int64) @ p2
+                lut = b["lookups"][t]
+                for bk in np.unique(cbuck):
+                    qi = lut.get(int(bk))
+                    if qi is None:
+                        continue
+                    csel = np.nonzero(cbuck == bk)[0]
+                    den = qn[qi][:, None] * cn[csel][None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = np.where(den == 0.0, 0.0,
+                                     (Qv[qi] @ Cb[csel].T) / den)
+                    tq.append(np.repeat(qi, csel.size))
+                    tn.append(np.tile(csel, qi.size))
+                    ts.append(S.ravel())
+            if not tq:
+                continue
+            qi_all = np.concatenate(tq)
+            ci_all = np.concatenate(tn)
+            s_all = np.concatenate(ts)
+            # dedupe (query, corpus-row) pairs matched by several tables
+            key = qi_all * np.int64(len(nid)) + ci_all
+            _, first = np.unique(key, return_index=True)
+            qi_all, ci_all, s_all = qi_all[first], ci_all[first], s_all[first]
+            # per-query partial top-k under the window's total order
+            order = np.lexsort((nid[ci_all], -s_all, qi_all))
+            qi_all, ci_all, s_all = qi_all[order], ci_all[order], s_all[order]
+            uq, starts = np.unique(qi_all, return_index=True)
+            keep = np.concatenate([
+                np.arange(s, min(s + k, e)) for s, e in
+                zip(starts, np.append(starts[1:], qi_all.size))])
+            yield pd.DataFrame({"query_id": b["ids"][qi_all[keep]],
+                                "neighbor_id": nid[ci_all[keep]],
+                                "score": s_all[keep]})
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    partials = c.mapInPandas(
+        score, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("score", 6).alias("score")))
 
 
 def _kmeans_fit(X: np.ndarray, k: int, iters: int = 12) -> np.ndarray:

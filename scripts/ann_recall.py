@@ -55,14 +55,15 @@ def main():
         rows.append(f"| IVF {n_lists} lists | n_probe={n_probe} | {dt:.1f}s | {rec:.3f} |")
         print(rows[-1])
 
-    for n_bits, n_probes in ((8, 1), (8, 4), (8, 8)):
+    for n_bits, n_tables in ((6, 8), (6, 16), (8, 8)):
         t0 = time.time()
-        got = topk_sets(sim.lsh_topk(corpus, queries, k=k,
-                                     n_bits=n_bits, n_probes=n_probes))
+        got = topk_sets(sim.lsh_multi_topk(corpus, queries, k=k,
+                                           n_bits=n_bits, n_tables=n_tables))
         dt = time.time() - t0
         rec = np.mean([len(got.get(q, set()) & bf[q]) / k for q in bf])
-        rows.append(f"| LSH {n_bits} bits | probes={n_probes} | {dt:.1f}s | {rec:.3f} |")
+        rows.append(f"| multi-LSH {n_bits} bits | tables={n_tables} | {dt:.1f}s | {rec:.3f} |")
         print(rows[-1])
+
 
     print("\n".join(rows))
     spark.stop()

@@ -76,3 +76,32 @@ def test_update_key_metadata(spark):
     row = out.first()
     assert row.sensor == "L8" and row.cloud_cover == 0.1
     assert row.band2_wavelength == 0.65
+
+
+def test_lsh_multi_topk_amplification_and_determinism(spark):
+    """Multi-table LSH: (a) with enough tables the fixture's true top-k is
+    recovered exactly (candidates → all under amplification), (b) result
+    is independent of corpus partitioning, (c) per-query rank order obeys
+    the (-score, neighbor_id) total order."""
+    import numpy as np
+    from raster_functions_spark import fixtures, similarity
+    corpus, queries = fixtures.ann_vectors_dfs(spark, 600, 5, 16)
+    got = similarity.lsh_multi_topk(corpus, queries, k=4, n_bits=4,
+                                    n_tables=12).collect()
+    got2 = similarity.lsh_multi_topk(corpus.repartition(13), queries, k=4,
+                                     n_bits=4, n_tables=12).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                               r["score"]) for r in rows)
+    assert key(got) == key(got2)
+    # brute-force oracle over the same fixture
+    ids, X, qids, Q = fixtures.ann_vectors(600, 5, 16)
+    qn = np.sqrt((Q ** 2).sum(1)); cn = np.sqrt((X ** 2).sum(1))
+    S = (Q @ X.T) / (qn[:, None] * cn[None, :])
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qi, qid in enumerate(qids):
+        want = [int(ids[j]) for j in np.lexsort((ids, -S[qi]))[:4]]
+        rows = sorted(by_q[qid])
+        # amplified candidates at 4 bits × 12 tables ≈ exhaustive here
+        assert [n for _, n in rows] == want, qid
