@@ -153,6 +153,215 @@ def find_max_k(df: DataFrame, k: int = 1, cap: float = 100.0,
     return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
 
 
+def grouped_sorted_map(df: DataFrame, group_cols: list[str], fn,
+                       out_schema: T.StructType,
+                       num_partitions: int | None = None,
+                       flush_rows: int = 64) -> DataFrame:
+    """``groupBy().applyInPandas`` without the per-GROUP Arrow round trip.
+
+    applyInPandas pays ~ms of serde/scheduling per group — fine for big
+    groups, ruinous for millions of tiny ones (and AQE coalesces a small
+    partials shuffle to few partitions, serializing it; measured 28.6s vs
+    1.7s of kernel time in BENCH/notes_r4.md). Here: hash-repartition on
+    the group key, sort within partitions, then stream the partition
+    through ONE mapInPandas that stitches group runs across Arrow batch
+    boundaries and calls ``fn(key_tuple, group_pdf)`` per group, buffering
+    outputs into chunked frames. Parallelism is pinned by
+    ``num_partitions`` (AQE can't collapse it), per-group overhead is a
+    dict lookup. fn must be insensitive to row order within the group
+    unless it sorts internally (same contract as applyInPandas)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 2
+    d = df.repartition(n, *group_cols).sortWithinPartitions(*group_cols)
+    cols = list(group_cols)
+
+    def run(batches):
+        pend = None
+        buf: list[pd.DataFrame] = []
+
+        def emit(key, g):
+            buf.append(fn(tuple(key), g))
+
+        for pdf in batches:
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            if not len(pdf):
+                continue
+            last = tuple(pdf[c].iloc[-1] for c in cols)
+            mask = np.ones(len(pdf), bool)
+            for c, v in zip(cols, last):
+                mask &= (pdf[c] == v).to_numpy()
+            body, pend = pdf[~mask], pdf[mask]
+            for key, g in body.groupby(cols, sort=False):
+                emit(key if isinstance(key, tuple) else (key,), g)
+            if len(buf) >= flush_rows:
+                yield pd.concat(buf, ignore_index=True)
+                buf = []
+        if pend is not None and len(pend):
+            emit(tuple(pend[c].iloc[0] for c in cols), pend)
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return d.mapInPandas(run, schema=out_schema)
+
+
+def _partial_schema(group_cols: list[str], df: DataFrame) -> T.StructType:
+    return T.StructType([df.schema[c] for c in group_cols] + [
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("n_members", T.IntegerType()),
+    ])
+
+
+def stack_topk_assoc(df: DataFrame, k: int = 1, cap: float | None = None,
+                     invalid: float = -1.0,
+                     group_cols: list[str] = ["scene_id"],
+                     value_band: int = 0,
+                     fmt_out: str = "zlib") -> DataFrame:
+    """FindMax-family reduction with MAP-SIDE COMBINE — the 100-TB path.
+
+    ``groupBy + applyInPandas`` ships every member's pixels through the
+    shuffle (n_members × tile bytes per position). The k-th-largest-per-
+    pixel statistic is associative: the global answer lives in the union
+    of per-subset top-k. So stage 1 (mapInPandas, NO shuffle) reduces each
+    input partition's members per position to the per-pixel k largest
+    (capped values > ``cap`` invalidated to ``invalid`` first — the
+    FindMax.py:66-84 rule) plus the per-pixel min as a guard band for the
+    n_members < k edge; stage 2 shuffles only those partials (≤ (k+1)
+    bands each, independent of members-per-partition) and merges. With
+    inputs clustered by scene/time — the common layout — shuffle volume
+    drops by ~members-per-partition ×. Exact for the integer-valued
+    rasters the FindMax family targets (sort/max are order-free)."""
+    kk = int(k)
+
+    def cap_vals(v: np.ndarray) -> np.ndarray:
+        if cap is not None:
+            v = np.where(v > cap, invalid, v)
+        return v
+
+    part_schema = _partial_schema(group_cols, df)
+
+    def partial(batches):
+        for pdf in batches:
+            rows = []
+            for key, g in pdf.groupby(group_cols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                stack = np.stack([
+                    cap_vals(codec.decode(bytes(b))[value_band]
+                             .astype(np.float64))
+                    for b in g["bytes"]])
+                srt = np.sort(stack, axis=0)
+                top = srt[-min(kk, srt.shape[0]):]       # per-pixel largest
+                out = np.concatenate([srt[:1], top])     # guard: per-px min
+                row = dict(zip(group_cols, key))
+                row.update({"bytes": codec.encode(out.astype(np.float64),
+                                                  fmt_out),
+                            "w": out.shape[2], "h": out.shape[1],
+                            "bands": out.shape[0],
+                            "n_members": stack.shape[0]})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in part_schema])
+
+    partials = df.mapInPandas(partial, schema=part_schema)
+    out_schema = _out_schema(group_cols, df)
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        decoded = [codec.decode(bytes(b)) for b in pdf["bytes"]]
+        mins = np.stack([d[0] for d in decoded])
+        tops = np.concatenate([d[1:] for d in decoded])
+        n_total = int(pdf["n_members"].sum())
+        srt = np.sort(tops, axis=0)
+        if n_total >= kk:
+            red = srt[-kk]
+        else:
+            red = mins.min(axis=0)                       # global smallest
+        if cap is not None:
+            all_invalid = ~(tops != invalid).any(axis=0)
+            red = np.where(all_invalid, invalid, red)
+        red = red.astype(np.float32)[None]
+        row = {c: key[i] for i, c in enumerate(group_cols)}
+        row.update({"bytes": codec.encode(red, fmt_out), "w": red.shape[2],
+                    "h": red.shape[1], "bands": 1, "dtype": "f4",
+                    "fmt": fmt_out, "n_rasters": n_total})
+        return pd.DataFrame([row])
+
+    # tiny partials, many groups → the streamed grouped map (see
+    # grouped_sorted_map: applyInPandas per-group overhead would dominate)
+    return grouped_sorted_map(partials, group_cols, merge, out_schema)
+
+
+def stack_mean_assoc(df: DataFrame, group_cols: list[str] = ["scene_id"],
+                     value_band: int = 0, qa_band: int | None = None,
+                     clear_values: tuple[int, ...] = (),
+                     nan_skip: bool = True,
+                     fmt_out: str = "zlib") -> DataFrame:
+    """Mean composite with MAP-SIDE COMBINE: stage 1 reduces each input
+    partition's members per position to per-pixel [Σvalue, valid-count]
+    (f8 partials — exact for integer-valued rasters); stage 2 shuffles
+    only those 2-band partials and divides. QA masking
+    (Landsat clear-pixel whitelists) folds into the partial's valid
+    count; ``nan_skip=False`` reproduces deprecated/Aggregate.py's plain
+    np.mean (NaN propagates). Same decomposition argument as
+    stack_topk_assoc — shuffle volume independent of members per
+    partition."""
+    part_schema = _partial_schema(group_cols, df)
+
+    def partial(batches):
+        for pdf in batches:
+            rows = []
+            for key, g in pdf.groupby(group_cols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                acc_s = acc_n = None
+                n = 0
+                for b in g["bytes"]:
+                    px = codec.decode(bytes(b))
+                    v = px[value_band].astype(np.float64)
+                    if qa_band is not None:
+                        valid = np.isin(px[qa_band],
+                                        np.asarray(clear_values))
+                        contrib = np.where(valid, v, 0.0)
+                        cnt = valid.astype(np.float64)
+                    elif nan_skip:
+                        valid = ~np.isnan(v)
+                        contrib = np.where(valid, v, 0.0)
+                        cnt = valid.astype(np.float64)
+                    else:
+                        contrib = v                       # NaN propagates
+                        cnt = np.ones_like(v)
+                    acc_s = contrib if acc_s is None else acc_s + contrib
+                    acc_n = cnt if acc_n is None else acc_n + cnt
+                    n += 1
+                out = np.stack([acc_s, acc_n])
+                row = dict(zip(group_cols, key))
+                row.update({"bytes": codec.encode(out, fmt_out),
+                            "w": out.shape[2], "h": out.shape[1],
+                            "bands": 2, "n_members": n})
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in part_schema])
+
+    partials = df.mapInPandas(partial, schema=part_schema)
+    out_schema = _out_schema(group_cols, df)
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["bytes"]:
+            d = codec.decode(bytes(b)).astype(np.float64)
+            acc = d if acc is None else acc + d
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(acc[1] > 0, acc[0] / acc[1], np.nan)
+        mean = mean.astype(np.float32)[None]
+        row = {c: key[i] for i, c in enumerate(group_cols)}
+        row.update({"bytes": codec.encode(mean, fmt_out), "w": mean.shape[2],
+                    "h": mean.shape[1], "bands": 1, "dtype": "f4",
+                    "fmt": fmt_out,
+                    "n_rasters": int(pdf["n_members"].sum())})
+        return pd.DataFrame([row])
+
+    return grouped_sorted_map(partials, group_cols, merge, out_schema)
+
+
 def stack_coalesce(df: DataFrame, group_cols: list[str] = ["scene_id"],
                    order_col: str | None = None, nodata: float | None = None,
                    fmt_out: str = "zlib") -> DataFrame:

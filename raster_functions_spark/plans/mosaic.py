@@ -108,9 +108,12 @@ def apply_mosaic(df: DataFrame, kind: str, args: dict, ctx: dict | None = None,
     member = ctx.get("member_col", "t")
 
     if kind == "find_max_k":
-        return stack.find_max_k(df, k=int(args.get("k", 1)),
-                                cap=float(args.get("cap", 100.0)),
-                                group_cols=pos, fmt_out=fmt_out)
+        # associative per-pixel top-k → map-side combine (stage-1 partial
+        # reduction per input partition, shuffle carries only (k+1)-band
+        # partials; BENCH/notes_r4.md measures the win)
+        return stack.stack_topk_assoc(df, k=int(args.get("k", 1)),
+                                      cap=float(args.get("cap", 100.0)),
+                                      group_cols=pos, fmt_out=fmt_out)
 
     if kind == "pixel_percentile":
         qa_band, clear = _qa_config(args, ctx, df)
@@ -126,8 +129,9 @@ def apply_mosaic(df: DataFrame, kind: str, args: dict, ctx: dict | None = None,
         d = df.filter(F.col(col) == month)
         qa_band = ctx.get("qa_band")   # fixtures override; None → plain mean
         clear = tuple(ctx.get("clear_values") or LANDSAT_4_7_CLEAR)
-        return stack.stack_composite(
-            d, "mean", group_cols=pos, fmt_out=fmt_out,
+        # mean is decomposable → map-side [Σ, count] partials
+        return stack.stack_mean_assoc(
+            d, group_cols=pos, fmt_out=fmt_out,
             qa_band=qa_band, clear_values=clear if qa_band is not None else ())
 
     if kind == "percent_above":
@@ -139,7 +143,12 @@ def apply_mosaic(df: DataFrame, kind: str, args: dict, ctx: dict | None = None,
 
     if kind == "aggregate":
         m = str(args.get("method", "Sum")).lower()
-        measure = {"average": "mean", "median": "median", "minimum": "min",
+        if m == "average":
+            # reference semantics = plain np.mean, NaN propagates
+            # (deprecated/Aggregate.py:34,59) — decomposable, map-side combine
+            return stack.stack_mean_assoc(df, group_cols=pos,
+                                          fmt_out=fmt_out, nan_skip=False)
+        measure = {"median": "median", "minimum": "min",
                    "maximum": "max", "standard deviation": "std"}.get(m, "sum")
         return stack.stack_composite(df, measure, group_cols=pos,
                                      fmt_out=fmt_out)
