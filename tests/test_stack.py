@@ -143,3 +143,41 @@ def test_composite_identity_invariant(spark):
         out = S.stack_composite(df, m, fmt_out="raw").collect()[0]
         got = codec.decode(bytes(out["bytes"]))
         assert np.allclose(got, px), m
+
+
+def test_grouped_sorted_map_stitches_across_arrow_batches(spark):
+    """A group whose rows span multiple Arrow batches must reduce once,
+    not once per fragment — forced with a tiny maxRecordsPerBatch and
+    groups larger than it; multi-column keys included."""
+    import pandas as pd
+    import pyspark.sql.types as T
+    from raster_functions_spark.operators.stack import grouped_sorted_map
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [{"a": f"g{i % 5}", "b": i % 2, "v": float(i)}
+                for i in range(400)]
+        df = spark.createDataFrame(pd.DataFrame(rows)).repartition(3)
+        schema = T.StructType([T.StructField("a", T.StringType()),
+                               T.StructField("b", T.LongType()),
+                               T.StructField("n", T.LongType()),
+                               T.StructField("s", T.DoubleType())])
+
+        def fn(key, g):
+            return pd.DataFrame([{"a": key[0], "b": key[1],
+                                  "n": len(g), "s": float(g["v"].sum())}])
+
+        out = grouped_sorted_map(df, ["a", "b"], fn, schema,
+                                 num_partitions=4).toPandas()
+        assert len(out) == 10                      # one row per (a, b)
+        want = (pd.DataFrame(rows).groupby(["a", "b"])
+                .agg(n=("v", "size"), s=("v", "sum")).reset_index())
+        got = out.sort_values(["a", "b"]).reset_index(drop=True)
+        want = want.sort_values(["a", "b"]).reset_index(drop=True)
+        assert (got["n"] == want["n"]).all()
+        assert (got["s"] == want["s"]).all()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
