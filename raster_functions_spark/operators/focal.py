@@ -394,5 +394,9 @@ def apply_focal(df: DataFrame, op: TileOp, fmt_out: str = "zlib",
         meta_df = df.select(F.col(scn).alias("scene_id"),
                             F.col(txc).alias("ttx"), F.col(tyc).alias("tty"), *meta_keep)
         msgs = msgs.join(meta_df, ["scene_id", "ttx", "tty"], "left")
-    return (msgs.groupBy("scene_id", "ttx", "tty")
-            .applyInPandas(assemble, schema=out_schema))
+    # ≤9 halo messages per tile, tiles unbounded — same many-tiny-groups
+    # class as the pyramid merge: stream the sorted partition rather than
+    # paying the per-group applyInPandas round trip (BENCH/notes_r4.md)
+    from .stack import grouped_sorted_map
+    return grouped_sorted_map(msgs, ["scene_id", "ttx", "tty"], assemble,
+                              out_schema)

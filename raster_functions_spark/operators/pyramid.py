@@ -57,8 +57,11 @@ def pyramid_level(df: DataFrame, tile: int, measure: str = "mean",
             "w": tile, "h": tile, "bands": bands, "dtype": "f4",
             "fmt": fmt_out, "n_children": len(pdf)}])
 
-    return (parent.groupBy(scn, "ptx", "pty")
-            .applyInPandas(merge, schema=out_schema))
+    # ≤4 tiny rows per parent and (at scale) millions of parents — the
+    # per-group applyInPandas Arrow round trip would dominate; stream the
+    # sorted partition instead (stack.grouped_sorted_map, BENCH/notes_r4.md)
+    from .stack import grouped_sorted_map
+    return grouped_sorted_map(parent, [scn, "ptx", "pty"], merge, out_schema)
 
 
 def build_pyramid(df: DataFrame, tile: int, levels: int,
