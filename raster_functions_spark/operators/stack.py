@@ -96,7 +96,10 @@ def stack_composite(df: DataFrame, measure: str, group_cols: list[str] = ["scene
         return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
                              value_band, qa_band, clear_values, order_col,
                              nodata)
-    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
+    # group count is unbounded (tile positions) while group size is small
+    # (acquisitions) — stream the sorted partition instead of paying the
+    # per-group applyInPandas round trip (see grouped_sorted_map)
+    return grouped_sorted_map(df, group_cols, _apply, schema)
 
 
 def stack_percentile(df: DataFrame, q: float, group_cols: list[str] = ["scene_id"],
@@ -112,7 +115,7 @@ def stack_percentile(df: DataFrame, q: float, group_cols: list[str] = ["scene_id
     def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
                              value_band, qa_band, clear_values, None, nodata)
-    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
+    return grouped_sorted_map(df, group_cols, _apply, schema)
 
 
 def stack_topk(df: DataFrame, k: int, group_cols: list[str] = ["scene_id"],
@@ -126,7 +129,7 @@ def stack_topk(df: DataFrame, k: int, group_cols: list[str] = ["scene_id"],
     def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
                              0, None, (), None)
-    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
+    return grouped_sorted_map(df, group_cols, _apply, schema)
 
 
 def find_max_k(df: DataFrame, k: int = 1, cap: float = 100.0,
@@ -150,7 +153,7 @@ def find_max_k(df: DataFrame, k: int = 1, cap: float = 100.0,
     def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
                              value_band, None, (), None)
-    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
+    return grouped_sorted_map(df, group_cols, _apply, schema)
 
 
 def grouped_sorted_map(df: DataFrame, group_cols: list[str], fn,
@@ -383,7 +386,7 @@ def stack_coalesce(df: DataFrame, group_cols: list[str] = ["scene_id"],
     def _apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return _reduce_group(key, pdf, group_cols, reducer, fmt_out,
                              None, None, (), order_col)
-    return df.groupBy(*group_cols).applyInPandas(_apply, schema=schema)
+    return grouped_sorted_map(df, group_cols, _apply, schema)
 
 
 def percent_above_threshold(df: DataFrame, threshold: float,
