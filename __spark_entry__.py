@@ -1311,6 +1311,28 @@ def q_ann_lsh_multi(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_rft_mosaic_synthesis(spark, sf_dir):
+    """§2.11 mosaic plan language #2: the Landsat Image Synthesis template
+    (predict_month=Mar) — month-filtered mean composite over the
+    collection, executed through the MAP-SIDE-COMBINED mean path
+    (stack_mean_assoc: [Σ, count] partials before the shuffle). Fixture
+    months cycle t%12+1, so Mar = two members; their mean is an exact
+    half, making the f32 rollup cross-engine exact."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.plans import chain, rft
+    from raster_functions_spark.raster import tile_stats
+    df = (fixtures.mosaic_stack_df(spark, 3, 26)
+          .withColumn("acq_month", (F.col("t") % 12 + 1).cast("int")))
+    spec = rft.load_rft(
+        "/root/reference/functions/Landsat Image Synthesis.rft.xml")
+    out = chain.build_chain(df, spec)
+    agg = tile_stats(out, [], {"sum_m": _px_sum},
+                     keep_cols=["scene_id", "n_rasters"])
+    return (agg.select("scene_id", "n_rasters",
+                       F.round("sum_m", 4).alias("sum_m"))
+            .orderBy("scene_id"))
+
+
 def q_rft_mosaic_findmax(spark, sf_dir):
     """§2.11 mosaic-level plan language end to end: the reference's OWN
     FindMaxPixel_Mosaic.rft.xml (an ``__IsRasterArray__`` collection
@@ -1385,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: shipped(v) for k, v in {
         # round-4 additions
         "rft_mosaic_findmax": q_rft_mosaic_findmax,
+        "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
         "mm_decode_video": q_mm_decode_video,
         "ann_lsh_multi": q_ann_lsh_multi,
@@ -1545,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "f14_vector_field": _orc.vector_field_sql(400),
         "f3_arith_div": _orc.arith_div_sql(400),
         "rft_mosaic_findmax": _orc.rft_findmax_sql(3, 6, 16, 150),
+        "rft_mosaic_synthesis": _orc.rft_synthesis_sql(3, 26, 16, 150, 3),
         "mm_decode_video": _orc.video_decode_sql(30, 2),
         "ann_lsh_multi": _orc.lsh_multi_sql(2000, 8, 32, 5, 8, 4),
         "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),

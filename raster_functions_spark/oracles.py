@@ -1607,3 +1607,24 @@ def lsh_multi_sql(n: int = 2000, nq: int = 8, dim: int = 32, k: int = 5,
             "CAST(neighbor_id AS BIGINT) AS neighbor_id, "
             "CAST(rank AS INT) AS rank FROM (VALUES " + ", ".join(rows)
             + ") t(query_id, neighbor_id, rank) ORDER BY query_id, rank")
+
+
+def rft_synthesis_sql(n_scenes: int = 3, n_t: int = 26, tile: int = 16,
+                      mod: int = 150, month: int = 3) -> str:
+    """rft_mosaic_synthesis oracle: the Landsat Image Synthesis template's
+    month-filtered mean over the closed-form mosaic fixture — the members
+    are the t with t%12+1 = month, their per-pixel mean is re-derived in
+    SQL (exact halves → f32-safe)."""
+    ts = [t for t in range(n_t) if t % 12 + 1 == month]
+    avg = "(" + " + ".join(
+        f"CAST((s*31 + {t}*17 + y*{tile} + x) % {mod} AS DOUBLE)"
+        for t in ts) + f") / {float(len(ts))}"
+    return f"""
+WITH px AS (
+  SELECT s, y, x, CAST({avg} AS FLOAT) AS m
+  FROM generate_series(0, {n_scenes - 1}) ts(s),
+       generate_series(0, {tile - 1}) ty(y),
+       generate_series(0, {tile - 1}) tx(x))
+SELECT 'scene' || s AS scene_id, {len(ts)} AS n_rasters,
+       ROUND(SUM(CAST(m AS DOUBLE)), 4) AS sum_m
+FROM px GROUP BY s ORDER BY scene_id"""

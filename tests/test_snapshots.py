@@ -178,3 +178,26 @@ def test_incremental_after_compact_skips_rewritten_rows(spark, table):
     assert deleted                                            # old files gone
     assert sorted(r["image_id"] for r in table.read().collect()) == \
         list(range(0, 10)) + [100, 101, 102, 103]
+
+
+def test_mosaic_template_over_snapshot_table(spark, table):
+    """Cross-feature: a mosaic collection stored as a snapshot table
+    (partitioned by scene — members co-located, the layout the map-side
+    combine exploits) feeds the .rft plan language directly; result equals
+    running the template on the raw fixture frame."""
+    from raster_functions_spark import codec, fixtures
+    from raster_functions_spark.plans import chain, rft
+    pdf = fixtures.mosaic_stack_pdf(2, 5)
+    table.append(spark.createDataFrame(pdf), "scene_id")
+    spec = rft.load_rft(
+        "/root/reference/functions/FindMaxPixel_Mosaic.rft.xml")
+    out_snap = chain.build_chain(table.read(), spec)
+    out_raw = chain.build_chain(spark.createDataFrame(pdf), spec)
+    a = {r["scene_id"]: codec.decode(bytes(r["bytes"]))
+         for r in out_snap.collect()}
+    b = {r["scene_id"]: codec.decode(bytes(r["bytes"]))
+         for r in out_raw.collect()}
+    assert set(a) == set(b) == {"scene0", "scene1"}
+    import numpy as np
+    for k in a:
+        assert np.array_equal(a[k], b[k])
