@@ -128,3 +128,68 @@ def test_wav_roundtrip_property(ch, n, rate):
     s = rng.integers(-32768, 32767, (ch, n), dtype=np.int16)
     out, r = formats.decode_wav(formats.encode_wav(s, rate))
     assert r == rate and np.array_equal(out, s)
+
+
+@given(st.integers(1, 3), st.integers(1, 12), st.integers(0, 10 ** 6),
+       st.integers(1, 5))
+@settings(max_examples=60, deadline=None)
+def test_topk_assoc_decomposition_property(k, n_members, seed, n_chunks):
+    """The map-side-combine algebra of stack_topk_assoc: for ANY split of
+    the members into partition chunks, (per-chunk top-k + min guard) →
+    merge equals the direct whole-stack FindMax reduction — including the
+    cap-to-−1 validity rule and the n_members < k edge."""
+    rng = np.random.default_rng(seed)
+    h = w = 4
+    cap = 100.0
+    stack = rng.integers(0, 150, (n_members, h, w)).astype(np.float64)
+    capped = np.where(stack > cap, -1.0, stack)
+    # direct (reference semantics, stack.find_max_k reducer)
+    srt = np.sort(capped, axis=0)
+    direct = srt[-k] if n_members >= k else srt[0]
+    direct = np.where(~(capped != -1.0).any(axis=0), -1.0, direct)
+    # partial + merge (the stack_topk_assoc algebra)
+    cuts = np.sort(rng.integers(0, n_members + 1, max(0, n_chunks - 1)))
+    chunks = np.split(capped, cuts) if n_chunks > 1 else [capped]
+    mins, tops, n_total = [], [], 0
+    for c in chunks:
+        if c.shape[0] == 0:
+            continue
+        cs = np.sort(c, axis=0)
+        mins.append(cs[0])
+        tops.append(cs[-min(k, c.shape[0]):])
+        n_total += c.shape[0]
+    tops_all = np.concatenate(tops)
+    srt2 = np.sort(tops_all, axis=0)
+    merged = srt2[-k] if n_total >= k else np.stack(mins).min(axis=0)
+    merged = np.where(~(tops_all != -1.0).any(axis=0), -1.0, merged)
+    assert np.array_equal(merged, direct)
+
+
+@given(st.integers(1, 12), st.integers(0, 10 ** 6), st.integers(1, 5),
+       st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_mean_assoc_decomposition_property(n_members, seed, n_chunks,
+                                           with_nan):
+    """stack_mean_assoc's [Σ, count] partials reproduce the whole-stack
+    NaN-skipping mean for any member split (integer-valued rasters ⇒
+    exact sums, the documented exactness condition)."""
+    rng = np.random.default_rng(seed)
+    h = w = 4
+    stack = rng.integers(0, 4000, (n_members, h, w)).astype(np.float64)
+    if with_nan:
+        stack[rng.random((n_members, h, w)) < 0.3] = np.nan
+    with np.errstate(all="ignore"):
+        direct = np.nanmean(stack, axis=0)
+    cuts = np.sort(rng.integers(0, n_members + 1, max(0, n_chunks - 1)))
+    chunks = np.split(stack, cuts) if n_chunks > 1 else [stack]
+    s_tot = np.zeros((h, w))
+    n_tot = np.zeros((h, w))
+    for c in chunks:
+        if c.shape[0] == 0:
+            continue
+        valid = ~np.isnan(c)
+        s_tot += np.where(valid, c, 0.0).sum(axis=0)
+        n_tot += valid.sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        merged = np.where(n_tot > 0, s_tot / n_tot, np.nan)
+    assert np.allclose(merged, direct, equal_nan=True)
