@@ -1311,6 +1311,44 @@ def q_ann_lsh_multi(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_stream_pixel_composite(spark, sf_dir):
+    """Streaming per-PIXEL running mean composite: availableNow microbatch
+    ingest reduces each batch to [Σ, count] partial tiles
+    (stack.mean_partial_tiles) committed exactly-once to a snapshot table
+    (run_id=batch-N); the live composite is one merge over the partials.
+    Oracle: the closed-form whole-stack mean (partials algebra is exact
+    for the integer-valued fixture)."""
+    import shutil
+    import tempfile
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.raster import tile_stats
+    from raster_functions_spark.streaming import composites
+    tmp = tempfile.mkdtemp(prefix="spxc_")
+    try:
+        pdf = fixtures.mosaic_stack_pdf(3, 6)
+        spark.createDataFrame(pdf[pdf.t < 3]).coalesce(1).write.parquet(
+            tmp + "/src/a")
+        spark.createDataFrame(pdf[pdf.t >= 3]).coalesce(1).write.parquet(
+            tmp + "/src/b")
+        stream = (spark.readStream
+                  .schema(spark.createDataFrame(pdf).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(tmp + "/src/*"))
+        q = composites.start_pixel_mean_ingest(
+            stream, tmp + "/table", tmp + "/ckpt",
+            query_name="stream_pixel_composite_q")
+        q.awaitTermination()
+        live = composites.current_pixel_composite(spark, tmp + "/table")
+        agg = tile_stats(live, [], {"sum_m": _px_sum},
+                         keep_cols=["scene_id", "n_rasters"])
+        out = (agg.select("scene_id", "n_rasters",
+                          F.round("sum_m", 4).alias("sum_m"))
+               .orderBy("scene_id"))
+        out = spark.createDataFrame(out.toPandas())   # materialize pre-cleanup
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_rft_mosaic_synthesis(spark, sf_dir):
     """§2.11 mosaic plan language #2: the Landsat Image Synthesis template
     (predict_month=Mar) — month-filtered mean composite over the
@@ -1411,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
         "mm_decode_video": q_mm_decode_video,
         "ann_lsh_multi": q_ann_lsh_multi,
+        "stream_pixel_composite": q_stream_pixel_composite,
         # never driver-checked before round 4 (VERDICT r3 list)
         "mm_resize": q_mm_resize,
         "mm_decode_png": q_mm_decode_png,
@@ -1569,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         "f3_arith_div": _orc.arith_div_sql(400),
         "rft_mosaic_findmax": _orc.rft_findmax_sql(3, 6, 16, 150),
         "rft_mosaic_synthesis": _orc.rft_synthesis_sql(3, 26, 16, 150, 3),
+        "stream_pixel_composite": _orc.stream_pixel_composite_sql(3, 6, 16, 150),
         "mm_decode_video": _orc.video_decode_sql(30, 2),
         "ann_lsh_multi": _orc.lsh_multi_sql(2000, 8, 32, 5, 8, 4),
         "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),

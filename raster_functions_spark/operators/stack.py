@@ -295,20 +295,16 @@ def stack_topk_assoc(df: DataFrame, k: int = 1, cap: float | None = None,
     return grouped_sorted_map(partials, group_cols, merge, out_schema)
 
 
-def stack_mean_assoc(df: DataFrame, group_cols: list[str] = ["scene_id"],
-                     value_band: int = 0, qa_band: int | None = None,
-                     clear_values: tuple[int, ...] = (),
-                     nan_skip: bool = True,
-                     fmt_out: str = "zlib") -> DataFrame:
-    """Mean composite with MAP-SIDE COMBINE: stage 1 reduces each input
-    partition's members per position to per-pixel [Σvalue, valid-count]
-    (f8 partials — exact for integer-valued rasters); stage 2 shuffles
-    only those 2-band partials and divides. QA masking
-    (Landsat clear-pixel whitelists) folds into the partial's valid
-    count; ``nan_skip=False`` reproduces deprecated/Aggregate.py's plain
-    np.mean (NaN propagates). Same decomposition argument as
-    stack_topk_assoc — shuffle volume independent of members per
-    partition."""
+def mean_partial_tiles(df: DataFrame, group_cols: list[str] = ["scene_id"],
+                       value_band: int = 0, qa_band: int | None = None,
+                       clear_values: tuple[int, ...] = (),
+                       nan_skip: bool = True,
+                       fmt_out: str = "zlib") -> DataFrame:
+    """Stage 1 of the decomposable mean: reduce each input partition's
+    members per position to per-pixel [Σvalue, valid-count] partial tiles
+    (f8 — exact for integer-valued rasters). Public so STREAMING ingest
+    can commit one partial set per microbatch and merge on read
+    (streaming/composites.py)."""
     part_schema = _partial_schema(group_cols, df)
 
     def partial(batches):
@@ -344,8 +340,15 @@ def stack_mean_assoc(df: DataFrame, group_cols: list[str] = ["scene_id"],
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in part_schema])
 
-    partials = df.mapInPandas(partial, schema=part_schema)
-    out_schema = _out_schema(group_cols, df)
+    return df.mapInPandas(partial, schema=part_schema)
+
+
+def merge_mean_partials(partials: DataFrame,
+                        group_cols: list[str] = ["scene_id"],
+                        fmt_out: str = "zlib") -> DataFrame:
+    """Stage 2: sum the [Σ, count] partial tiles per position and divide —
+    streamed through grouped_sorted_map (groups are tiny and unbounded)."""
+    out_schema = _out_schema(group_cols, partials)
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         acc = None
@@ -363,6 +366,25 @@ def stack_mean_assoc(df: DataFrame, group_cols: list[str] = ["scene_id"],
         return pd.DataFrame([row])
 
     return grouped_sorted_map(partials, group_cols, merge, out_schema)
+
+
+def stack_mean_assoc(df: DataFrame, group_cols: list[str] = ["scene_id"],
+                     value_band: int = 0, qa_band: int | None = None,
+                     clear_values: tuple[int, ...] = (),
+                     nan_skip: bool = True,
+                     fmt_out: str = "zlib") -> DataFrame:
+    """Mean composite with MAP-SIDE COMBINE: stage 1 reduces each input
+    partition's members per position to per-pixel [Σvalue, valid-count]
+    (f8 partials — exact for integer-valued rasters); stage 2 shuffles
+    only those 2-band partials and divides. QA masking
+    (Landsat clear-pixel whitelists) folds into the partial's valid
+    count; ``nan_skip=False`` reproduces deprecated/Aggregate.py's plain
+    np.mean (NaN propagates). Same decomposition argument as
+    stack_topk_assoc — shuffle volume independent of members per
+    partition."""
+    partials = mean_partial_tiles(df, group_cols, value_band, qa_band,
+                                  clear_values, nan_skip, fmt_out)
+    return merge_mean_partials(partials, group_cols, fmt_out)
 
 
 def stack_coalesce(df: DataFrame, group_cols: list[str] = ["scene_id"],

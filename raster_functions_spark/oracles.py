@@ -1628,3 +1628,23 @@ WITH px AS (
 SELECT 'scene' || s AS scene_id, {len(ts)} AS n_rasters,
        ROUND(SUM(CAST(m AS DOUBLE)), 4) AS sum_m
 FROM px GROUP BY s ORDER BY scene_id"""
+
+
+def stream_pixel_composite_sql(n_scenes: int = 3, n_t: int = 6,
+                               tile: int = 16, mod: int = 150) -> str:
+    """stream_pixel_composite oracle: the streaming [Σ, count] partials
+    merge must equal the closed-form whole-stack mean of the mosaic
+    fixture (exact — integer values, exact f8 sums, f32 cast like the
+    engine's output tile)."""
+    avg = "(" + " + ".join(
+        f"CAST((s*31 + {t}*17 + y*{tile} + x) % {mod} AS DOUBLE)"
+        for t in range(n_t)) + f") / {float(n_t)}"
+    return f"""
+WITH px AS (
+  SELECT s, y, x, CAST({avg} AS FLOAT) AS m
+  FROM generate_series(0, {n_scenes - 1}) ts(s),
+       generate_series(0, {tile - 1}) ty(y),
+       generate_series(0, {tile - 1}) tx(x))
+SELECT 'scene' || s AS scene_id, {n_t} AS n_rasters,
+       ROUND(SUM(CAST(m AS DOUBLE)), 4) AS sum_m
+FROM px GROUP BY s ORDER BY scene_id"""

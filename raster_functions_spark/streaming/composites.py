@@ -80,3 +80,49 @@ def current_composite(spark: SparkSession, partials_path: str) -> DataFrame:
                  F.count("*").alias("n_tiles"),
                  F.max("batch_id").alias("last_batch"))
             .orderBy("scene_id"))
+
+
+# ------------------------------------------------- per-PIXEL composites ----
+
+def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
+                            checkpoint: str,
+                            group_cols: list[str] = ["scene_id"],
+                            value_band: int = 0,
+                            qa_band: int | None = None,
+                            clear_values: tuple[int, ...] = (),
+                            query_name: str = "pixel-composite-ingest"):
+    """Live per-PIXEL running mean composite (round 4): each microbatch of
+    incoming acquisitions reduces to per-position [Σ, count] PARTIAL TILES
+    (stack.mean_partial_tiles — the same map-side-combine algebra as the
+    batch path) and commits them to a snapshot table with
+    run_id=batch-<id>, so a retried microbatch is a no-op and the partials
+    table is exactly-once. The composite is never rewritten; freshness =
+    one merge over the partials at read time (current_pixel_composite).
+    Scale shape: ingest work ∝ batch size, merge work ∝ positions — the
+    raw acquisitions are never re-read."""
+    from ..operators.stack import mean_partial_tiles
+    from ..snapshots import SnapshotTable
+
+    table = SnapshotTable(stream.sparkSession, table_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        partials = mean_partial_tiles(batch_df, group_cols, value_band,
+                                      qa_band, clear_values)
+        table.append(partials, group_cols[0], run_id=f"batch-{batch_id}")
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name).trigger(availableNow=True).start())
+
+
+def current_pixel_composite(spark: SparkSession, table_path: str,
+                            group_cols: list[str] = ["scene_id"],
+                            fmt_out: str = "zlib") -> DataFrame:
+    """The live mean IMAGE per position: merge the snapshot table's
+    [Σ, count] partials (stack.merge_mean_partials). Consistent at any
+    snapshot; time travel gives the composite as-of any earlier batch."""
+    from ..operators.stack import merge_mean_partials
+    from ..snapshots import SnapshotTable
+
+    partials = SnapshotTable(spark, table_path).read()
+    return merge_mean_partials(partials, group_cols, fmt_out)

@@ -86,3 +86,53 @@ def test_sessionize_stream_matches_batch_contract(spark, tmp_path):
     # one session per user remains open in state
     assert len(closed) + 6 == want_total
     assert (closed.n_events >= 1).all()
+
+
+def test_streaming_pixel_mean_composite(spark, tmp_path):
+    """Per-pixel running mean through the streaming path: two microbatches
+    of acquisitions → snapshot-committed [Σ,count] partials → merged
+    composite equals the batch stack mean over ALL members; a replayed
+    batch commit is a no-op (exactly-once)."""
+    import numpy as np
+    import pandas as pd
+    from raster_functions_spark import codec, fixtures
+    from raster_functions_spark.operators import stack as stk
+    from raster_functions_spark.snapshots import SnapshotTable
+    from raster_functions_spark.streaming import composites
+
+    pdf = fixtures.mosaic_stack_pdf(2, 6)
+    src = str(tmp_path / "src")
+    # two files → two availableNow microbatches (maxFilesPerTrigger=1)
+    spark.createDataFrame(pdf[pdf.t < 3]).coalesce(1).write.parquet(
+        src + "/a")
+    spark.createDataFrame(pdf[pdf.t >= 3]).coalesce(1).write.parquet(
+        src + "/b")
+    stream = (spark.readStream.schema(spark.createDataFrame(pdf).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    tpath = str(tmp_path / "partials_table")
+    q = composites.start_pixel_mean_ingest(
+        stream, tpath, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    table = SnapshotTable(spark, tpath)
+    assert [s["run_id"] for s in table.snapshots()] == ["batch-0", "batch-1"]
+    live = composites.current_pixel_composite(spark, tpath)
+    got = {r["scene_id"]: (codec.decode(bytes(r["bytes"])), r["n_rasters"])
+           for r in live.collect()}
+    want = {r["scene_id"]: codec.decode(bytes(r["bytes"]))
+            for r in stk.stack_mean_assoc(
+                spark.createDataFrame(pdf)).collect()}
+    assert set(got) == {"scene0", "scene1"}
+    for k in got:
+        px, n = got[k]
+        assert n == 6
+        assert np.array_equal(px, want[k])
+    # exactly-once: replaying batch-0's commit is a no-op
+    b0 = spark.createDataFrame(pdf[pdf.t < 3])
+    from raster_functions_spark.operators.stack import mean_partial_tiles
+    table.append(mean_partial_tiles(b0, ["scene_id"]), "scene_id",
+                 run_id="batch-0")
+    assert len(table.snapshots()) == 2
+    live2 = {r["scene_id"]: r["n_rasters"]
+             for r in composites.current_pixel_composite(spark, tpath).collect()}
+    assert live2 == {"scene0": 6, "scene1": 6}
