@@ -1311,6 +1311,35 @@ def q_ann_lsh_multi(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_flagship_incremental(spark, sf_dir):
+    """The flagship zonal query as a continuously-updatable materialized
+    view: two availableNow microbatches of the SAME 1000-image corpus the
+    batch flagship query uses, each committing decomposable per-AOI
+    partials + (aoi, cell) pairs to snapshot tables exactly-once; the
+    merged view must match the img_flagship DuckDB oracle row for row."""
+    import shutil
+    import tempfile
+    from raster_functions_spark import fixtures, pipeline
+    tmp = tempfile.mkdtemp(prefix="flaginc_")
+    try:
+        images = fixtures.images_df(spark, 1000)
+        aoi = fixtures.aoi_df(spark, 25)
+        images.filter("image_id < 'img000000500'").coalesce(1) \
+            .write.parquet(tmp + "/src/a")
+        images.filter("image_id >= 'img000000500'").coalesce(1) \
+            .write.parquet(tmp + "/src/b")
+        stream = (spark.readStream.schema(images.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(tmp + "/src/*"))
+        q = pipeline.start_flagship_incremental(
+            stream, aoi, tmp + "/pt", tmp + "/ct", tmp + "/ckpt",
+            query_name="flagship_incremental_q")
+        q.awaitTermination()
+        out = pipeline.current_flagship(spark, tmp + "/pt", tmp + "/ct")
+        return spark.createDataFrame(out.toPandas())   # materialize pre-cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_pixel_composite(spark, sf_dir):
     """Streaming per-PIXEL running mean composite: availableNow microbatch
     ingest reduces each batch to [Σ, count] partial tiles
@@ -1450,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_video": q_mm_decode_video,
         "ann_lsh_multi": q_ann_lsh_multi,
         "stream_pixel_composite": q_stream_pixel_composite,
+        "flagship_incremental": q_flagship_incremental,
         # never driver-checked before round 4 (VERDICT r3 list)
         "mm_resize": q_mm_resize,
         "mm_decode_png": q_mm_decode_png,
@@ -1609,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "rft_mosaic_findmax": _orc.rft_findmax_sql(3, 6, 16, 150),
         "rft_mosaic_synthesis": _orc.rft_synthesis_sql(3, 26, 16, 150, 3),
         "stream_pixel_composite": _orc.stream_pixel_composite_sql(3, 6, 16, 150),
+        "flagship_incremental": _orc.flagship_sql(1000, 25),
         "mm_decode_video": _orc.video_decode_sql(30, 2),
         "ann_lsh_multi": _orc.lsh_multi_sql(2000, 8, 32, 5, 8, 4),
         "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),

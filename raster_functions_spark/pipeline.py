@@ -296,3 +296,76 @@ def run_benchmark(spark: SparkSession, n_images: int, n_aoi: int = 50,
     return {"n_images": n_images, "wall_sec": round(dt, 3),
             "images_per_sec": round(n_images / dt, 1),
             "n_aoi_matched": len(rows)}
+
+
+# ------------------------------------------------ incremental flagship ----
+
+def flagship_batch_partials(spark: SparkSession, images: DataFrame,
+                            aoi: DataFrame, cell_res: int = 7):
+    """One batch's contribution to the incremental flagship: decomposable
+    per-AOI partial aggregates + the batch's distinct (aoi, cell) pairs
+    (n_cells is the one non-trivially-decomposable stat — exact via pair
+    dedup across batches, bounded by cells-per-AOI, not images)."""
+    feats = decode_features(images, cell_res)
+    assigned = tile_assign(feats, aoi)
+    ok = lambda c: F.when(~F.isnan(c), F.col(c))
+    partials = (assigned.groupBy("aoi_id")
+                .agg(F.count("*").alias("n_images"),
+                     F.sum(ok("px_mean")).alias("s_mean"),
+                     F.count(ok("px_mean")).alias("k_mean"),
+                     F.sum(ok("px_std")).alias("s_std"),
+                     F.count(ok("px_std")).alias("k_std"),
+                     F.max("phash_ham").alias("max_phash_ham"),
+                     F.sum(F.when(F.col("phash_ham") < 0, 1).otherwise(0))
+                     .alias("n_bad")))
+    pairs = assigned.select("aoi_id", "cell").distinct()
+    return partials, pairs
+
+
+def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
+                               partials_path: str, pairs_path: str,
+                               checkpoint: str, cell_res: int = 7,
+                               query_name: str = "flagship-incremental"):
+    """The flagship zonal query as a continuously-updatable materialized
+    view: each image microbatch runs decode→cell→PIP once, commits its
+    per-AOI partials and (aoi, cell) pairs to snapshot tables with
+    run_id=batch-<id> (a retried batch is a no-op — exactly-once), and is
+    never re-read. ``current_flagship`` merges at read time. Work per
+    batch ∝ batch size; view freshness is one tiny aggregation."""
+    from .snapshots import SnapshotTable
+
+    spark = stream_images.sparkSession
+    pt = SnapshotTable(spark, partials_path)
+    ct = SnapshotTable(spark, pairs_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        partials, pairs = flagship_batch_partials(spark, batch_df, aoi,
+                                                  cell_res)
+        pt.append(partials, "aoi_id", run_id=f"batch-{batch_id}")
+        ct.append(pairs, "aoi_id", run_id=f"batch-{batch_id}")
+
+    return (stream_images.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name).trigger(availableNow=True).start())
+
+
+def current_flagship(spark: SparkSession, partials_path: str,
+                     pairs_path: str) -> DataFrame:
+    """Merge the committed partials into the flagship's output schema
+    (same columns as :func:`flagship`); consistent at any snapshot."""
+    from .snapshots import SnapshotTable
+
+    p = SnapshotTable(spark, partials_path).read()
+    pairs = SnapshotTable(spark, pairs_path).read()
+    cells = (pairs.distinct().groupBy("aoi_id")
+             .agg(F.countDistinct("cell").alias("n_cells")))
+    merged = (p.groupBy("aoi_id")
+              .agg(F.sum("n_images").alias("n_images"),
+                   F.round(F.sum("s_mean") / F.sum("k_mean"), 6).alias("mean_px"),
+                   F.round(F.sum("s_std") / F.sum("k_std"), 6).alias("mean_std"),
+                   F.max("max_phash_ham").alias("max_phash_ham"),
+                   F.sum("n_bad").alias("n_bad")))
+    return (merged.join(cells, "aoi_id")
+            .select("aoi_id", "n_images", "mean_px", "mean_std", "n_cells",
+                    "max_phash_ham", "n_bad")
+            .orderBy("aoi_id"))

@@ -93,3 +93,48 @@ def test_flagship_clean_run_has_zero_bad(spark):
     out = pipeline.flagship(spark, fixtures.images_df(spark, 300),
                             fixtures.aoi_df(spark, 10)).toPandas()
     assert (out.n_bad == 0).all()
+
+
+def test_incremental_flagship_matches_batch(spark, tmp_path):
+    """The materialized-view flagship: two image microbatches committed as
+    snapshot partials merge to the SAME per-AOI stats as one batch run
+    over all images (n_cells via cross-batch pair dedup), and a replayed
+    batch commit is a no-op."""
+    import numpy as np
+    from raster_functions_spark import fixtures, pipeline
+    from raster_functions_spark.snapshots import SnapshotTable
+
+    images = fixtures.images_df(spark, 400).cache()
+    aoi = fixtures.aoi_df(spark, 12)
+    full = {r["aoi_id"]: r.asDict()
+            for r in pipeline.flagship(spark, images, aoi).collect()}
+
+    src = str(tmp_path / "imgs")
+    images.filter("image_id < 'img000000200'").coalesce(1) \
+        .write.parquet(src + "/a")
+    images.filter("image_id >= 'img000000200'").coalesce(1) \
+        .write.parquet(src + "/b")
+    stream = (spark.readStream.schema(images.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    pp, cp = str(tmp_path / "pt"), str(tmp_path / "ct")
+    q = pipeline.start_flagship_incremental(
+        stream, aoi, pp, cp, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    assert [s["run_id"] for s in SnapshotTable(spark, pp).snapshots()] \
+        == ["batch-0", "batch-1"]
+    live = {r["aoi_id"]: r.asDict()
+            for r in pipeline.current_flagship(spark, pp, cp).collect()}
+    assert set(live) == set(full)
+    for a in full:
+        for col in ("n_images", "n_cells", "max_phash_ham", "n_bad"):
+            assert live[a][col] == full[a][col], (a, col)
+        for col in ("mean_px", "mean_std"):
+            assert abs(live[a][col] - full[a][col]) <= 2e-6, (a, col)
+    # replayed commit: no-op
+    b0 = images.filter("image_id < 'img000000200'")
+    p0, _ = pipeline.flagship_batch_partials(spark, b0, aoi)
+    SnapshotTable(spark, pp).append(p0, "aoi_id", run_id="batch-0")
+    live2 = {r["aoi_id"]: r["n_images"]
+             for r in pipeline.current_flagship(spark, pp, cp).collect()}
+    assert live2 == {a: full[a]["n_images"] for a in full}
