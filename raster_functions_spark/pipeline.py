@@ -99,9 +99,10 @@ def flagship_modular(spark: SparkSession, images: DataFrame, aoi: DataFrame,
     return _zonal_agg(assigned)
 
 
-def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
-             cell_res: int = 7, broadcast_threshold: int = 10000) -> DataFrame:
-    """decode → cell-encode → PIP join → zonal stats with ONE fused Python
+def flagship_assigned(spark: SparkSession, images: DataFrame, aoi: DataFrame,
+                      cell_res: int = 7,
+                      broadcast_threshold: int = 10000) -> DataFrame:
+    """decode → cell-encode → PIP join with ONE fused Python
     pass (SURVEY.md O11): decode, features, vectorized cell-encode, bbox
     prefilter and exact PIP all happen on each Arrow batch in a single
     worker; the only shuffle in the whole plan is the final zonal groupBy.
@@ -120,8 +121,7 @@ def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
     n_aoi = aoi.limit(broadcast_threshold + 1).count()
     if n_aoi > broadcast_threshold:
         feats = decode_features(images, cell_res)
-        assigned = spatial.pip_join_partitioned(feats, aoi)
-        return _zonal_agg(assigned)
+        return spatial.pip_join_partitioned(feats, aoi)
     aoi_pdf = aoi.select("aoi_id", "ring_x", "ring_y",
                          "xmin", "ymin", "xmax", "ymax").toPandas()
     baoi = spark.sparkContext.broadcast({
@@ -191,8 +191,15 @@ def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
                 "phash_ham": ham[ridx],
             })
 
-    assigned = images.mapInPandas(run, schema=out_schema)
-    return _zonal_agg(assigned)
+    return images.mapInPandas(run, schema=out_schema)
+
+
+def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
+             cell_res: int = 7, broadcast_threshold: int = 10000) -> DataFrame:
+    """The headline query: fused assigned rows (flagship_assigned) → zonal
+    aggregation. See flagship_assigned for the fusion/routing story."""
+    return _zonal_agg(flagship_assigned(spark, images, aoi, cell_res,
+                                        broadcast_threshold))
 
 
 def flagship_from_seed(spark: SparkSession, n_images: int, aoi: DataFrame,
@@ -306,8 +313,7 @@ def flagship_batch_partials(spark: SparkSession, images: DataFrame,
     per-AOI partial aggregates + the batch's distinct (aoi, cell) pairs
     (n_cells is the one non-trivially-decomposable stat — exact via pair
     dedup across batches, bounded by cells-per-AOI, not images)."""
-    feats = decode_features(images, cell_res)
-    assigned = tile_assign(feats, aoi)
+    assigned = flagship_assigned(spark, images, aoi, cell_res)
     ok = lambda c: F.when(~F.isnan(c), F.col(c))
     partials = (assigned.groupBy("aoi_id")
                 .agg(F.count("*").alias("n_images"),
