@@ -1311,6 +1311,92 @@ def q_ann_lsh_multi(spark, sf_dir):
             .orderBy("query_id", "rank"))
 
 
+def q_f7_fish_habitat(spark, sf_dir):
+    """F7 FishHabitatSuitability: product of trapezoidal temperature and
+    salinity memberships × scalar depth score (the putmask cascade of
+    FishHabitatSuitability.py:75-96) over red/NIR-as-T/S bands — per-image
+    rounded suitability sums vs the closed-form SQL trapezoids."""
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [pointwise.fish_habitat_suitability(depth=5.0)],
+                     {"sum_s": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_s", 3).alias("sum_s"))
+            .orderBy("image_id"))
+
+
+def q_p5_fill_constant(spark, sf_dir):
+    """P5 FillRaster: constant-fill source (FillRaster.py:38-40) — the
+    per-image sum is value × pixel count, closed-form in SQL."""
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [pointwise.fill_constant(7.5)],
+                     {"sum_f": _px_sum}, keep_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_f", 2).alias("sum_f"))
+            .orderBy("image_id"))
+
+
+def q_u2_composite_bands(spark, sf_dir):
+    """U2/U3 CompositeBand/ExtractBand: band reorder [NIR, red] — per-image
+    per-band sums prove the selection/ordering semantics."""
+    import numpy as np
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(_kind1_lossless(spark, 400),
+                     [pointwise.composite_bands(bands=[1, 0])],
+                     {"sum_b0": lambda px, m: float(px[0].astype(np.float64).sum()),
+                      "sum_b1": lambda px, m: float(px[1].astype(np.float64).sum())},
+                     keep_cols=["image_id"])
+    return (out.select("image_id",
+                       F.col("sum_b0").cast("long").alias("sum_b0"),
+                       F.col("sum_b1").cast("long").alias("sum_b1"))
+            .orderBy("image_id"))
+
+
+def q_s5_random(spark, sf_dir):
+    """S5 Random source (deprecated/Random.py) made deterministic for
+    distributed runs: md5+splitmix-seeded per tile id, so the same tile
+    yields the same raster on ANY worker/process — verified against a
+    single-process replay of the same public generator."""
+    import numpy as np
+    from raster_functions_spark.operators import pointwise
+    from raster_functions_spark.raster import tile_stats
+    out = tile_stats(_kind1_lossless(spark, 200),
+                     [pointwise.random_source(bands=2)],
+                     {"sum_r": _px_sum}, keep_cols=["image_id"],
+                     meta_cols=["image_id"])
+    return (out.select("image_id", F.round("sum_r", 3).alias("sum_r"))
+            .orderBy("image_id"))
+
+
+def q_s4_training_csv(spark, sf_dir):
+    """S4 training-CSV scan (the reference's CSV-driven classifier
+    training inputs): deterministic CSV written to a temp dir, parsed by
+    ml.training_from_csv, returned as the (features, label) table the
+    model fit consumes — vs a VALUES replay of the same content."""
+    import shutil
+    import tempfile
+    from raster_functions_spark.operators import ml
+    tmp = tempfile.mkdtemp(prefix="traincsv_")
+    try:
+        rows = ["red,nir,label"]
+        for j in range(60):
+            rows.append(f"{(j * 7) % 250},{(j * 13) % 240},{j % 3}")
+        with open(tmp + "/train.csv", "w") as f:
+            f.write("\n".join(rows))
+        X, y = ml.training_from_csv(spark, tmp + "/train.csv",
+                                    ["red", "nir"], "label")
+        import pandas as pd
+        pdf = pd.DataFrame({"red": X[:, 0].astype("int64"),
+                            "nir": X[:, 1].astype("int64"),
+                            "label": y.astype("int64")})
+        return (spark.createDataFrame(pdf)
+                .orderBy("red", "nir", "label"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_flagship_incremental(spark, sf_dir):
     """The flagship zonal query as a continuously-updatable materialized
     view: two availableNow microbatches of the SAME 1000-image corpus the
@@ -1480,6 +1566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multi": q_ann_lsh_multi,
         "stream_pixel_composite": q_stream_pixel_composite,
         "flagship_incremental": q_flagship_incremental,
+        "f7_fish_habitat": q_f7_fish_habitat,
+        "p5_fill_constant": q_p5_fill_constant,
+        "u2_composite_bands": q_u2_composite_bands,
+        "s5_random": q_s5_random,
+        "s4_training_csv": q_s4_training_csv,
         # never driver-checked before round 4 (VERDICT r3 list)
         "mm_resize": q_mm_resize,
         "mm_decode_png": q_mm_decode_png,
@@ -1640,6 +1731,11 @@ def oracle_sql() -> dict[str, str]:
         "rft_mosaic_synthesis": _orc.rft_synthesis_sql(3, 26, 16, 150, 3),
         "stream_pixel_composite": _orc.stream_pixel_composite_sql(3, 6, 16, 150),
         "flagship_incremental": _orc.flagship_sql(1000, 25),
+        "f7_fish_habitat": _orc.fish_habitat_sql(400),
+        "p5_fill_constant": _orc.fill_constant_sql(400),
+        "u2_composite_bands": _orc.composite_bands_sql(400),
+        "s5_random": _orc.random_source_sql(200),
+        "s4_training_csv": _orc.training_csv_sql(),
         "mm_decode_video": _orc.video_decode_sql(30, 2),
         "ann_lsh_multi": _orc.lsh_multi_sql(2000, 8, 32, 5, 8, 4),
         "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),

@@ -1648,3 +1648,79 @@ WITH px AS (
 SELECT 'scene' || s AS scene_id, {n_t} AS n_rasters,
        ROUND(SUM(CAST(m AS DOUBLE)), 4) AS sum_m
 FROM px GROUP BY s ORDER BY scene_id"""
+
+
+def _trapezoid(x: str, a: float, p1: float, p2: float, b: float) -> str:
+    """SQL trapezoidal membership matching pointwise._piecewise_suitability
+    (up-ramp below p1, plateau, down-ramp above p2, clip <0 → 0)."""
+    return (f"GREATEST(CASE WHEN {x} <= {p1!r} THEN ({x} - {a!r}) / {p1 - a!r} "
+            f"WHEN {x} >= {p2!r} THEN ({x} - {b!r}) / {p2 - b!r} "
+            f"ELSE 1.0 END, 0.0)")
+
+
+def fish_habitat_sql(n_images: int, depth: float = 5.0) -> str:
+    """f7_fish_habitat oracle: shark-habitat trapezoid product
+    (FishHabitatSuitability.py:52-99 parameters), red/NIR as T/S, f32
+    quantization per pixel like the engine tile."""
+    t = _trapezoid("red", 17.99, 26.37, 29.15, 33.35)
+    s = _trapezoid("nir", 28.81, 32.27, 35.81, 36.79)
+    d = depth
+    d_score = (0.0 if d < 0 or d > 20 else
+               min(max(min((d - 0.0) / 2.0, 1.0),
+                       0.0) if d <= 2.0 else (1.0 if d <= 11.0 else
+                                              max((d - 20.0) / (11.0 - 20.0), 0.0)), 1.0))
+    return f"""
+WITH {_kind1_px_cte(n_images)},
+v AS (SELECT i, CAST(({t}) * ({s}) * {d_score!r} AS FLOAT) AS m FROM px)
+SELECT printf('img%09d', i) AS image_id,
+       ROUND(SUM(CAST(m AS DOUBLE)), 3) AS sum_s
+FROM v GROUP BY i ORDER BY image_id"""
+
+
+def fill_constant_sql(n_images: int, value: float = 7.5) -> str:
+    """p5_fill_constant oracle: sum = value × pixel count, closed form."""
+    return f"""
+WITH {_kind1_px_cte(n_images)}
+SELECT printf('img%09d', i) AS image_id,
+       ROUND(COUNT(*) * CAST({value!r} AS DOUBLE), 2) AS sum_f
+FROM px GROUP BY i ORDER BY image_id"""
+
+
+def composite_bands_sql(n_images: int) -> str:
+    """u2_composite_bands oracle: the [NIR, red] reorder — band-0 sum is
+    the NIR closed form, band-1 the red one; integer-exact."""
+    return f"""
+WITH {_kind1_px_cte(n_images)}
+SELECT printf('img%09d', i) AS image_id,
+       CAST(SUM(nir) AS BIGINT) AS sum_b0,
+       CAST(SUM(red) AS BIGINT) AS sum_b1
+FROM px GROUP BY i ORDER BY image_id"""
+
+
+def random_source_sql(n_images: int, bands: int = 2) -> str:
+    """s5_random oracle: the seeded generator is deterministic across
+    processes (md5+splitmix seed, PCG64 stream) but not SQL-expressible —
+    single-process replay VALUES (m3/m4 precedent). The distributed claim
+    under test: every worker reproduces the driver's raster exactly."""
+    from .fixtures import tile_dims
+    from .operators import pointwise
+    op = pointwise.random_source(bands=bands)
+    rows = []
+    for i in _kind1_lossless_indices(n_images):
+        w, h = tile_dims(i)
+        out = op.fn(np.zeros((1, h, w), np.float32),
+                    {"image_id": f"img{i:09d}"})
+        rows.append(f"('img{i:09d}', "
+                    f"{round(float(out.astype(np.float64).sum()), 3)!r})")
+    return ("SELECT image_id, sum_r FROM (VALUES " + ", ".join(rows)
+            + ") t(image_id, sum_r) ORDER BY image_id")
+
+
+def training_csv_sql() -> str:
+    """s4_training_csv oracle: VALUES replay of the deterministic CSV."""
+    rows = [f"({(j * 7) % 250}, {(j * 13) % 240}, {j % 3})"
+            for j in range(60)]
+    return ("SELECT CAST(red AS BIGINT) AS red, CAST(nir AS BIGINT) AS nir, "
+            "CAST(label AS BIGINT) AS label FROM (VALUES "
+            + ", ".join(rows) + ") t(red, nir, label) "
+            "ORDER BY red, nir, label")
