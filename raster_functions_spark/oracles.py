@@ -1724,3 +1724,24 @@ def training_csv_sql() -> str:
             "CAST(label AS BIGINT) AS label FROM (VALUES "
             + ", ".join(rows) + ") t(red, nir, label) "
             "ORDER BY red, nir, label")
+
+
+def key_metadata_sql(n_images: int) -> str:
+    """f16_key_metadata oracle: injected key properties are constant
+    columns; the fmt distribution is the fixture's closed-form codec
+    cycle (tile_fmt: kind-dependent modulo over i)."""
+    wc, hc = _img_dims_case()
+    return f"""
+WITH imgs AS (
+  SELECT i,
+         CASE WHEN (i % 4) IN (1, 3) THEN
+           (CASE (i // 4) % 4 WHEN 0 THEN 'raw' WHEN 1 THEN 'rle'
+                              WHEN 2 THEN 'zlib' ELSE 'dct' END)
+         ELSE
+           (CASE (i // 4) % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'rle'
+                              ELSE 'zlib' END)
+         END AS fmt
+  FROM generate_series(0, {n_images - 1}) t(i))
+SELECT 'Landsat-8' AS sensor, 'WGS84' AS datum,
+       0.48 AS band0_wavelength, fmt, COUNT(*) AS n
+FROM imgs GROUP BY fmt ORDER BY fmt"""
