@@ -418,3 +418,106 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                        _cosine_rows_udf()(F.col("a.v"), F.col("b.v")).alias("cos"))
     return (out.filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
+
+
+# ----------------------------------------------- persistent IVF index ------
+
+def ivf_build(corpus: DataFrame, n_lists: int = 16, train_sample: int = 2000,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              index_path: str | None = None):
+    """Build-once half of the production ANN shape: train the coarse
+    quantizer (deterministic k-means over the TakeOrdered sample — same
+    protocol as ivf_topk) and materialize the corpus WITH its list
+    assignment. When ``index_path`` is given, the index is written as
+    parquet PARTITIONED BY list_id — searches then read only the probed
+    lists' partitions (Catalyst partition pruning does the candidate
+    skip at the SCAN, before any compute).
+
+    Returns (index_df, centroids). The assignment column makes repeated
+    searches skip the per-batch assignment GEMM too."""
+    sample = np.stack(
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
+        .toPandas()[vec_col].to_numpy())
+    C = _kmeans_fit(sample.astype(np.float64), n_lists)
+    spark = corpus.sparkSession
+    bC = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("long")
+    def nearest_list(v):
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        Cv = bC.value
+        d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ Cv.T
+              + (Cv ** 2).sum(1)[None, :])
+        return pd.Series(d2.argmin(1).astype(np.int64))
+
+    index = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).cast("array<double>").alias("cv"),
+                          nearest_list(F.col(vec_col)).alias("list_id"))
+    if index_path is not None:
+        index.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
+        index = corpus.sparkSession.read.parquet(index_path)
+    return index, C
+
+
+def ivf_search(index: DataFrame, centroids: np.ndarray, queries: DataFrame,
+               k: int = 3, n_probe: int = 4, vec_col: str = "embedding",
+               qid_col: str = "vec_id") -> DataFrame:
+    """Search-many half: probe lists per query are computed driver-side,
+    the index scan is FILTERED to the union of probed lists (partition
+    pruning on a partitioned index — unprobed lists are never read), and
+    each batch scores per-list GEMMs against only its probing queries.
+    Identical results to ivf_topk on the same corpus/queries (same
+    centroids, same assignment, same tie-exact order)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    n_lists = C.shape[0]
+    spark = index.sparkSession
+    q_pdf = queries.select(F.col(qid_col).alias("query_id"),
+                           F.col(vec_col).alias("qv")).toPandas()
+    Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    d2q = ((Q ** 2).sum(1)[:, None] - 2 * Q @ C.T + (C ** 2).sum(1)[None, :])
+    probed = np.argsort(d2q, axis=1)[:, :n_probe]
+    probers = [np.nonzero((probed == l).any(axis=1))[0]
+               for l in range(n_lists)]
+    probed_union = sorted({int(l) for row in probed for l in row})
+    bq = spark.sparkContext.broadcast({
+        "ids": q_pdf["query_id"].to_numpy(np.int64), "Q": Q,
+        "probers": probers})
+
+    def score(batches):
+        b = bq.value
+        Qv = b["Q"]
+        qn = np.sqrt(np.einsum("ij,ij->i", Qv, Qv))
+        for pdf in batches:
+            Cb = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            nid = pdf["neighbor_id"].to_numpy(np.int64)
+            lid = pdf["list_id"].to_numpy(np.int64)
+            cn = np.sqrt(np.einsum("ij,ij->i", Cb, Cb))
+            out_q, out_n, out_s = [], [], []
+            for l in np.unique(lid):
+                qi = b["probers"][l]
+                if qi.size == 0:
+                    continue
+                csel = np.nonzero(lid == l)[0]
+                den = qn[qi][:, None] * cn[csel][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(den == 0.0, 0.0,
+                                 (Qv[qi] @ Cb[csel].T) / den)
+                kk = min(k, S.shape[1])
+                part = _partial_topk(S, nid[csel], kk)
+                out_q.append(np.repeat(b["ids"][qi], kk))
+                out_n.append(nid[csel][part.ravel()])
+                out_s.append(np.take_along_axis(S, part, axis=1).ravel())
+            if not out_q:
+                continue
+            yield pd.DataFrame({"query_id": np.concatenate(out_q),
+                                "neighbor_id": np.concatenate(out_n),
+                                "score": np.concatenate(out_s)})
+
+    pruned = index.filter(F.col("list_id").isin(probed_union))
+    partials = pruned.select("neighbor_id", "cv", "list_id").mapInPandas(
+        score, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("score", 6).alias("score")))
