@@ -331,6 +331,7 @@ def flagship_batch_partials(spark: SparkSession, images: DataFrame,
 def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
                                partials_path: str, pairs_path: str,
                                checkpoint: str, cell_res: int = 7,
+                               compact_every: int | None = None,
                                query_name: str = "flagship-incremental"):
     """The flagship zonal query as a continuously-updatable materialized
     view: each image microbatch runs decode→cell→PIP once, commits its
@@ -349,6 +350,9 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
                                                   cell_res)
         pt.append(partials, "aoi_id", run_id=f"batch-{batch_id}")
         ct.append(pairs, "aoi_id", run_id=f"batch-{batch_id}")
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            pt.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
+            ct.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
 
     return (stream_images.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

@@ -90,6 +90,7 @@ def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
                             value_band: int = 0,
                             qa_band: int | None = None,
                             clear_values: tuple[int, ...] = (),
+                            compact_every: int | None = None,
                             query_name: str = "pixel-composite-ingest"):
     """Live per-PIXEL running mean composite (round 4): each microbatch of
     incoming acquisitions reduces to per-position [Σ, count] PARTIAL TILES
@@ -99,7 +100,9 @@ def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
     table is exactly-once. The composite is never rewritten; freshness =
     one merge over the partials at read time (current_pixel_composite).
     Scale shape: ingest work ∝ batch size, merge work ∝ positions — the
-    raw acquisitions are never re-read."""
+    raw acquisitions are never re-read. ``compact_every`` folds snapshot
+    small-file compaction into the sink every N batches (exactly-once via
+    its own run_id)."""
     from ..operators.stack import mean_partial_tiles
     from ..snapshots import SnapshotTable
 
@@ -109,6 +112,12 @@ def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
         partials = mean_partial_tiles(batch_df, group_cols, value_band,
                                       qa_band, clear_values)
         table.append(partials, group_cols[0], run_id=f"batch-{batch_id}")
+        # bounded small-file growth: every N batches, rewrite each value's
+        # accreted file sets into one (op='compact' — skipped by
+        # incremental readers, idempotent under retry via its own run_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            table.compact(min_files_per_value=2,
+                          run_id=f"compact-{batch_id}")
 
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

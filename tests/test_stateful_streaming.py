@@ -136,3 +136,35 @@ def test_streaming_pixel_mean_composite(spark, tmp_path):
     live2 = {r["scene_id"]: r["n_rasters"]
              for r in composites.current_pixel_composite(spark, tpath).collect()}
     assert live2 == {"scene0": 6, "scene1": 6}
+
+
+def test_streaming_composite_auto_compaction(spark, tmp_path):
+    """compact_every folds small-file maintenance into the sink: after the
+    stream drains, compacted values hold one file each, the composite is
+    unchanged, and incremental readers skip the compact commits."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.snapshots import SnapshotTable
+    from raster_functions_spark.streaming import composites
+
+    pdf = fixtures.mosaic_stack_pdf(1, 6)
+    src = str(tmp_path / "src")
+    for i, lo in enumerate(range(0, 6, 2)):
+        spark.createDataFrame(pdf[(pdf.t >= lo) & (pdf.t < lo + 2)]) \
+            .coalesce(1).write.parquet(f"{src}/f{i}")
+    stream = (spark.readStream.schema(spark.createDataFrame(pdf).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    tpath = str(tmp_path / "tbl")
+    q = composites.start_pixel_mean_ingest(
+        stream, tpath, str(tmp_path / "ck"), compact_every=3)
+    q.awaitTermination(120)
+
+    table = SnapshotTable(spark, tpath)
+    ops = [s["op"] for s in table.snapshots()]
+    assert ops.count("compact") == 1 and ops.count("append") == 3
+    live = table._manifest(table.current_id)
+    by_val = {}
+    for f in live:
+        by_val.setdefault(f["partition"], []).append(f)
+    assert all(len(fs) == 1 for fs in by_val.values())
+    out = composites.current_pixel_composite(spark, tpath).collect()
+    assert out[0]["n_rasters"] == 6
