@@ -194,9 +194,14 @@ def grouped_sorted_map(df: DataFrame, group_cols: list[str], fn,
             last = tuple(pdf[c].iloc[-1] for c in cols)
             mask = np.ones(len(pdf), bool)
             for c, v in zip(cols, last):
-                mask &= (pdf[c] == v).to_numpy()
+                # null-safe run detection: a null key is still a group
+                # (applyInPandas keeps it), so NaN must match NaN here
+                if pd.isna(v):
+                    mask &= pdf[c].isna().to_numpy()
+                else:
+                    mask &= (pdf[c] == v).to_numpy()
             body, pend = pdf[~mask], pdf[mask]
-            for key, g in body.groupby(cols, sort=False):
+            for key, g in body.groupby(cols, sort=False, dropna=False):
                 emit(key if isinstance(key, tuple) else (key,), g)
             if len(buf) >= flush_rows:
                 yield pd.concat(buf, ignore_index=True)
@@ -249,7 +254,7 @@ def stack_topk_assoc(df: DataFrame, k: int = 1, cap: float | None = None,
     def partial(batches):
         for pdf in batches:
             rows = []
-            for key, g in pdf.groupby(group_cols, sort=False):
+            for key, g in pdf.groupby(group_cols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
                 stack = np.stack([
                     cap_vals(codec.decode(bytes(b))[value_band]
@@ -310,7 +315,7 @@ def mean_partial_tiles(df: DataFrame, group_cols: list[str] = ["scene_id"],
     def partial(batches):
         for pdf in batches:
             rows = []
-            for key, g in pdf.groupby(group_cols, sort=False):
+            for key, g in pdf.groupby(group_cols, sort=False, dropna=False):
                 key = key if isinstance(key, tuple) else (key,)
                 acc_s = acc_n = None
                 n = 0
@@ -318,8 +323,13 @@ def mean_partial_tiles(df: DataFrame, group_cols: list[str] = ["scene_id"],
                     px = codec.decode(bytes(b))
                     v = px[value_band].astype(np.float64)
                     if qa_band is not None:
-                        valid = np.isin(px[qa_band],
-                                        np.asarray(clear_values))
+                        # same validity rule as the batch path
+                        # (stack_composite masks non-clear to NaN then
+                        # nanmeans): a QA-clear pixel whose value is NaN
+                        # must not poison the Σ partial
+                        valid = (np.isin(px[qa_band],
+                                         np.asarray(clear_values))
+                                 & ~np.isnan(v))
                         contrib = np.where(valid, v, 0.0)
                         cnt = valid.astype(np.float64)
                     elif nan_skip:

@@ -168,26 +168,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "vec_id", n_bits: int = 6,
              n_probes: int = 1, dim: int | None = None) -> DataFrame:
-    """ANN top-k: bucket corpus+queries by hyperplane signs, equi-join on
-    bucket (queries probe their bucket plus ``n_probes-1`` single-bit-flip
-    neighbors), exact cosine (vectorized pandas UDF) within candidates,
-    top-k."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    cast = lambda c: F.col(c).cast("array<double>")
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), cast(vec_col).alias("cv"),
-                      lsh_bucket_col(cast(vec_col), dim, n_bits).alias("bucket"))
-    qb = queries.select(F.col(qid_col).alias("query_id"), cast(vec_col).alias("qv"),
-                        lsh_bucket_col(cast(vec_col), dim, n_bits).alias("bucket0"))
-    probes = [F.col("bucket0")] + [
-        F.col("bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_probes - 1)]
-    q = qb.select("query_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
-    scored = (c.join(F.broadcast(q), "bucket")
-              .withColumn("score", _cosine_rows_udf()(F.col("qv"), F.col("cv"))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")))
+    """ANN top-k, single hash table: queries probe their own sign-bucket
+    plus ``n_probes-1`` single-bit-flip neighbors; exact cosine within
+    candidates; top-k.
+
+    Candidate semantics identical to the original bucket-equi-join form,
+    but executed on the streamed per-bucket GEMM kernel (round-4's IVF
+    shape): the broadcast-join version materialized one ROW per
+    (candidate, probe) pair carrying both embedding arrays through a
+    per-pair pandas UDF — measured 24.4s vs 4.7s brute force at 200k
+    (BENCH/notes_r4.md); the kernel form scores each occupied bucket with
+    one GEMM inside a single mapInPandas, no join, shuffle = n_q·k
+    partial rows."""
+    return _lsh_gemm_topk(corpus, queries, k, id_col, vec_col, qid_col,
+                          n_bits=n_bits, n_tables=1, n_probes=n_probes,
+                          dim=dim)
 
 
 def lsh_multi_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
@@ -206,6 +201,23 @@ def lsh_multi_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     occupied bucket's members against only its probing queries, dedups
     (query, neighbor) pairs across tables, and emits per-query partial
     top-k. No join, no candidate rows, shuffle = n_q·k partials."""
+    return _lsh_gemm_topk(corpus, queries, k, id_col, vec_col, qid_col,
+                          n_bits=n_bits, n_tables=n_tables, n_probes=1,
+                          dim=dim)
+
+
+def _lsh_gemm_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                   id_col: str, vec_col: str, qid_col: str, n_bits: int,
+                   n_tables: int, n_probes: int,
+                   dim: int | None = None) -> DataFrame:
+    """Shared streamed kernel behind lsh_topk (1 table × multi-probe) and
+    lsh_multi_topk (L tables × own bucket). The probe set enters only the
+    driver-side bucket→query lookup: a query index is registered under its
+    own bucket and, per table, under each of its ``n_probes-1``
+    single-bit-flip neighbor buckets — the kernel itself is probe-blind.
+    A corpus row occupies exactly one bucket per table, so a (query,
+    neighbor) pair appears at most once per table; the cross-table dedup
+    also covers multi-probe."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     Hs = np.stack([_hyperplanes(dim, n_bits, table=t)
@@ -221,10 +233,15 @@ def lsh_multi_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     lookups = []
     for t in range(n_tables):
         qb = buckets_of(Q, t)
-        d: dict[int, np.ndarray] = {}
-        for b in np.unique(qb):
-            d[int(b)] = np.nonzero(qb == b)[0]
-        lookups.append(d)
+        d: dict[int, list] = {}
+        for probe in range(n_probes):
+            # probe 0 = own bucket; probe p>0 flips bit p-1 (the original
+            # lsh_topk bit-flip probe sequence, preserved exactly)
+            pb = qb if probe == 0 else qb ^ np.int64(1 << (probe - 1))
+            for b in np.unique(pb):
+                d.setdefault(int(b), []).append(np.nonzero(pb == b)[0])
+        lookups.append({b: (np.concatenate(v) if len(v) > 1 else v[0])
+                        for b, v in d.items()})
     spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast({
         "ids": q_pdf["query_id"].to_numpy(np.int64), "Q": Q, "H": Hs,

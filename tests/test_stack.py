@@ -181,3 +181,81 @@ def test_grouped_sorted_map_stitches_across_arrow_batches(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_grouped_sorted_map_keeps_null_group_keys(spark):
+    """applyInPandas keeps a null-key group (dropna is a pandas-ism) —
+    grouped_sorted_map must too: null string keys, NaN-containing
+    multi-col keys, and a null key forming the trailing run of a batch
+    must all be emitted, not silently dropped (round-4 ADVICE)."""
+    import pandas as pd
+    import pyspark.sql.types as T
+    from raster_functions_spark.operators.stack import grouped_sorted_map
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        rows = []
+        for i in range(60):
+            a = None if i % 4 == 0 else f"g{i % 3}"
+            rows.append({"a": a, "v": float(i)})
+        schema_in = T.StructType([T.StructField("a", T.StringType()),
+                                  T.StructField("v", T.DoubleType())])
+        df = spark.createDataFrame(rows, schema_in).repartition(3)
+        schema = T.StructType([T.StructField("a", T.StringType()),
+                               T.StructField("n", T.LongType()),
+                               T.StructField("s", T.DoubleType())])
+
+        def fn(key, g):
+            k = key[0]
+            k = None if (k is None or (isinstance(k, float) and pd.isna(k))) else k
+            return pd.DataFrame([{"a": k, "n": len(g),
+                                  "s": float(g["v"].sum())}])
+
+        out = grouped_sorted_map(df, ["a"], fn, schema,
+                                 num_partitions=4).toPandas()
+        # reference semantics: groupBy().applyInPandas keeps the null group
+        ref = df.groupBy("a").applyInPandas(
+            lambda k, g: fn((k[0],), g), schema).toPandas()
+        key = lambda d: d.assign(a=d["a"].fillna("<null>")).sort_values(
+            "a").reset_index(drop=True)
+        got, want = key(out), key(ref)
+        assert len(got) == 4 and len(want) == 4
+        assert (got["n"] == want["n"]).all()
+        assert (got["s"] == want["s"]).all()
+        # the null group's sum covers all i % 4 == 0 rows
+        null_sum = sum(float(i) for i in range(60) if i % 4 == 0)
+        assert float(got.loc[got["a"] == "<null>", "s"].iloc[0]) == null_sum
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_mean_assoc_qa_nan_value_matches_batch_path(spark):
+    """A QA-clear pixel whose VALUE is NaN must be skipped by the
+    map-side-combine mean exactly like the batch path (which masks to
+    NaN then nanmeans) — the Σ partial must not be poisoned
+    (round-4 ADVICE)."""
+    import pandas as pd
+    rows = []
+    for t in range(4):
+        vals = np.full((4, 4), 10.0 + t, np.float32)
+        qa = np.full((4, 4), float(fixtures.QA_CLEAR_C1[0]), np.float32)
+        if t == 1:
+            vals[0, 0] = np.nan          # clear but NaN-valued
+        if t == 2:
+            qa[1, 1] = float(fixtures.QA_CLOUDY[0])
+        rows.append({"scene_id": "s",
+                     "bytes": codec.encode(np.stack([vals, qa]))})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    kw = dict(value_band=0, qa_band=1, clear_values=fixtures.QA_CLEAR_C1,
+              fmt_out="raw")
+    batch = codec.decode(bytes(
+        S.stack_composite(df, "mean", **kw).collect()[0]["bytes"]))[0]
+    assoc = codec.decode(bytes(
+        S.stack_mean_assoc(df, **kw).collect()[0]["bytes"]))[0]
+    assert np.allclose(assoc, batch, equal_nan=True)
+    # the NaN-under-clear pixel averages the other three members
+    assert np.isclose(batch[0, 0], (10.0 + 12.0 + 13.0) / 3)
+    assert np.isclose(assoc[0, 0], (10.0 + 12.0 + 13.0) / 3)
