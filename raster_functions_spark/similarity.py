@@ -323,6 +323,17 @@ def _kmeans_fit(X: np.ndarray, k: int, iters: int = 12) -> np.ndarray:
     return C
 
 
+def _train_sample(corpus: DataFrame, id_col: str, vec_col: str,
+                  n: int) -> np.ndarray:
+    """Deterministic UNBIASED k-means training sample: TakeOrdered on
+    xxhash64(id) (id as tiebreaker). Same cost shape as orderBy(id) —
+    a top-K, never a full sort — but decorrelated from ingest order."""
+    return np.stack(
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col)).limit(n)
+        .toPandas()[vec_col].to_numpy())
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "vec_id", n_lists: int = 16, n_probe: int = 4,
@@ -338,14 +349,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     candidate count (≈ corpus·n_probe/n_lists per query) × dim, and
     candidates never materialize as rows.
 
-    The k-means training sample is the train_sample LOWEST ids (a TakeOrdered
-    top-K, not a full sort) — a bare limit() is partition-order-dependent and
-    would train different centroids at different parallelism, breaking the
-    byte-identical-at-any-cluster-size property (list assignments and, for
-    n_probe < n_lists, results would drift between runs)."""
-    sample = np.stack(
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
-        .toPandas()[vec_col].to_numpy())
+    The k-means training sample is the train_sample lowest xxhash64(id)
+    rows (a TakeOrdered top-K, not a full sort) — deterministic at any
+    parallelism (a bare limit() is partition-order-dependent and would
+    train different centroids run to run) AND unbiased w.r.t. id order:
+    lowest-IDS sampling trains centroids on one corner of id-correlated
+    corpora (ingest order ≈ source ≈ content cluster is the common case
+    at scale), collapsing recall at low n_probe; hashing decorrelates
+    (recall A/B in BENCH/notes_r5.md)."""
+    sample = _train_sample(corpus, id_col, vec_col, train_sample)
     C = _kmeans_fit(sample.astype(np.float64), n_lists)
     spark = corpus.sparkSession
 
@@ -452,9 +464,7 @@ def ivf_build(corpus: DataFrame, n_lists: int = 16, train_sample: int = 2000,
 
     Returns (index_df, centroids). The assignment column makes repeated
     searches skip the per-batch assignment GEMM too."""
-    sample = np.stack(
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample)
-        .toPandas()[vec_col].to_numpy())
+    sample = _train_sample(corpus, id_col, vec_col, train_sample)
     C = _kmeans_fit(sample.astype(np.float64), n_lists)
     spark = corpus.sparkSession
     bC = spark.sparkContext.broadcast(C)
