@@ -1454,10 +1454,10 @@ def q_flagship_incremental(spark, sf_dir):
         stream = (spark.readStream.schema(images.schema)
                   .option("maxFilesPerTrigger", 1).parquet(tmp + "/src/*"))
         q = pipeline.start_flagship_incremental(
-            stream, aoi, tmp + "/pt", tmp + "/ct", tmp + "/ckpt",
+            stream, aoi, tmp + "/view", tmp + "/ckpt",
             query_name="flagship_incremental_q")
         q.awaitTermination()
-        out = pipeline.current_flagship(spark, tmp + "/pt", tmp + "/ct")
+        out = pipeline.current_flagship(spark, tmp + "/view")
         return spark.createDataFrame(out.toPandas())   # materialize pre-cleanup
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

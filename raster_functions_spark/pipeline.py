@@ -329,44 +329,61 @@ def flagship_batch_partials(spark: SparkSession, images: DataFrame,
 
 
 def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
-                               partials_path: str, pairs_path: str,
-                               checkpoint: str, cell_res: int = 7,
+                               view_path: str, checkpoint: str,
+                               cell_res: int = 7,
                                compact_every: int | None = None,
                                query_name: str = "flagship-incremental"):
     """The flagship zonal query as a continuously-updatable materialized
-    view: each image microbatch runs decode→cell→PIP once, commits its
-    per-AOI partials and (aoi, cell) pairs to snapshot tables with
-    run_id=batch-<id> (a retried batch is a no-op — exactly-once), and is
-    never re-read. ``current_flagship`` merges at read time. Work per
-    batch ∝ batch size; view freshness is one tiny aggregation."""
+    view: each image microbatch runs decode→cell→PIP ONCE (the assigned
+    rows are persisted for the two aggregations — round 4 recomputed the
+    whole decode per dataset), then commits its per-AOI partials AND
+    (aoi, cell) pairs in a SINGLE atomic snapshot commit
+    (SnapshotTable.append_tables) with run_id=batch-<id> — a retried
+    batch is a no-op (exactly-once), and no reader can see one dataset's
+    batch without the other's. ``current_flagship`` merges at read time.
+    Work per batch ∝ batch size; view freshness is one tiny
+    aggregation."""
     from .snapshots import SnapshotTable
 
     spark = stream_images.sparkSession
-    pt = SnapshotTable(spark, partials_path)
-    ct = SnapshotTable(spark, pairs_path)
+    vt = SnapshotTable(spark, view_path)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        partials, pairs = flagship_batch_partials(spark, batch_df, aoi,
-                                                  cell_res)
-        pt.append(partials, "aoi_id", run_id=f"batch-{batch_id}")
-        ct.append(pairs, "aoi_id", run_id=f"batch-{batch_id}")
+        assigned = flagship_assigned(spark, batch_df, aoi, cell_res)
+        assigned.persist()
+        try:
+            ok = lambda c: F.when(~F.isnan(c), F.col(c))
+            partials = (assigned.groupBy("aoi_id")
+                        .agg(F.count("*").alias("n_images"),
+                             F.sum(ok("px_mean")).alias("s_mean"),
+                             F.count(ok("px_mean")).alias("k_mean"),
+                             F.sum(ok("px_std")).alias("s_std"),
+                             F.count(ok("px_std")).alias("k_std"),
+                             F.max("phash_ham").alias("max_phash_ham"),
+                             F.sum(F.when(F.col("phash_ham") < 0, 1)
+                                   .otherwise(0)).alias("n_bad")))
+            pairs = assigned.select("aoi_id", "cell").distinct()
+            vt.append_tables({"partials": (partials, "aoi_id"),
+                              "pairs": (pairs, "aoi_id")},
+                             run_id=f"batch-{batch_id}")
+        finally:
+            assigned.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
-            pt.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
-            ct.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
+            vt.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
 
     return (stream_images.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
             .queryName(query_name).trigger(availableNow=True).start())
 
 
-def current_flagship(spark: SparkSession, partials_path: str,
-                     pairs_path: str) -> DataFrame:
+def current_flagship(spark: SparkSession, view_path: str) -> DataFrame:
     """Merge the committed partials into the flagship's output schema
     (same columns as :func:`flagship`); consistent at any snapshot."""
     from .snapshots import SnapshotTable
 
-    p = SnapshotTable(spark, partials_path).read()
-    pairs = SnapshotTable(spark, pairs_path).read()
+    vt = SnapshotTable(spark, view_path)
+    p = vt.read(table="partials")
+    pairs = vt.read(table="pairs")
     cells = (pairs.distinct().groupBy("aoi_id")
              .agg(F.countDistinct("cell").alias("n_cells")))
     merged = (p.groupBy("aoi_id")

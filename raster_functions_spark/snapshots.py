@@ -85,9 +85,12 @@ class SnapshotTable:
 
     # ----------------------------------------------------------- write ----
 
-    def _write_data(self, df: DataFrame, pcol: str, snap_id: int) -> list[dict]:
+    def _write_data(self, df: DataFrame, pcol: str, snap_id: int,
+                    sub: str | None = None) -> list[dict]:
         token = uuid.uuid4().hex[:12]
         rel = f"data/snap-{snap_id}-{token}"
+        if sub is not None:
+            rel = f"{rel}/{sub}"
         ddir = f"{self.path}/{rel}"
         # duplicate the partition column into the directory layout: data
         # files keep every column; the dir name gives the per-file value,
@@ -106,9 +109,25 @@ class SnapshotTable:
             for seg in p.split("/"):
                 if seg.startswith("_p="):
                     part = seg[3:]
-            files.append({"path": f"{rel}/" + p.split(rel + "/", 1)[1],
-                          "partition": part, "bytes": int(st.getLen())})
+            entry = {"path": f"{rel}/" + p.split(rel + "/", 1)[1],
+                     "partition": part, "bytes": int(st.getLen())}
+            if sub is not None:
+                entry["table"] = sub
+            files.append(entry)
         return sorted(files, key=lambda f: f["path"])
+
+    @staticmethod
+    def _table_of(path: str) -> str | None:
+        """Sub-table name from a data-file path. Layout is
+        ``data/snap-<id>-<token>[/<name>]/_p=<val>/part-*.parquet`` — the
+        segment after the snap dir is either the partition dir (default
+        single-table layout → None) or the named dataset."""
+        segs = path.split("/")
+        for i, s in enumerate(segs):
+            if s.startswith("snap-"):
+                nxt = segs[i + 1]
+                return None if nxt.startswith("_p=") else nxt
+        return None
 
     def _commit(self, op: str, added: list[dict], live: list[dict],
                 pcol: str, run_id: str | None, summary: dict) -> int:
@@ -139,6 +158,37 @@ class SnapshotTable:
         live = (self._manifest(root["current"]) if root["current"] else []) + added
         return self._commit("append", added, live, partition_col, run_id,
                             {"added_files": len(added)})
+
+    def append_tables(self, named: dict[str, tuple[DataFrame, str]],
+                      run_id: str | None = None) -> int:
+        """ONE atomic commit spanning several named datasets (e.g. a
+        materialized view's partial aggregates AND its dedup pairs): all
+        datasets' files land under this snapshot's data dir (one
+        sub-directory per name), listed in a single manifest, published by
+        a single root swap. A reader can never observe one dataset's batch
+        without the other's, and a streaming sink pays one commit per
+        microbatch instead of one per dataset. Same run_id no-op replay
+        protection as :meth:`append`. All datasets must share the
+        partition column (one per-table manifest keeps O(1) root cost)."""
+        pcols = {p for _, p in named.values()}
+        if len(pcols) != 1:
+            raise ValueError(f"append_tables needs one partition col, got {pcols}")
+        pcol = pcols.pop()
+        root = self._root()
+        prior = self._find_run(root, run_id)
+        if prior is not None:
+            return prior["id"]
+        next_id = (root["current"] or 0) + 1
+        added: list[dict] = []
+        for name in sorted(named):
+            if "/" in name or name.startswith("_p="):
+                raise ValueError(f"bad dataset name {name!r}")
+            added.extend(self._write_data(named[name][0], pcol, next_id,
+                                          sub=name))
+        live = (self._manifest(root["current"]) if root["current"] else []) + added
+        return self._commit("append", added, live, pcol, run_id,
+                            {"added_files": len(added),
+                             "tables": sorted(named)})
 
     def overwrite_partitions(self, df: DataFrame, values: list,
                              run_id: str | None = None) -> int:
@@ -174,15 +224,20 @@ class SnapshotTable:
         return (self.spark.read.parquet(*[f"{self.path}/{f}" for f in files])
                 .drop("_p"))
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
-        """Scan the table at a snapshot (default: current) — time travel."""
+    def read(self, snapshot_id: int | None = None,
+             table: str | None = None) -> DataFrame:
+        """Scan the table at a snapshot (default: current) — time travel.
+        ``table`` selects one named dataset of an append_tables commit
+        (None = the default single-table layout)."""
         snap = snapshot_id if snapshot_id is not None else self.current_id
         if snap is None:
             raise ValueError("empty table")
-        return self._read_files([f["path"] for f in self._manifest(snap)])
+        return self._read_files([f["path"] for f in self._manifest(snap)
+                                 if f.get("table") == table])
 
     def read_incremental(self, since_snapshot_id: int,
-                         until_snapshot_id: int | None = None) -> DataFrame:
+                         until_snapshot_id: int | None = None,
+                         table: str | None = None) -> DataFrame:
         """Rows ADDED by snapshots in (since, until] — the incremental
         backfill scan. Touches only the added files, never the full table."""
         root = self._root()
@@ -193,7 +248,8 @@ class SnapshotTable:
             # "added" files carry no new data, so incremental consumers
             # must skip them (Iceberg's replace-commit semantics)
             if since_snapshot_id < s["id"] <= hi and s["op"] != "compact":
-                files.extend(s["added"])
+                files.extend(p for p in s["added"]
+                             if self._table_of(p) == table)
         return self._read_files(files)
 
     # --------------------------------------------------------- streaming --
@@ -244,22 +300,32 @@ class SnapshotTable:
             raise ValueError("compact on an empty table")
         pcol = root["partition_col"]
         live = self._manifest(root["current"])
-        by_val: dict[str, list[dict]] = {}
+        # group by (named dataset, partition value) — datasets of an
+        # append_tables commit have distinct schemas and compact separately
+        by_key: dict[tuple, list[dict]] = {}
         for f in live:
-            by_val.setdefault(f["partition"], []).append(f)
-        targets = {v for v, fs in by_val.items()
+            by_key.setdefault((f.get("table"), f["partition"]), []).append(f)
+        targets = {k for k, fs in by_key.items()
                    if len(fs) >= min_files_per_value}
         if not targets:
             return root["current"]
-        src = [f["path"] for f in live if f["partition"] in targets]
-        df = (self._read_files(src)
-              .repartition(len(targets), F.col(pcol)))  # one file per value
         next_id = root["current"] + 1
-        added = self._write_data(df, pcol, next_id)
-        kept = [f for f in live if f["partition"] not in targets]
+        added: list[dict] = []
+        n_src = 0
+        for tname in sorted({t for t, _ in targets}, key=lambda x: (x is None, x)):
+            vals = {v for t, v in targets if t == tname}
+            src = [f["path"] for f in live
+                   if f.get("table") == tname and f["partition"] in vals]
+            n_src += len(src)
+            df = (self._read_files(src)
+                  .repartition(len(vals), F.col(pcol)))  # one file per value
+            added.extend(self._write_data(df, pcol, next_id, sub=tname))
+        kept = [f for f in live
+                if (f.get("table"), f["partition"]) not in targets]
         return self._commit("compact", added, kept + added, pcol, run_id,
-                            {"compacted_values": sorted(targets),
-                             "files_before": len(src),
+                            {"compacted_values": sorted(
+                                f"{t}/{v}" if t else v for t, v in targets),
+                             "files_before": n_src,
                              "files_after": len(added)})
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:

@@ -116,15 +116,16 @@ def test_incremental_flagship_matches_batch(spark, tmp_path):
         .write.parquet(src + "/b")
     stream = (spark.readStream.schema(images.schema)
               .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
-    pp, cp = str(tmp_path / "pt"), str(tmp_path / "ct")
+    vp = str(tmp_path / "view")
     q = pipeline.start_flagship_incremental(
-        stream, aoi, pp, cp, str(tmp_path / "ckpt"))
+        stream, aoi, vp, str(tmp_path / "ckpt"))
     q.awaitTermination(180)
 
-    assert [s["run_id"] for s in SnapshotTable(spark, pp).snapshots()] \
+    # ONE commit per microbatch covering both datasets (atomic view update)
+    assert [s["run_id"] for s in SnapshotTable(spark, vp).snapshots()] \
         == ["batch-0", "batch-1"]
     live = {r["aoi_id"]: r.asDict()
-            for r in pipeline.current_flagship(spark, pp, cp).collect()}
+            for r in pipeline.current_flagship(spark, vp).collect()}
     assert set(live) == set(full)
     for a in full:
         for col in ("n_images", "n_cells", "max_phash_ham", "n_bad"):
@@ -133,8 +134,10 @@ def test_incremental_flagship_matches_batch(spark, tmp_path):
             assert abs(live[a][col] - full[a][col]) <= 2e-6, (a, col)
     # replayed commit: no-op
     b0 = images.filter("image_id < 'img000000200'")
-    p0, _ = pipeline.flagship_batch_partials(spark, b0, aoi)
-    SnapshotTable(spark, pp).append(p0, "aoi_id", run_id="batch-0")
+    p0, pr0 = pipeline.flagship_batch_partials(spark, b0, aoi)
+    SnapshotTable(spark, vp).append_tables(
+        {"partials": (p0, "aoi_id"), "pairs": (pr0, "aoi_id")},
+        run_id="batch-0")
     live2 = {r["aoi_id"]: r["n_images"]
-             for r in pipeline.current_flagship(spark, pp, cp).collect()}
+             for r in pipeline.current_flagship(spark, vp).collect()}
     assert live2 == {a: full[a]["n_images"] for a in full}

@@ -201,3 +201,48 @@ def test_mosaic_template_over_snapshot_table(spark, table):
     import numpy as np
     for k in a:
         assert np.array_equal(a[k], b[k])
+
+
+def test_append_tables_atomic_multi_dataset(spark, table):
+    """append_tables: several named datasets land in ONE commit (one
+    snapshot id, one manifest, one root swap); read/read_incremental
+    select per dataset; run_id replay is a no-op across the whole group;
+    compact handles named datasets independently but in one commit."""
+    a1 = _df(spark, (0, 4), "x")
+    b1 = (spark.range(0, 3).withColumnRenamed("id", "k")
+          .withColumn("p_cell", F.lit("x")))
+    s1 = table.append_tables({"stats": (a1, "p_cell"), "pairs": (b1, "p_cell")},
+                             run_id="batch-0")
+    assert s1 == 1 and table.current_id == 1
+    # replay = no-op for the whole group
+    assert table.append_tables({"stats": (a1, "p_cell"),
+                                "pairs": (b1, "p_cell")},
+                               run_id="batch-0") == 1
+    assert table.current_id == 1
+    s2 = table.append_tables({"stats": (_df(spark, (4, 6), "y"), "p_cell"),
+                              "pairs": (b1.withColumn("p_cell", F.lit("y")),
+                                        "p_cell")}, run_id="batch-1")
+    assert s2 == 2
+    # per-dataset reads, with time travel
+    assert table.read(table="stats").count() == 6
+    assert table.read(table="pairs").count() == 6
+    assert table.read(snapshot_id=1, table="stats").count() == 4
+    # incremental scan per dataset
+    assert table.read_incremental(1, table="stats").count() == 2
+    assert {r["p_cell"] for r in
+            table.read_incremental(1, table="pairs").collect()} == {"y"}
+    # mismatched partition cols rejected
+    with pytest.raises(ValueError):
+        table.append_tables({"stats": (a1, "p_cell"), "pairs": (b1, "k")})
+    # compact: both datasets' multi-file values rewritten in ONE commit
+    table.append_tables({"stats": (_df(spark, (6, 9), "x"), "p_cell"),
+                         "pairs": (b1, "p_cell")}, run_id="batch-2")
+    before = table.current_id
+    sc = table.compact(min_files_per_value=2, run_id="c0")
+    assert sc == before + 1
+    assert table.read(table="stats").count() == 9
+    assert table.read(table="pairs").count() == 9
+    # compact commit adds no incremental rows (empty scan raises — the
+    # schemaless-empty contract shared with the single-table path)
+    with pytest.raises(ValueError):
+        table.read_incremental(before, table="stats")
