@@ -1311,9 +1311,11 @@ def q_mm_decode_video(spark, sf_dir):
     """Multimodal VIDEO ingest: ISO-BMFF containers demuxed by the
     from-scratch box parser (moov→trak→stsc/stsz/stco sample map, never
     mdat magic-scanning), motion-JPEG tracks frame-sampled (every 2nd) and
-    decoded; avc1 tracks keep demuxed metadata with ok=false; truncated
-    containers quarantine whole — all verified against a single-process
-    replay of the same public builder+decoder."""
+    decoded; avc1 tracks quarantine (ok=false) but are ENRICHED from their
+    avcC box — profile_idc/level_idc and the SPS's authoritative coded
+    dims (which deliberately differ from the advisory stsd values in the
+    fixture); truncated containers quarantine whole — all verified
+    against a single-process replay of the same public builder+decoder."""
     from raster_functions_spark import fixtures, multimodal
     vids = fixtures.mp4_videos_df(spark, 30)
     return (multimodal.video_decode_metrics(vids, keep_cols=("video_id",),

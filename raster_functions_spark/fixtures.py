@@ -543,7 +543,14 @@ def mp4_videos_pdf(n: int = 30, tile: int = 16) -> pd.DataFrame:
         frames = [jpeg.encode_jpeg(_mp4_frame(i, t, tile)[None], quality=90)
                   for t in range(n_frames)]
         tag = "avc1" if i % 5 == 4 else "jpeg"
-        buf = formats.encode_mp4_samples(frames, tag, tile, tile)
+        # avc1 tracks carry a REAL avcC (baseline SPS) whose coded dims
+        # deliberately differ from the stsd values — the SPS is
+        # authoritative, and the quarantine path must report it
+        cfg = (formats.encode_avcc(tile - 2, tile - 4, profile_idc=66,
+                                   level_idc=30)
+               if tag == "avc1" else None)
+        buf = formats.encode_mp4_samples(frames, tag, tile, tile,
+                                         codec_config=cfg)
         if i % 9 == 8:
             buf = buf[: len(buf) // 3]            # bit-rot: body truncated
         rows.append({"video_id": f"vid{i:05d}", "bytes": buf,

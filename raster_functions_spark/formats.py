@@ -516,10 +516,13 @@ def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
 
 def encode_mp4_samples(frames: list[bytes], codec_tag: str = "jpeg",
                        width: int = 0, height: int = 0,
-                       timescale: int = 600, frame_dur: int = 25) -> bytes:
+                       timescale: int = 600, frame_dur: int = 25,
+                       codec_config: bytes | None = None) -> bytes:
     """Minimal valid ISO-BMFF: one video track whose samples are the given
     coded frames (motion-JPEG layout: each sample an interchange image).
-    Chunks of up to 3 samples exercise the stsc/stco mapping."""
+    Chunks of up to 3 samples exercise the stsc/stco mapping.
+    ``codec_config`` (e.g. an avcC box from :func:`encode_avcc`) is
+    appended inside the sample entry, as ISO 14496-15 lays it out."""
     if not frames:
         raise ValueError("no frames")
     mdat_payload = b"".join(frames)
@@ -566,7 +569,8 @@ def encode_mp4_samples(frames: list[bytes], codec_tag: str = "jpeg",
                  + struct.pack(">HH", width, height)
                  + struct.pack(">II", 0x00480000, 0x00480000)
                  + struct.pack(">I", 0) + struct.pack(">H", 1)
-                 + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+                 + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+                 + (codec_config or b""))
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_dur))
     # stsc runs: collapse consecutive equal samples-per-chunk
@@ -622,7 +626,10 @@ def peek_mp4(buf: bytes) -> dict:
     info = _demux_tables(buf)
     return {"fmt": "mp4", "codec": info["codec"], "w": info["w"],
             "h": info["h"], "n_samples": len(info["sizes"]),
-            "duration_s": info["duration_s"], "nbytes": len(buf)}
+            "duration_s": info["duration_s"], "nbytes": len(buf),
+            "profile_idc": info["profile_idc"],
+            "level_idc": info["level_idc"],
+            "codec_w": info["codec_w"], "codec_h": info["codec_h"]}
 
 
 def _demux_tables(buf: bytes) -> dict:
@@ -655,6 +662,20 @@ def _demux_tables(buf: bytes) -> dict:
     (entry_size,) = struct.unpack_from(">I", buf, ps + 8)
     tag = buf[ps + 12:ps + 16].decode("latin1").strip()
     w, h = struct.unpack_from(">HH", buf, ps + 16 + 8 + 16)
+    # codec-specific config boxes follow the 78-byte VisualSampleEntry
+    # body: avcC/hvcC give the AUTHORITATIVE dims + profile for tracks we
+    # quarantine (the SPS governs; stsd dims are advisory)
+    prof = {"profile_idc": None, "level_idc": None, "w": None, "h": None}
+    try:
+        for bt, cs, ce in _iter_boxes(buf, ps + 16 + 78, ps + 8 + entry_size):
+            if bt == b"avcC":
+                prof = parse_avcc(buf[cs:ce])
+                break
+            if bt == b"hvcC":
+                prof = parse_hvcc(buf[cs:ce])
+                break
+    except Exception:
+        pass                                        # enrichment is best-effort
     # stsz
     ps, pe = boxes[b"stsz"]
     fixed, cnt = struct.unpack_from(">II", buf, ps + 4)
@@ -692,7 +713,9 @@ def _demux_tables(buf: bytes) -> dict:
         duration_s = dur / ts if ts else 0.0
     return {"codec": tag, "w": int(w), "h": int(h), "sizes": sizes,
             "chunk_offsets": offsets, "samples_per_chunk": spc,
-            "duration_s": duration_s}
+            "duration_s": duration_s,
+            "profile_idc": prof["profile_idc"], "level_idc": prof["level_idc"],
+            "codec_w": prof["w"], "codec_h": prof["h"]}
 
 
 def sniff_mp4(buf: bytes) -> str | None:
@@ -706,6 +729,12 @@ def demux_mp4(buf: bytes) -> tuple[str, list[bytes]]:
     conformant reader locates samples)."""
     buf = bytes(buf)
     t = _demux_tables(buf)
+    return t["codec"], samples_from_tables(buf, t)
+
+
+def samples_from_tables(buf: bytes, t: dict) -> list[bytes]:
+    """Slice the video samples out of ``buf`` given resolved demux tables
+    (shared by demux_mp4 and callers that already paid _demux_tables)."""
     sizes, spc, offs = t["sizes"], t["samples_per_chunk"], t["chunk_offsets"]
     samples, si = [], 0
     for ci, off in enumerate(offs):
@@ -718,4 +747,268 @@ def demux_mp4(buf: bytes) -> tuple[str, list[bytes]]:
             si += 1
     if si != len(sizes):
         raise ValueError(f"ISO-BMFF: chunk map covers {si} of {len(sizes)} samples")
-    return t["codec"], samples
+    return samples
+
+
+# --------------------------------------------------------------------------
+# H.264 / H.265 parameter-set headers (public ITU-T H.264 §7.3.2.1.1,
+# ITU-T H.265 §7.3.2.2.1/§7.3.3, ISO/IEC 14496-15 avcC/hvcC records).
+#
+# DECODE of these codecs stays out of scope (quarantine contract), but a
+# crawl's catalog should still carry authoritative dimensions + profile
+# for quarantined tracks — the SPS, not the container's stsd entry, is
+# what a real decoder would honor. The reference repo has no analog; this
+# is pure bitstream-spec parsing.
+
+class _BitReader:
+    """MSB-first bit reader with exp-Golomb (ue/se) over an RBSP."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0                       # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb runaway")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(nal: bytes) -> bytes:
+    """NAL → RBSP: drop the 0x03 emulation-prevention byte in 00 00 03."""
+    out = bytearray()
+    zeros = 0
+    for b in nal:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+_H264_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128,
+                       138, 139, 134, 135}
+
+
+def _skip_h264_scaling_list(r: _BitReader, size: int) -> None:
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        last = nxt if nxt != 0 else last
+
+
+def parse_sps_h264(nal: bytes) -> dict:
+    """Coded dims + profile/level from an H.264 sequence parameter set
+    (NAL type 7, header byte included)."""
+    r = _BitReader(_strip_emulation(nal[1:]))      # skip NAL header byte
+    profile = r.u(8)
+    r.u(8)                                          # constraint flags
+    level = r.u(8)
+    r.ue()                                          # sps id
+    chroma, separate = 1, 0
+    if profile in _H264_HIGH_PROFILES:
+        chroma = r.ue()
+        if chroma == 3:
+            separate = r.u(1)
+        r.ue(); r.ue(); r.u(1)                      # bit depths, bypass
+        if r.u(1):                                  # scaling matrix
+            for i in range(8 if chroma != 3 else 12):
+                if r.u(1):
+                    _skip_h264_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()                                          # log2_max_frame_num
+    poc = r.ue()
+    if poc == 0:
+        r.ue()
+    elif poc == 1:
+        r.u(1); r.se(); r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue(); r.u(1)                                  # refs, gaps
+    pw = r.ue()
+    ph = r.ue()
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)
+    r.u(1)                                          # direct_8x8
+    cl = cr = ct = cb = 0
+    if r.u(1):                                      # frame_cropping_flag
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+    sub_w, sub_h = {1: (2, 2), 2: (2, 1), 3: (1, 1)}.get(chroma, (1, 1))
+    if chroma == 0 or separate:
+        ux, uy = 1, 2 - frame_mbs_only
+    else:
+        ux, uy = sub_w, sub_h * (2 - frame_mbs_only)
+    w = 16 * (pw + 1) - ux * (cl + cr)
+    h = 16 * (ph + 1) * (2 - frame_mbs_only) - uy * (ct + cb)
+    return {"profile_idc": profile, "level_idc": level,
+            "w": int(w), "h": int(h)}
+
+
+def parse_sps_h265(nal: bytes) -> dict:
+    """Coded dims + profile/level from an H.265 SPS (NAL type 33,
+    2-byte header included)."""
+    r = _BitReader(_strip_emulation(nal[2:]))      # skip NAL header
+    r.u(4)
+    max_sub = r.u(3)
+    r.u(1)
+    # profile_tier_level(profilePresentFlag=1, max_sub)
+    r.u(2); r.u(1)
+    profile = r.u(5)
+    r.u(32)                                         # compat flags
+    r.u(48)                                         # source + reserved bits
+    level = r.u(8)
+    pp, lp = [], []
+    for _ in range(max_sub):
+        pp.append(r.u(1)); lp.append(r.u(1))
+    if max_sub > 0:
+        for _ in range(max_sub, 8):
+            r.u(2)
+    for i in range(max_sub):
+        if pp[i]:
+            r.u(88)
+        if lp[i]:
+            r.u(8)
+    r.ue()                                          # sps id
+    chroma = r.ue()
+    if chroma == 3:
+        r.u(1)
+    w = r.ue()
+    h = r.ue()
+    if r.u(1):                                      # conformance window
+        cl, cr, ct, cb = r.ue(), r.ue(), r.ue(), r.ue()
+        sub_w, sub_h = {1: (2, 2), 2: (2, 1), 3: (1, 1)}.get(chroma, (1, 1))
+        w -= sub_w * (cl + cr)
+        h -= sub_h * (ct + cb)
+    return {"profile_idc": profile, "level_idc": level,
+            "w": int(w), "h": int(h)}
+
+
+def parse_avcc(payload: bytes) -> dict:
+    """AVCDecoderConfigurationRecord → profile/level + SPS coded dims
+    (the record's indication bytes are the fallback when the SPS itself
+    is absent or unparseable)."""
+    out = {"profile_idc": payload[1], "level_idc": payload[3],
+           "w": None, "h": None}
+    n_sps = payload[5] & 0x1F
+    pos = 6
+    for _ in range(n_sps):
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        sps = payload[pos + 2:pos + 2 + ln]
+        pos += 2 + ln
+        try:
+            out.update(parse_sps_h264(sps))
+        except Exception:
+            pass
+        break                                       # first SPS governs
+    return out
+
+
+def parse_hvcc(payload: bytes) -> dict:
+    """HEVCDecoderConfigurationRecord → profile/level + SPS coded dims."""
+    out = {"profile_idc": payload[1] & 0x1F, "level_idc": payload[12],
+           "w": None, "h": None}
+    n_arrays = payload[22]
+    pos = 23
+    for _ in range(n_arrays):
+        nal_type = payload[pos] & 0x3F
+        (n_nalus,) = struct.unpack_from(">H", payload, pos + 1)
+        pos += 3
+        for _ in range(n_nalus):
+            (ln,) = struct.unpack_from(">H", payload, pos)
+            nal = payload[pos + 2:pos + 2 + ln]
+            pos += 2 + ln
+            if nal_type == 33 and out["w"] is None:     # SPS
+                try:
+                    out.update(parse_sps_h265(nal))
+                except Exception:
+                    pass
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int):
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def rbsp(self) -> bytes:
+        bits = self.bits + [1]                      # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            raw.append(b)
+        # emulation prevention: 00 00 0x → 00 00 03 0x
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+def encode_avcc(w: int, h: int, profile_idc: int = 66,
+                level_idc: int = 30) -> bytes:
+    """Minimal valid avcC box payload carrying ONE baseline SPS with the
+    given coded dimensions (even dims; 4:2:0 crop units). Fixture-grade:
+    enough for any conformant header parser to recover dims + profile."""
+    if w % 2 or h % 2:
+        raise ValueError("even dimensions required (4:2:0 crop units)")
+    mbs_w = (w + 15) // 16
+    mbs_h = (h + 15) // 16
+    bw = _BitWriter()
+    bw.u(profile_idc, 8)
+    bw.u(0, 8)                                      # constraint flags
+    bw.u(level_idc, 8)
+    bw.ue(0)                                        # sps id
+    bw.ue(0)                                        # log2_max_frame_num-4
+    bw.ue(0)                                        # poc type 0
+    bw.ue(0)                                        # log2_max_poc_lsb-4
+    bw.ue(1)                                        # max_num_ref_frames
+    bw.u(0, 1)                                      # gaps allowed
+    bw.ue(mbs_w - 1)
+    bw.ue(mbs_h - 1)
+    bw.u(1, 1)                                      # frame_mbs_only
+    bw.u(1, 1)                                      # direct_8x8
+    crop_r = (16 * mbs_w - w) // 2
+    crop_b = (16 * mbs_h - h) // 2
+    if crop_r or crop_b:
+        bw.u(1, 1)
+        bw.ue(0); bw.ue(crop_r); bw.ue(0); bw.ue(crop_b)
+    else:
+        bw.u(0, 1)
+    bw.u(0, 1)                                      # no VUI
+    sps = bytes([0x67]) + bw.rbsp()
+    rec = (bytes([1, profile_idc, 0, level_idc, 0xFF, 0xE1])
+           + struct.pack(">H", len(sps)) + sps + bytes([0]))
+    return _box(b"avcC", rec)

@@ -240,9 +240,13 @@ def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
     sample when the track is image-coded (motion-JPEG 'jpeg'/'mjpa' or
     'png '), and emit exact frame/pixel metrics. Tracks coded with codecs
     this environment cannot decode (avc1/hvc1 …) keep their demuxed
-    metadata (codec tag, frame count, dims) with ok=false — the same
-    quarantine contract the image path applies to arithmetic-coded JPEG.
-    One mapInPandas pass; payload bytes cross Arrow exactly once."""
+    metadata with ok=false — the same quarantine contract the image path
+    applies to arithmetic-coded JPEG — but are ENRICHED from the track's
+    avcC/hvcC parameter sets when present: h/w come from the SPS (the
+    authoritative coded dims, not the advisory stsd values) and
+    profile_idc/level_idc identify the bitstream profile, so quarantined
+    crawl rows still catalog usefully. One mapInPandas pass; payload
+    bytes cross Arrow exactly once."""
     from . import formats
 
     if on_error not in ("raise", "quarantine"):
@@ -255,6 +259,8 @@ def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
         T.StructField("h", T.IntegerType()),
         T.StructField("w", T.IntegerType()),
         T.StructField("px_sum", T.LongType()),
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("level_idc", T.IntegerType()),
         T.StructField("ok", T.BooleanType()),
     ])
     cols = [f.name for f in out_schema]
@@ -266,9 +272,19 @@ def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
             for i in range(len(pdf)):
                 keep = {c: pdf[c].iloc[i] for c in keep_cols}
                 try:
-                    tag, samples = formats.demux_mp4(bytes(pdf[bytes_col].iloc[i]))
+                    raw = bytes(pdf[bytes_col].iloc[i])
+                    t = formats._demux_tables(raw)
+                    tag = t["codec"]
+                    samples = formats.samples_from_tables(raw, t)
                     m = {"codec": tag, "n_frames": len(samples),
-                         "n_decoded": 0, "h": -1, "w": -1, "px_sum": -1,
+                         "n_decoded": 0,
+                         "h": t["codec_h"] if t["codec_h"] is not None else -1,
+                         "w": t["codec_w"] if t["codec_w"] is not None else -1,
+                         "px_sum": -1,
+                         "profile_idc": (t["profile_idc"]
+                                         if t["profile_idc"] is not None else -1),
+                         "level_idc": (t["level_idc"]
+                                       if t["level_idc"] is not None else -1),
                          "ok": False}
                     if tag.strip() in decodable:
                         total, nd, hh, ww = 0, 0, -1, -1
@@ -283,7 +299,8 @@ def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
                     if not quarantine:
                         raise
                     m = {"codec": "", "n_frames": -1, "n_decoded": -1,
-                         "h": -1, "w": -1, "px_sum": -1, "ok": False}
+                         "h": -1, "w": -1, "px_sum": -1,
+                         "profile_idc": -1, "level_idc": -1, "ok": False}
                 rows.append({**keep, **m})
             yield pd.DataFrame(rows, columns=cols)
 

@@ -1550,7 +1550,14 @@ def video_decode_sql(n: int = 30, every_n: int = 2) -> str:
     rows = []
     for _, r in pdf.iterrows():
         try:
-            tag, samples = formats.demux_mp4(bytes(r["bytes"]))
+            raw = bytes(r["bytes"])
+            t = formats._demux_tables(raw)
+            tag = t["codec"]
+            samples = formats.samples_from_tables(raw, t)
+            pidc = t["profile_idc"] if t["profile_idc"] is not None else -1
+            lidc = t["level_idc"] if t["level_idc"] is not None else -1
+            ch = t["codec_h"] if t["codec_h"] is not None else -1
+            cw = t["codec_w"] if t["codec_w"] is not None else -1
             if tag.strip() in ("jpeg", "mjpa", "png"):
                 tot, nd, hh, ww = 0, 0, -1, -1
                 for s in samples[::every_n]:
@@ -1558,19 +1565,23 @@ def video_decode_sql(n: int = 30, every_n: int = 2) -> str:
                     tot += int(px.astype(np.int64).sum())
                     hh, ww = int(px.shape[1]), int(px.shape[2])
                     nd += 1
-                vals = (tag, len(samples), nd, hh, ww, tot, "true")
+                vals = (tag, len(samples), nd, hh, ww, tot, pidc, lidc, "true")
             else:
-                vals = (tag, len(samples), 0, -1, -1, -1, "false")
+                # quarantined track: SPS-derived dims + profile enrich it
+                vals = (tag, len(samples), 0, ch, cw, -1, pidc, lidc, "false")
         except Exception:
-            vals = ("", -1, -1, -1, -1, -1, "false")
+            vals = ("", -1, -1, -1, -1, -1, -1, -1, "false")
         rows.append(f"('{r['video_id']}', '{vals[0]}', {vals[1]}, {vals[2]}, "
-                    f"{vals[3]}, {vals[4]}, {vals[5]}, {vals[6]})")
+                    f"{vals[3]}, {vals[4]}, {vals[5]}, {vals[6]}, {vals[7]}, "
+                    f"{vals[8]})")
     return ("SELECT video_id, codec, CAST(n_frames AS INT) AS n_frames, "
             "CAST(n_decoded AS INT) AS n_decoded, CAST(h AS INT) AS h, "
-            "CAST(w AS INT) AS w, CAST(px_sum AS BIGINT) AS px_sum, ok "
+            "CAST(w AS INT) AS w, CAST(px_sum AS BIGINT) AS px_sum, "
+            "CAST(profile_idc AS INT) AS profile_idc, "
+            "CAST(level_idc AS INT) AS level_idc, ok "
             "FROM (VALUES " + ", ".join(rows)
-            + ") t(video_id, codec, n_frames, n_decoded, h, w, px_sum, ok) "
-            "ORDER BY video_id")
+            + ") t(video_id, codec, n_frames, n_decoded, h, w, px_sum, "
+            "profile_idc, level_idc, ok) ORDER BY video_id")
 
 
 def lsh_multi_sql(n: int = 2000, nq: int = 8, dim: int = 32, k: int = 5,

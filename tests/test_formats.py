@@ -190,3 +190,82 @@ def test_video_decode_metrics_quarantine(spark):
                 fixtures._mp4_frame(i, t)[None], quality=90))
                 .astype(np.int64).sum()) for t in range(0, r["n_frames"], 2))
             assert int(row["px_sum"]) == want
+
+
+# ------------------------------------------------- codec headers (r5) ----
+
+def test_h264_sps_roundtrip_and_hand_derived():
+    """encode_avcc's baseline SPS parses back to the exact dims/profile,
+    including the frame-cropping path; a hand-assembled SPS (bits written
+    out longhand from ITU-T H.264 §7.3.2.1.1) anchors the parser
+    independently of the writer."""
+    from raster_functions_spark import formats as Fm
+    # multiples of 16: no cropping
+    p = Fm.parse_avcc(Fm.encode_avcc(64, 32, 66, 30)[8:])
+    assert (p["w"], p["h"], p["profile_idc"], p["level_idc"]) == (64, 32, 66, 30)
+    # crop path: 18x10 inside one 32x16 macroblock grid
+    p = Fm.parse_avcc(Fm.encode_avcc(18, 10, 77, 40)[8:])
+    assert (p["w"], p["h"], p["profile_idc"], p["level_idc"]) == (18, 10, 77, 40)
+    # hand-built SPS: profile 66, level 30, 2x1 MBs (32x16), no crop.
+    # Bits after the 3 header bytes: ue(0) sps_id=1; ue(0)x2; ue(0) poc;
+    # ue(1)=010 refs; 0 gaps; ue(1)=010 pw; ue(0)=1 ph; 1 fmo; 1 d8x8;
+    # 0 crop; 0 vui; stop 1 -> 1 010 1 0 1 0 1 010 1 1 1 0 0 1 + pad
+    bw = Fm._BitWriter()
+    bw.u(66, 8); bw.u(0, 8); bw.u(30, 8)
+    for bits, n in ((1, 1), (1, 1), (1, 1), (1, 1), (0b010, 3), (0, 1),
+                    (0b010, 3), (1, 1), (1, 1), (1, 1), (0, 1), (0, 1)):
+        bw.u(bits, n)
+    sps = bytes([0x67]) + bw.rbsp()
+    p = Fm.parse_sps_h264(sps)
+    assert (p["w"], p["h"], p["profile_idc"]) == (32, 16, 66)
+
+
+def test_h265_sps_parse_hvcc():
+    """hvcC record + hand-assembled H.265 SPS (ITU-T H.265 §7.3.2.2.1):
+    Main profile (1), level 93, 320x240 with a conformance window."""
+    from raster_functions_spark import formats as Fm
+    import struct
+    bw = Fm._BitWriter()
+    bw.u(0, 4)          # vps id
+    bw.u(0, 3)          # max_sub_layers_minus1
+    bw.u(1, 1)          # temporal_id_nesting
+    # profile_tier_level: space(2)=0 tier(1)=0 profile_idc(5)=1
+    bw.u(0, 2); bw.u(0, 1); bw.u(1, 5)
+    bw.u(1 << 30, 32)   # compat flags (profile 1 bit)
+    bw.u(0, 48)         # source/reserved flags
+    bw.u(93, 8)         # general_level_idc
+    bw.ue(0)            # sps id
+    bw.ue(1)            # chroma 4:2:0
+    bw.ue(324)          # pic_width_in_luma_samples
+    bw.ue(240)          # pic_height
+    bw.u(1, 1)          # conformance window
+    bw.ue(0); bw.ue(2); bw.ue(0); bw.ue(0)   # crop right 2*SubWidthC=4
+    nal = bytes([0x42, 0x01]) + bw.rbsp()    # SPS nal header (type 33)
+    p = Fm.parse_sps_h265(nal)
+    assert (p["w"], p["h"], p["profile_idc"], p["level_idc"]) == (320, 240, 1, 93)
+    # wrap in an hvcC record
+    rec = (bytes([1, 0x01]) + b"\x60\x00\x00\x00" + b"\x00" * 6 + bytes([93])
+           + b"\xf0\x00\x00\x00\x00\x00\x00\x00\x00"
+           + bytes([1])                          # numOfArrays
+           + bytes([0x21]) + struct.pack(">H", 1)
+           + struct.pack(">H", len(nal)) + nal)
+    q = Fm.parse_hvcc(rec)
+    assert (q["w"], q["h"], q["profile_idc"], q["level_idc"]) == (320, 240, 1, 93)
+
+
+def test_avcc_in_container_enriches_demux():
+    """A muxed avc1 container with an avcC exposes SPS dims + profile via
+    _demux_tables/peek_mp4; stsd dims stay separate (advisory)."""
+    from raster_functions_spark import formats as Fm
+    cfg = Fm.encode_avcc(14, 12, 66, 30)
+    buf = Fm.encode_mp4_samples([b"\x00" * 40] * 3, "avc1", 16, 16,
+                                codec_config=cfg)
+    t = Fm._demux_tables(buf)
+    assert (t["w"], t["h"]) == (16, 16)                 # stsd (advisory)
+    assert (t["codec_w"], t["codec_h"]) == (14, 12)     # SPS (authoritative)
+    assert (t["profile_idc"], t["level_idc"]) == (66, 30)
+    pk = Fm.peek_mp4(buf)
+    assert (pk["codec_w"], pk["codec_h"], pk["profile_idc"]) == (14, 12, 66)
+    # tracks without codec config keep None enrichment
+    t2 = Fm._demux_tables(Fm.encode_mp4_samples([b"x" * 9] * 2, "jpeg", 8, 8))
+    assert t2["profile_idc"] is None and t2["codec_w"] is None
