@@ -1569,6 +1569,28 @@ def q_m5_sarima_seasonal(spark, sf_dir):
             .orderBy("scene_id"))
 
 
+def q_m5_sarima_d2(spark, sf_dir):
+    """M5/A11 completion: seasonal differencing D=2 — (1,0,0)×(0,2,1,12)
+    — the last seasonal-order class the engine lacked (round-4 VERDICT
+    #5). The ∇s² forecast integrates back level by level
+    (ml.sarima_forecast_batch); oracle is the single-process replay of
+    the same fitter (replay-VALUES, m3/m4 precedent), with the fitter
+    math independently anchored by known-process recovery tests."""
+    from raster_functions_spark import fixtures
+    from raster_functions_spark.operators import ml
+    from raster_functions_spark.raster import tile_stats
+    st = spark.createDataFrame(fixtures.sarima_monthly_stack_pdf())
+    out = ml.sarima_template_delta(
+        st, data_start_year=1990, train_start_year=1990,
+        train_end_year=2000, predict_year=2003, predict_month=6,
+        seasonal_order=(0, 2, 1, 12))
+    agg = tile_stats(out, [], {"sum_delta": _px_sum},
+                     keep_cols=["scene_id", "n_obs"])
+    return (agg.select("scene_id", "n_obs",
+                       F.round("sum_delta", 3).alias("sum_delta"))
+            .orderBy("scene_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: image count seeded from the documents table,
     full decode→cell→PIP→zonal pipeline."""
@@ -1597,60 +1619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # now rotate to the back — they remain verified by
     # scripts/check_oracles.py, which runs ALL keys).
     return {k: shipped(v) for k, v in {
-        # round-4 additions
-        "rft_mosaic_findmax": q_rft_mosaic_findmax,
-        "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
-        "m5_sarima_seasonal": q_m5_sarima_seasonal,
+        # ---- r5 driver window: new/changed queries first, then every
+        # key whose last driver-issued row predates round 4 (rotation
+        # discipline, VERDICT r4 #6) ----
+        "m5_sarima_d2": q_m5_sarima_d2,
         "mm_decode_video": q_mm_decode_video,
-        "ann_lsh_multi": q_ann_lsh_multi,
-        "stream_pixel_composite": q_stream_pixel_composite,
         "flagship_incremental": q_flagship_incremental,
-        "f7_fish_habitat": q_f7_fish_habitat,
-        "p5_fill_constant": q_p5_fill_constant,
-        "u2_composite_bands": q_u2_composite_bands,
-        "s5_random": q_s5_random,
-        "s4_training_csv": q_s4_training_csv,
-        "f16_key_metadata": q_f16_key_metadata,
-        "ann_ivf_index": q_ann_ivf_index,
-        # never driver-checked before round 4 (VERDICT r3 list)
-        "mm_resize": q_mm_resize,
-        "mm_decode_png": q_mm_decode_png,
-        "mm_decode_jpeg": q_mm_decode_jpeg,
-        "mm_catalog": q_mm_catalog,
-        "mm_quarantine": q_mm_quarantine,
-        "mm_ingest_rollup": q_mm_ingest_rollup,
-        "m3_random_forest": q_m3_random_forest,
-        "m4_gbt": q_m4_gbt,
-        "snap_incremental": q_snap_incremental,
-        "f4_windchill_units": q_f4_windchill_units,
-        "f5_heat_index": q_f5_heat_index,
-        "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
-        "f8_vineyard": q_f8_vineyard,
-        "f11_unmixing": q_f11_unmixing,
-        "f13_calculator": q_f13_calculator,
-        "f14_remap": q_f14_remap,
-        "f14_vector_field": q_f14_vector_field,
-        "f15_cubism": q_f15_cubism,
-        "f15_chuck_close": q_f15_chuck_close,
-        "f3_arith_div": q_f3_arith_div,
-        "a6_month_synthesis": q_a6_month_synthesis,
-        "a7_percent_above_px": q_a7_percent_above_px,
-        "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
-        "j6_nearest_labels": q_j6_nearest_labels,
-        "p3_mask_apply": q_p3_mask_apply,
-        "p4_replace_nulls": q_p4_replace_nulls,
-        "p7_qa_clear": q_p7_qa_clear,
-        "s3_feature_envelope": q_s3_feature_envelope,
-        "s6_latitude": q_s6_latitude,
-        "s7_catalog": q_s7_catalog,
-        "w4_rank_median_px": q_w4_rank_median_px,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        # rotation fill to the 50-key window: keys whose last driver check
-        # predates the round-3 engine changes they exercise
-        "m5_sarima": q_m5_sarima,
-        "m5_sarima_px": q_m5_sarima_px,
-        "img_flagship": q_img_flagship,
-        "img_stack_median": q_img_stack_median,
+        "stream_pixel_composite": q_stream_pixel_composite,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_langid": q_text_langid,
@@ -1663,7 +1638,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "stream_sessionize": q_stream_sessionize,
         "stream_windowed": q_stream_windowed,
-        # ---- driver window boundary (~50) — long-stable keys below ----
         "a1_pricing_summary": q_a1_pricing_summary,
         "a4_percentile": q_a4_percentile,
         "a7_percent_above": q_a7_percent_above,
@@ -1698,6 +1672,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_aspect_slope": q_w2_aspect_slope,
         "w7_mdhillshade": q_w7_mdhillshade,
         "f4_windchill": q_f4_windchill,
+        # ---- driver window boundary (50) — driver-r4-fresh keys below ----
+        "rft_mosaic_findmax": q_rft_mosaic_findmax,
+        "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
+        "m5_sarima_seasonal": q_m5_sarima_seasonal,
+        "ann_lsh_multi": q_ann_lsh_multi,
+        "f7_fish_habitat": q_f7_fish_habitat,
+        "p5_fill_constant": q_p5_fill_constant,
+        "u2_composite_bands": q_u2_composite_bands,
+        "s5_random": q_s5_random,
+        "s4_training_csv": q_s4_training_csv,
+        "f16_key_metadata": q_f16_key_metadata,
+        "ann_ivf_index": q_ann_ivf_index,
+        "mm_resize": q_mm_resize,
+        "mm_decode_png": q_mm_decode_png,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
+        "mm_catalog": q_mm_catalog,
+        "mm_quarantine": q_mm_quarantine,
+        "mm_ingest_rollup": q_mm_ingest_rollup,
+        "m3_random_forest": q_m3_random_forest,
+        "m4_gbt": q_m4_gbt,
+        "snap_incremental": q_snap_incremental,
+        "f4_windchill_units": q_f4_windchill_units,
+        "f5_heat_index": q_f5_heat_index,
+        "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
+        "f8_vineyard": q_f8_vineyard,
+        "f11_unmixing": q_f11_unmixing,
+        "f13_calculator": q_f13_calculator,
+        "f14_remap": q_f14_remap,
+        "f14_vector_field": q_f14_vector_field,
+        "f15_cubism": q_f15_cubism,
+        "f15_chuck_close": q_f15_chuck_close,
+        "f3_arith_div": q_f3_arith_div,
+        "a6_month_synthesis": q_a6_month_synthesis,
+        "a7_percent_above_px": q_a7_percent_above_px,
+        "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
+        "j6_nearest_labels": q_j6_nearest_labels,
+        "p3_mask_apply": q_p3_mask_apply,
+        "p4_replace_nulls": q_p4_replace_nulls,
+        "p7_qa_clear": q_p7_qa_clear,
+        "s3_feature_envelope": q_s3_feature_envelope,
+        "s6_latitude": q_s6_latitude,
+        "s7_catalog": q_s7_catalog,
+        "w4_rank_median_px": q_w4_rank_median_px,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "m5_sarima": q_m5_sarima,
+        "m5_sarima_px": q_m5_sarima_px,
+        "img_flagship": q_img_flagship,
+        "img_stack_median": q_img_stack_median,
     }.items()}
 
 
@@ -1782,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode_video": _orc.video_decode_sql(30, 2),
         "ann_lsh_multi": _orc.lsh_multi_sql(2000, 8, 32, 5, 8, 4),
         "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),
+        "m5_sarima_d2": _orc.sarima_seasonal_sql(8, 144, (0, 2, 1)),
         "a6_month_synthesis": _orc.month_synthesis_sql(3, 24, 16, 1),
         "a10_fuzzy_mssmall": _orc.fuzzy_mssmall_sql(3, 2, 32, 2.0),
         "j6_nearest_labels": _orc.nearest_labels_sql(

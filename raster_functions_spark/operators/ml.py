@@ -438,14 +438,15 @@ def sarima_forecast_batch(Y: np.ndarray, horizon: int, period: int = 12,
             buf[:, t] = (c + phi * buf[:, t - 1] + Phi * buf[:, t - s]
                          - phi * Phi * buf[:, t - s - 1])
         return buf[:, T:]
-    if D > 1:
-        raise ValueError("seasonal differencing D > 1 is not supported "
-                         "(the reference's shipped templates use D ∈ {0, 1})")
+    # seasonal differencing ∇s^D: keep every intermediate level so the
+    # forecast can be integrated back level by level (y_t = w_t + y_{t-s})
+    levels = [Y]
     W = Y
     for _ in range(D):
         if W.shape[1] <= s:             # can't difference: naive hold
             return np.repeat(Y[:, -1:], horizon, axis=1)
         W = W[:, s:] - W[:, :-s]
+        levels.append(W)
     fit = sarima_hr_fit_batch(W, period, P=P, Q=Q)
     Tw = W.shape[1]
     wbuf = np.concatenate([W, np.zeros((W.shape[0], horizon))], axis=1)
@@ -460,14 +461,19 @@ def sarima_forecast_batch(Y: np.ndarray, horizon: int, period: int = 12,
         if t - s - 1 >= 0:
             pred = pred + fit["as1"] * wbuf[:, t - s - 1]
         wbuf[:, t] = pred
-    # integrate the seasonal difference back: y_t = w_t + y_{t-s}
+    # integrate the seasonal difference back D times, innermost level
+    # outward: at each level, y_t = w_t + y_{t-s} over the level's own
+    # observed history (D = 1 reduces to the single-pass r4 behavior)
     out = wbuf[:, Tw:]
-    if D == 1:
-        ybuf = np.concatenate([Y, np.zeros((Y.shape[0], horizon))], axis=1)
+    for lvl in range(D - 1, -1, -1):
+        base = levels[lvl]
+        Tb = base.shape[1]
+        ybuf = np.concatenate([base, np.zeros((base.shape[0], horizon))],
+                              axis=1)
         for h in range(horizon):
-            t = T + h
+            t = Tb + h
             ybuf[:, t] = out[:, h] + ybuf[:, t - s]
-        out = ybuf[:, T:]
+        out = ybuf[:, Tb:]
     return out
 
 
@@ -507,11 +513,26 @@ def sarima_template_delta(df, data_start_year: int, train_start_year: int,
                           group_cols: list[str] = ["scene_id"],
                           order_col: str = "t", value_band: int = 0,
                           fmt_out: str = "zlib"):
-    """The SeasonalARIMA .rft template's exact product: per-pixel
+    """The SeasonalARIMA .rft template's product: per-pixel
     delta = ŷ(predict_year) − ŷ(current_year) at predict_month, fitted on
     the monthly series between train_start_year and train_end_year
     (SeasonalARIMA.py:176-216: order (1,0,0) × the template's seasonal
-    (P,D,Q,s), trend='c'; index arithmetic replicated verbatim).
+    (P,D,Q,s), trend='c').
+
+    Two DELIBERATE divergences from the reference's index arithmetic:
+
+    - when train_start_year > data_start_year, the reference calls
+      predict(start=train_data_end_index) on a model fit to the [i0:i1]
+      slice, which shifts every forecast i0 extra steps past the training
+      end (SeasonalARIMA.py:196-204 — arguably a bug: the index into the
+      slice is computed against the unsliced axis); here forecasts start
+      at the training end, so predict_year/predict_month mean what they
+      say regardless of the slice origin;
+    - series too short to fit fall back to delta = 0.0 (a neutral 'no
+      trend' answer), where the reference's exception handler emits the
+      -999 sentinel (SeasonalARIMA.py:214) — pass the result through
+      ReplaceNulls/remap if a sentinel is required downstream.
+
     ``current_year`` replaces the reference's wall-clock datetime.now()
     (SeasonalARIMA.py:181) with an explicit argument — default
     train_end_year + 1 — so runs are deterministic and replayable."""

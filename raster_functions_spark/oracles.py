@@ -1515,14 +1515,17 @@ SELECT 'scene' || s AS scene_id, {n_t} AS n_rasters,
 FROM capped GROUP BY s ORDER BY scene_id"""
 
 
-def sarima_seasonal_sql(tile: int = 8, n_t: int = 144) -> str:
-    """m5_sarima_seasonal oracle: the (1,0,0)×(0,1,1,12) per-pixel fit is
-    iterative (Hannan–Rissanen batched OLS + recursive residual pass), so
-    — replay-oracle style (m3/m4 precedent) — the expected per-scene delta
-    sum is computed by a single-process replay of the same public fitter
-    over the same closed-form fixture and embedded as VALUES. The
-    distributed path under test: groupBy(scene) applyInPandas, whole-tile
-    batch fit, template index arithmetic."""
+def sarima_seasonal_sql(tile: int = 8, n_t: int = 144,
+                        seasonal_order: tuple = (0, 1, 1)) -> str:
+    """m5_sarima_seasonal / m5_sarima_d2 oracle: the (1,0,0)×(P,D,Q,12)
+    per-pixel fit is iterative (Hannan–Rissanen batched OLS + recursive
+    residual pass), so — replay-oracle style (m3/m4 precedent) — the
+    expected per-scene delta sum is computed by a single-process replay of
+    the same public fitter over the same closed-form fixture and embedded
+    as VALUES. The distributed path under test: groupBy(scene)
+    applyInPandas, whole-tile batch fit, template index arithmetic.
+    (The fitter math itself is independently anchored by
+    tests/test_ml_zonal_hydro.py's known-process recovery tests.)"""
     from .fixtures import sarima_monthly_stack
     from .operators import ml
     full = sarima_monthly_stack(tile, n_t)
@@ -1531,7 +1534,7 @@ def sarima_seasonal_sql(tile: int = 8, n_t: int = 144) -> str:
     j_final = (2003 - 2000) * 12 - (12 - pm)
     j_cur = (2001 - 2000) * 12 - (12 - pm)
     fc = ml.sarima_forecast_batch(Y, j_final + 1, period=12,
-                                  seasonal_order=(0, 1, 1))
+                                  seasonal_order=tuple(seasonal_order))
     delta = (fc[:, j_final] - fc[:, j_cur]).astype(np.float32)
     s = round(float(delta.astype(np.float64).sum()), 3)
     return (f"SELECT scene_id, CAST(n_obs AS INT) AS n_obs, sum_delta "

@@ -445,6 +445,14 @@ def _compile_mosaic_adapter(cls: str, spec: dict, a: dict) -> list:
     raster_ins = [(k, v) for k, v in a.items()
                   if k not in ("PythonModule", "ClassName") and _is_raster(v)
                   and v is not RASTER_INPUT]
+    if len(raster_ins) > 1:
+        # a mosaic-level template binding several real raster inputs needs
+        # branch_stack composition — refuse loudly rather than silently
+        # dropping all but the first (round-4 ADVICE)
+        raise ValueError(
+            f"mosaic template {cls} binds {len(raster_ins)} real raster "
+            f"inputs ({[k for k, _ in raster_ins]}); only one pre-chain "
+            "input is supported — compose the others via branch_stack")
     if raster_ins:
         pre = _compile(raster_ins[0][1])
         return pre + [node]

@@ -258,3 +258,62 @@ def test_cti_distributed_matches_scene(spark):
         w = want[r.ty * 16:(r.ty + 1) * 16, r.tx * 16:(r.tx + 1) * 16]
         # slope crosses a float32 tile boundary between stages → ~2e-4
         assert np.allclose(got, w, atol=1e-3), (r.tx, r.ty)
+
+
+def test_sarima_d2_recovers_exact_seasonal_quadratic():
+    """INDEPENDENT anchor for the ∇s² path (no replay): a series whose
+    seasonal second difference is exactly constant (per-month quadratic
+    trend in the season index) must be continued exactly by a
+    (1,0,0)x(0,2,1,12) fit — the differenced series is constant, so the
+    model's forecast reduces to closed-form integration the test computes
+    from first principles."""
+    import numpy as np
+    from raster_functions_spark.operators import ml
+
+    s, n_years, c2 = 12, 12, 0.35
+    t = np.arange(s * n_years)
+    j, m = t // s, t % s
+    a = 5.0 + np.sin(2 * np.pi * m / s)          # per-month level
+    b = 0.3 + 0.05 * m                           # per-month slope
+    y = a + b * j + c2 * j ** 2                  # ∇s² y == 2*c2 exactly
+    horizon = 2 * s
+    fc = ml.sarima_forecast_batch(y[None], horizon, period=s,
+                                  seasonal_order=(0, 2, 1))[0]
+    tt = np.arange(s * n_years, s * n_years + horizon)
+    jj, mm = tt // s, tt % s
+    want = (5.0 + np.sin(2 * np.pi * mm / s)) + (0.3 + 0.05 * mm) * jj \
+        + c2 * jj ** 2
+    assert np.allclose(fc, want, rtol=1e-6, atol=1e-6)
+
+
+def test_sarima_hr_fit_recovers_known_seasonal_ma_process():
+    """INDEPENDENT anchor for the Hannan–Rissanen (0,1,1,12) path: series
+    simulated from the exact generating process w_t = c + e_t + θ·e_{t-s}
+    (w = seasonal difference) with known (c, θ) and small innovations.
+    The fitted one-step forecasts must track the true-model forecasts
+    (computed from the KNOWN parameters and the TRUE innovations) far
+    better than a naive seasonal walk — a math check against the
+    generating process, not a replay of the implementation."""
+    import numpy as np
+    from raster_functions_spark.operators import ml
+
+    rng = np.random.default_rng(123)
+    s, n = 12, 30 * 12
+    c_true, theta = 0.4, 0.6
+    e = rng.normal(0, 0.05, n + s)
+    w = c_true + e[s:] + theta * e[:-s]          # seasonal MA(1) + drift
+    y = np.zeros(n + s)
+    y[:s] = 10.0
+    for t in range(s, n + s):
+        y[t] = y[t - s] + w[t - s]               # integrate ∇s back
+    y = y[s:]
+    horizon = s
+    fc = ml.sarima_forecast_batch(y[None], horizon, period=s,
+                                  seasonal_order=(0, 1, 1))[0]
+    # true-model h-step forecast: E[w_{n+h}] = c + θ·e_{n+h-s} for h<=s
+    w_fc = c_true + theta * e[s:][n - s:n]
+    want = y[-s:] + w_fc
+    err_fit = np.abs(fc - want).mean()
+    err_naive = np.abs(y[-s:] - want).mean()     # seasonal random walk
+    assert err_fit < 0.1                          # absolute closeness
+    assert err_fit < err_naive * 0.5              # and beats the naive walk
