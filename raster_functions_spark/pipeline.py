@@ -332,6 +332,8 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
                                view_path: str, checkpoint: str,
                                cell_res: int = 7,
                                compact_every: int | None = None,
+                               expire_every: int | None = None,
+                               keep_last: int = 64,
                                query_name: str = "flagship-incremental"):
     """The flagship zonal query as a continuously-updatable materialized
     view: each image microbatch runs decode→cell→PIP ONCE (the assigned
@@ -370,6 +372,8 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
             assigned.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
             vt.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
+        if expire_every and (batch_id + 1) % expire_every == 0:
+            vt.expire_snapshots(keep_last=keep_last)
 
     return (stream_images.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

@@ -81,6 +81,13 @@ class SnapshotTable:
         for s in root["snapshots"]:
             if s.get("run_id") == run_id:
                 return s
+        # tombstones left by expire_snapshots: an EXPIRED commit's run_id
+        # must still short-circuit a late replay (exactly-once survives
+        # retention), at ~30 bytes per expired commit instead of its full
+        # snapshot entry
+        tomb = root.get("expired_run_ids") or {}
+        if run_id in tomb:
+            return {"id": tomb[run_id]}
         return None
 
     # ----------------------------------------------------------- write ----
@@ -254,23 +261,38 @@ class SnapshotTable:
 
     # --------------------------------------------------------- streaming --
 
-    def streaming_sink(self, partition_col: str):
+    def streaming_sink(self, partition_col: str,
+                       expire_every: int | None = None,
+                       keep_last: int = 64):
         """foreachBatch sink: one snapshot commit per microbatch with
         ``run_id = batch-<id>`` — a retried microbatch is a no-op commit,
         so snapshot appends are exactly-once end to end (a mid-append
         failure leaves only unreferenced files, reclaimed by
-        expire_snapshots; a post-commit retry short-circuits on run_id).
+        expire_snapshots; a post-commit retry short-circuits on run_id —
+        including replays of already-EXPIRED batches, via tombstones).
         Downstream consumers use read_incremental to process exactly the
-        newly committed rows."""
+        newly committed rows.
+
+        ``expire_every`` bounds the metadata: every N batches the log is
+        truncated to ``keep_last`` snapshots (run-id tombstones retained),
+        keeping the per-commit root rewrite O(keep_last) instead of
+        O(#commits) — the retention loop a long-lived streaming table
+        needs. Time travel / read_incremental reach back at most
+        keep_last commits once enabled; size keep_last to the slowest
+        downstream consumer's lag."""
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             self.append(batch_df, partition_col, run_id=f"batch-{batch_id}")
+            if expire_every and (batch_id + 1) % expire_every == 0:
+                self.expire_snapshots(keep_last=keep_last)
         return sink
 
     def start_ingest(self, stream: DataFrame, partition_col: str,
-                     checkpoint: str, query_name: str = "snapshot-ingest"):
+                     checkpoint: str, query_name: str = "snapshot-ingest",
+                     expire_every: int | None = None, keep_last: int = 64):
         """Wire a stream into this table (availableNow trigger)."""
         return (stream.writeStream
-                .foreachBatch(self.streaming_sink(partition_col))
+                .foreachBatch(self.streaming_sink(partition_col,
+                                                  expire_every, keep_last))
                 .option("checkpointLocation", checkpoint)
                 .queryName(query_name).trigger(availableNow=True).start())
 
@@ -331,7 +353,14 @@ class SnapshotTable:
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete data
         files no longer referenced by any kept snapshot. Returns deleted
-        file paths."""
+        file paths. Expired commits' run_ids stay behind as TOMBSTONES in
+        the root so a late replay of an expired microbatch is still a
+        no-op — without them, retention would reopen the double-commit
+        window exactly-once closed. The root therefore stays
+        O(keep_last + expired-run-id count): retention bounds the heavy
+        per-snapshot entries (file lists, summaries) that otherwise make
+        every commit an O(#commits) root rewrite (measured 1.4 MiB /
+        ~200 ms per op at 10k commits — BENCH/notes_r5.md)."""
         root = self._root()
         if len(root["snapshots"]) <= keep_last:
             return []
@@ -342,12 +371,16 @@ class SnapshotTable:
             referenced.update(f["path"] for f in self._manifest(s["id"]))
         fs, Path = _hadoop_fs(self.spark, self.path)
         deleted = []
+        tomb = dict(root.get("expired_run_ids") or {})
         for s in dropped:
+            if s.get("run_id"):
+                tomb[s["run_id"]] = s["id"]
             for rel in s["added"]:
                 if rel not in referenced:
                     fs.delete(Path(f"{self.path}/{rel}"), False)
                     deleted.append(rel)
             fs.delete(Path(f"{self.path}/metadata/manifest-{s['id']}.json"), False)
         root["snapshots"] = kept
+        root["expired_run_ids"] = tomb
         _write_json_atomic(self.spark, self.path, ROOT, root)
         return deleted

@@ -91,6 +91,8 @@ def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
                             qa_band: int | None = None,
                             clear_values: tuple[int, ...] = (),
                             compact_every: int | None = None,
+                            expire_every: int | None = None,
+                            keep_last: int = 64,
                             query_name: str = "pixel-composite-ingest"):
     """Live per-PIXEL running mean composite (round 4): each microbatch of
     incoming acquisitions reduces to per-position [Σ, count] PARTIAL TILES
@@ -118,6 +120,10 @@ def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
         if compact_every and (batch_id + 1) % compact_every == 0:
             table.compact(min_files_per_value=2,
                           run_id=f"compact-{batch_id}")
+        # bounded METADATA growth: truncate the snapshot log every N
+        # batches (run-id tombstones keep expired batches exactly-once)
+        if expire_every and (batch_id + 1) % expire_every == 0:
+            table.expire_snapshots(keep_last=keep_last)
 
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

@@ -246,3 +246,27 @@ def test_append_tables_atomic_multi_dataset(spark, table):
     # schemaless-empty contract shared with the single-table path)
     with pytest.raises(ValueError):
         table.read_incremental(before, table="stats")
+
+
+def test_streaming_expire_automation_bounds_root_and_keeps_exactly_once(
+        spark, table):
+    """expire_every truncates the snapshot log during streaming ingest
+    (root stays O(keep_last)), expired batches leave run-id tombstones,
+    and a LATE REPLAY of an already-expired microbatch is still a no-op —
+    exactly-once survives retention."""
+    sink = table.streaming_sink("p_cell", expire_every=4, keep_last=3)
+    for b in range(10):
+        sink(_df(spark, (b * 2, b * 2 + 2), f"v{b}"), b)
+    root = table._root()
+    assert len(root["snapshots"]) <= 3 + 4          # bounded by retention
+    assert root["expired_run_ids"]                  # tombstones recorded
+    cur = table.current_id
+    n_rows = table.read().count()
+    assert n_rows == 20                             # data files all live
+    # replay of an EXPIRED batch: tombstone short-circuits, nothing changes
+    sink(_df(spark, (0, 2), "v0"), 0)
+    assert table.current_id == cur
+    assert table.read().count() == 20
+    # replay of a LIVE batch: still a no-op too
+    sink(_df(spark, (18, 20), "v9"), 9)
+    assert table.current_id == cur
