@@ -162,3 +162,43 @@ def test_cosine_near_dup_pairs(spark):
     out = {(r.id_a, r.id_b) for r in
            similarity.cosine_near_dup_pairs(df, threshold=0.95).collect()}
     assert out == {(0, 1)}
+
+
+def test_lsh_gemm_buckets_match_jvm_fold_order(spark):
+    """The ann_lsh DuckDB oracle unrolls the JVM fold-order hyperplane
+    dot; the r5 streamed kernel buckets with a numpy GEMM. The two differ
+    only below float64 ulp — razor-edge sign flips would need |dot| within
+    rounding error of 0, which real embeddings never sit at. This test
+    pins the invariant on the actual sf0.01 corpus plus random vectors so
+    any future divergence (BLAS change, dtype change) fails loudly here
+    before it can surface as an oracle mismatch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from raster_functions_spark import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    n_bits = 6
+    jvm = (emb.select("vec_id",
+                      sim.lsh_bucket_col(F.col("embedding").cast("array<double>"),
+                                         dim, n_bits).alias("b"))
+           .toPandas().sort_values("vec_id"))
+    X = np.stack(emb.orderBy("vec_id").toPandas()["embedding"].to_numpy()
+                 ).astype(np.float64)
+    H = sim._hyperplanes(dim, n_bits)
+    pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+    gemm = ((X @ H.T) > 0).astype(np.int64) @ pow2
+    assert np.array_equal(jvm["b"].to_numpy(np.int64), gemm)
+    # random vectors at another dim
+    rng = np.random.default_rng(11)
+    Y = rng.normal(0, 1, (500, 48))
+    H2 = sim._hyperplanes(48, 8)
+    g = ((Y @ H2.T) > 0).astype(np.int64) @ (1 << np.arange(8)).astype(np.int64)
+    pdf = pd.DataFrame({"vec_id": np.arange(500),
+                        "embedding": [r.tolist() for r in Y]})
+    jvm2 = (spark.createDataFrame(pdf)
+            .select("vec_id", sim.lsh_bucket_col(
+                F.col("embedding").cast("array<double>"), 48, 8).alias("b"))
+            .toPandas().sort_values("vec_id"))
+    assert np.array_equal(jvm2["b"].to_numpy(np.int64), g)
