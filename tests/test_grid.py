@@ -118,3 +118,26 @@ def test_hex_encode_basic():
     assert h[0] == h[1]          # nearby points share a hex
     assert h[2] != h[3]          # distant points differ
     assert h.dtype == np.int64
+
+
+def test_splitmix64_matches_published_reference_vectors():
+    """INDEPENDENT anchor for every splitmix-seeded surface (Random
+    source, LSH hyperplanes, IVF init, fixtures): the numpy vectorized
+    finalizer must equal the public-domain reference algorithm computed
+    in pure Python big-int arithmetic, including the canonical first
+    output for state 0 (0xE220A8397B1DCDAF — Vigna's splitmix64.c)."""
+    import numpy as np
+    from raster_functions_spark.fixtures import splitmix64
+
+    def ref(x):
+        z = (x + 0x9E3779B97F4A7C15) & (2 ** 64 - 1)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2 ** 64 - 1)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2 ** 64 - 1)
+        return (z ^ (z >> 31)) & (2 ** 64 - 1)
+
+    assert int(splitmix64(np.uint64(0))) == 0xE220A8397B1DCDAF
+    xs = np.array([0, 1, 2, 1234567, 2 ** 63, 2 ** 64 - 1,
+                   0xDEADBEEFCAFEBABE], dtype=np.uint64)
+    got = splitmix64(xs)
+    for x, g in zip(xs.tolist(), got.tolist()):
+        assert int(g) == ref(int(x)), hex(int(x))
