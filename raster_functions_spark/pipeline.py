@@ -307,13 +307,11 @@ def run_benchmark(spark: SparkSession, n_images: int, n_aoi: int = 50,
 
 # ------------------------------------------------ incremental flagship ----
 
-def flagship_batch_partials(spark: SparkSession, images: DataFrame,
-                            aoi: DataFrame, cell_res: int = 7):
-    """One batch's contribution to the incremental flagship: decomposable
-    per-AOI partial aggregates + the batch's distinct (aoi, cell) pairs
-    (n_cells is the one non-trivially-decomposable stat — exact via pair
-    dedup across batches, bounded by cells-per-AOI, not images)."""
-    assigned = flagship_assigned(spark, images, aoi, cell_res)
+def _assigned_partials(assigned: DataFrame):
+    """The decomposable per-AOI partial aggregates + distinct (aoi, cell)
+    pairs over already-assigned rows — THE single definition both the
+    batch helper and the streaming sink share (they must never diverge:
+    the merged view is compared against the batch flagship oracle)."""
     ok = lambda c: F.when(~F.isnan(c), F.col(c))
     partials = (assigned.groupBy("aoi_id")
                 .agg(F.count("*").alias("n_images"),
@@ -326,6 +324,15 @@ def flagship_batch_partials(spark: SparkSession, images: DataFrame,
                      .alias("n_bad")))
     pairs = assigned.select("aoi_id", "cell").distinct()
     return partials, pairs
+
+
+def flagship_batch_partials(spark: SparkSession, images: DataFrame,
+                            aoi: DataFrame, cell_res: int = 7):
+    """One batch's contribution to the incremental flagship: decomposable
+    per-AOI partial aggregates + the batch's distinct (aoi, cell) pairs
+    (n_cells is the one non-trivially-decomposable stat — exact via pair
+    dedup across batches, bounded by cells-per-AOI, not images)."""
+    return _assigned_partials(flagship_assigned(spark, images, aoi, cell_res))
 
 
 def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
@@ -354,26 +361,14 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
         assigned = flagship_assigned(spark, batch_df, aoi, cell_res)
         assigned.persist()
         try:
-            ok = lambda c: F.when(~F.isnan(c), F.col(c))
-            partials = (assigned.groupBy("aoi_id")
-                        .agg(F.count("*").alias("n_images"),
-                             F.sum(ok("px_mean")).alias("s_mean"),
-                             F.count(ok("px_mean")).alias("k_mean"),
-                             F.sum(ok("px_std")).alias("s_std"),
-                             F.count(ok("px_std")).alias("k_std"),
-                             F.max("phash_ham").alias("max_phash_ham"),
-                             F.sum(F.when(F.col("phash_ham") < 0, 1)
-                                   .otherwise(0)).alias("n_bad")))
-            pairs = assigned.select("aoi_id", "cell").distinct()
+            partials, pairs = _assigned_partials(assigned)
             vt.append_tables({"partials": (partials, "aoi_id"),
                               "pairs": (pairs, "aoi_id")},
                              run_id=f"batch-{batch_id}")
         finally:
             assigned.unpersist()
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            vt.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
-        if expire_every and (batch_id + 1) % expire_every == 0:
-            vt.expire_snapshots(keep_last=keep_last)
+        vt.maintain(batch_id, compact_every=compact_every,
+                    expire_every=expire_every, keep_last=keep_last)
 
     return (stream_images.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

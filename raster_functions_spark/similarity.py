@@ -179,7 +179,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     per-pair pandas UDF — measured 24.4s vs 4.7s brute force at 200k
     (BENCH/notes_r4.md); the kernel form scores each occupied bucket with
     one GEMM inside a single mapInPandas, no join, shuffle = n_q·k
-    partial rows."""
+    partial rows.
+
+    Ids must be integers (the module-wide contract: every similarity
+    path emits bigint ids so results are engine-comparable without
+    float/string-hash hazards — see brute_force_topk). Map string keys
+    to a surrogate bigint upstream."""
     return _lsh_gemm_topk(corpus, queries, k, id_col, vec_col, qid_col,
                           n_bits=n_bits, n_tables=1, n_probes=n_probes,
                           dim=dim)

@@ -105,23 +105,39 @@ class SnapshotTable:
         (df.withColumn("_p", F.col(pcol).cast("string"))
            .write.mode("error").partitionBy("_p").parquet(ddir))
         fs, Path = _hadoop_fs(self.spark, self.path)
-        files = []
-        it = fs.listFiles(Path(ddir), True)
-        while it.hasNext():
-            st = it.next()
-            p = st.getPath().toString()
-            if not p.endswith(".parquet"):
-                continue
-            part = None
-            for seg in p.split("/"):
-                if seg.startswith("_p="):
-                    part = seg[3:]
-            entry = {"path": f"{rel}/" + p.split(rel + "/", 1)[1],
-                     "partition": part, "bytes": int(st.getLen())}
-            if sub is not None:
-                entry["table"] = sub
-            files.append(entry)
-        return sorted(files, key=lambda f: f["path"])
+
+        def list_parquet():
+            files = []
+            it = fs.listFiles(Path(ddir), True)
+            while it.hasNext():
+                st = it.next()
+                p = st.getPath().toString()
+                if not p.endswith(".parquet"):
+                    continue
+                part = None
+                for seg in p.split("/"):
+                    if seg.startswith("_p="):
+                        part = seg[3:]
+                entry = {"path": f"{rel}/" + p.split(rel + "/", 1)[1],
+                         "partition": part, "bytes": int(st.getLen())}
+                if sub is not None:
+                    entry["table"] = sub
+                files.append(entry)
+            return sorted(files, key=lambda f: f["path"])
+
+        files = list_parquet()
+        if not files:
+            # EMPTY dataset: partitionBy writes no part files at all, which
+            # would make the committed table unreadable (read() resolves
+            # zero files → error) even though the commit is legitimate —
+            # e.g. a flagship microbatch whose images intersect no AOI.
+            # Write one zero-row non-partitioned file so the schema
+            # materializes; _p rides along as a real (all-null) column and
+            # read()'s drop("_p") removes it.
+            (df.withColumn("_p", F.col(pcol).cast("string"))
+               .coalesce(1).write.mode("append").parquet(ddir))
+            files = list_parquet()
+        return files
 
     @staticmethod
     def _table_of(path: str) -> str | None:
@@ -249,6 +265,19 @@ class SnapshotTable:
         backfill scan. Touches only the added files, never the full table."""
         root = self._root()
         hi = until_snapshot_id if until_snapshot_id is not None else root["current"]
+        # retention guard: snapshot ids are contiguous, so a consumer whose
+        # checkpoint predates the oldest retained log entry would silently
+        # miss the EXPIRED snapshots' rows — refuse instead (the consumer
+        # must full-rescan), mirroring how read() of an expired snapshot
+        # fails loudly on its missing manifest
+        if root["snapshots"]:
+            oldest = root["snapshots"][0]["id"]
+            if since_snapshot_id + 1 < oldest and since_snapshot_id < hi:
+                raise ValueError(
+                    f"incremental range ({since_snapshot_id}, {hi}] predates "
+                    f"retention (oldest retained snapshot: {oldest}) — rows "
+                    "from expired snapshots are gone from the log; re-read "
+                    "the full table instead")
         files: list[str] = []
         for s in root["snapshots"]:
             # compaction rewrites EXISTING rows into fewer files — its
@@ -260,6 +289,22 @@ class SnapshotTable:
         return self._read_files(files)
 
     # --------------------------------------------------------- streaming --
+
+    def maintain(self, batch_id: int,
+                 compact_every: int | None = None,
+                 expire_every: int | None = None,
+                 keep_last: int = 64) -> None:
+        """The per-microbatch maintenance cadence, shared by every
+        foreachBatch sink (snapshot ingest, pixel-composite ingest,
+        incremental flagship): small-file compaction every
+        ``compact_every`` batches (exactly-once via its own run_id) and
+        log retention every ``expire_every`` batches (run-id tombstones
+        keep expired batches replay-safe). One copy of the scheduling
+        semantics — change it here, every sink follows."""
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            self.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
+        if expire_every and (batch_id + 1) % expire_every == 0:
+            self.expire_snapshots(keep_last=keep_last)
 
     def streaming_sink(self, partition_col: str,
                        expire_every: int | None = None,
@@ -282,8 +327,8 @@ class SnapshotTable:
         downstream consumer's lag."""
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             self.append(batch_df, partition_col, run_id=f"batch-{batch_id}")
-            if expire_every and (batch_id + 1) % expire_every == 0:
-                self.expire_snapshots(keep_last=keep_last)
+            self.maintain(batch_id, expire_every=expire_every,
+                          keep_last=keep_last)
         return sink
 
     def start_ingest(self, stream: DataFrame, partition_col: str,

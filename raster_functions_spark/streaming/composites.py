@@ -117,13 +117,8 @@ def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
         # bounded small-file growth: every N batches, rewrite each value's
         # accreted file sets into one (op='compact' — skipped by
         # incremental readers, idempotent under retry via its own run_id)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            table.compact(min_files_per_value=2,
-                          run_id=f"compact-{batch_id}")
-        # bounded METADATA growth: truncate the snapshot log every N
-        # batches (run-id tombstones keep expired batches exactly-once)
-        if expire_every and (batch_id + 1) % expire_every == 0:
-            table.expire_snapshots(keep_last=keep_last)
+        table.maintain(batch_id, compact_every=compact_every,
+                       expire_every=expire_every, keep_last=keep_last)
 
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

@@ -270,3 +270,43 @@ def test_streaming_expire_automation_bounds_root_and_keeps_exactly_once(
     # replay of a LIVE batch: still a no-op too
     sink(_df(spark, (18, 20), "v9"), 9)
     assert table.current_id == cur
+
+
+def test_read_incremental_refuses_range_predating_retention(spark, table):
+    """A lagging consumer whose checkpoint predates the oldest retained
+    snapshot must get a loud error, not a silently-incomplete scan
+    (expired snapshots' added-file lists are gone from the log)."""
+    sink = table.streaming_sink("p_cell", expire_every=4, keep_last=3)
+    for b in range(8):
+        sink(_df(spark, (b * 2, b * 2 + 2), f"v{b}"), b)
+    root = table._root()
+    oldest = root["snapshots"][0]["id"]
+    assert oldest > 1                               # retention actually ran
+    with pytest.raises(ValueError, match="predates retention"):
+        table.read_incremental(1)
+    # a range fully inside the retained log still works
+    assert table.read_incremental(oldest - 1).count() > 0
+    # empty range at the head: unchanged empty-scan behavior
+    with pytest.raises(ValueError, match="no data files"):
+        table.read_incremental(table.current_id)
+
+
+def test_append_tables_empty_dataset_commits_readable_schema(spark, table):
+    """An empty dataset in a commit (e.g. a flagship microbatch whose
+    images intersect no AOI) must still materialize a readable,
+    schema-bearing table instead of making read() fail."""
+    full = _df(spark, (0, 3), "x")
+    empty = full.filter("image_id < 0")
+    table.append_tables({"stats": (empty, "p_cell"),
+                         "pairs": (full, "p_cell")}, run_id="b0")
+    assert table.read(table="stats").count() == 0
+    assert table.read(table="stats").columns == full.drop("_p").columns
+    assert table.read(table="pairs").count() == 3
+    # later non-empty commit merges fine
+    table.append_tables({"stats": (full, "p_cell"),
+                         "pairs": (full, "p_cell")}, run_id="b1")
+    assert table.read(table="stats").count() == 3
+    # single-table append of an empty frame too
+    t2 = SnapshotTable(spark, table.path + "_e")
+    t2.append(empty, "p_cell", run_id="b0")
+    assert t2.read().count() == 0
