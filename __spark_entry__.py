@@ -1569,6 +1569,37 @@ def q_m5_sarima_seasonal(spark, sf_dir):
             .orderBy("scene_id"))
 
 
+def q_snap_retention(spark, sf_dir):
+    """Snapshot RETENTION semantics end to end (r5): ten streaming
+    microbatches through streaming_sink with expire_every=4/keep_last=3
+    (log truncated twice, run-id tombstones recorded), then (a) a LATE
+    REPLAY of an already-expired batch — must be a tombstone no-op, (b) a
+    replay of a live batch — run_id no-op, (c) the final table state.
+    The oracle re-derives the expected per-partition counts/sums in
+    closed form: any double-commit, dropped data file, or lost tombstone
+    changes the aggregates."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from raster_functions_spark.snapshots import SnapshotTable
+
+    def batch(b):
+        return (spark.range(b * 10, b * 10 + 10)
+                .withColumnRenamed("id", "image_id")
+                .withColumn("p_cell", F.col("image_id") % 3)
+                .withColumn("v", (F.col("image_id") * 7).cast("long")))
+
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_r_") + "/t")
+    sink = t.streaming_sink("p_cell", expire_every=4, keep_last=3)
+    for b in range(10):
+        sink(batch(b), b)
+    sink(batch(0), 0)          # replay of an EXPIRED batch: tombstone no-op
+    sink(batch(9), 9)          # replay of a LIVE batch: run_id no-op
+    return (t.read().groupBy("p_cell")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+            .select(F.col("p_cell").cast("long").alias("p_cell"), "n", "sum_v")
+            .orderBy("p_cell"))
+
+
 def q_m5_sarima_d2(spark, sf_dir):
     """M5/A11 completion: seasonal differencing D=2 — (1,0,0)×(0,2,1,12)
     — the last seasonal-order class the engine lacked (round-4 VERDICT
@@ -1673,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_mdhillshade": q_w7_mdhillshade,
         "f4_windchill": q_f4_windchill,
         # ---- driver window boundary (50) — driver-r4-fresh keys below ----
+        "snap_retention": q_snap_retention,
         "rft_mosaic_findmax": q_rft_mosaic_findmax,
         "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
@@ -1805,6 +1837,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multi": _orc.lsh_multi_sql(2000, 8, 32, 5, 8, 4),
         "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),
         "m5_sarima_d2": _orc.sarima_seasonal_sql(8, 144, (0, 2, 1)),
+        "snap_retention": """
+          SELECT CAST(i % 3 AS BIGINT) AS p_cell,
+                 COUNT(*) AS n, SUM(i * 7) AS sum_v
+          FROM generate_series(0, 99) t(i)
+          GROUP BY 1 ORDER BY 1""",
         "a6_month_synthesis": _orc.month_synthesis_sql(3, 24, 16, 1),
         "a10_fuzzy_mssmall": _orc.fuzzy_mssmall_sql(3, 2, 32, 2.0),
         "j6_nearest_labels": _orc.nearest_labels_sql(
