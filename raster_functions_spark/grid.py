@@ -136,6 +136,20 @@ def neighbors(cell, ring: int = 1) -> np.ndarray:
         ok = (jj >= 0) & (jj < n)
         enc = ij_to_cell(ii, np.clip(jj, 0, n - 1), res)
         out[:, k] = np.where(ok, enc, -1)
+    if n <= 2 * ring:
+        # degenerate tiny grid (n columns ≤ ring span): the longitude wrap
+        # makes distinct offsets collide — the same cell would be listed
+        # several times, or the cell as its own neighbor. Dedupe per row
+        # and drop self (−1-pad the freed slots).
+        for r in range(out.shape[0]):
+            row = out[r]
+            seen: set = {int(cells[r])}
+            for k in range(row.size):
+                v = int(row[k])
+                if v in seen:
+                    row[k] = -1
+                elif v >= 0:
+                    seen.add(v)
     if np.isscalar(cell) or np.asarray(cell).ndim == 0:
         row = out[0]
         return row[row >= 0]

@@ -69,7 +69,15 @@ def effective_cellsize(cs_deg: float, meta: dict | None = None,
         return cs_deg, cs_deg
     dy_m = cs_deg * DEG_TO_M
     dx_m = dy_m
-    if lat_correct and meta is not None and "ymax" in meta and h:
+    if lat_correct:
+        # requested correction must not silently degrade to none: without
+        # ymax in the tile meta (apply_focal meta_cols), dx would quietly
+        # equal dy and high-latitude slopes would be wrong with no signal
+        if meta is None or "ymax" not in meta or not h:
+            raise ValueError(
+                "lat_correct=True needs the tile's ymax in meta — pass "
+                'meta_cols=("cell_dx", "ymax") (plus cell_dy if spacing '
+                "is anisotropic) to apply_focal")
         dy_deg = float(meta.get("cell_dy", cs_deg))
         lat_c = float(meta["ymax"]) - 0.5 * h * dy_deg
         dx_m = dy_m * float(np.cos(np.radians(lat_c)))
@@ -229,6 +237,11 @@ def aspect_slope_class(cellsize: float = 1.0, z_factor: float = 1.0) -> TileOp:
 
 
 def rank_filter(measure: str, size: int = 3) -> TileOp:
+    if size % 2 == 0 or size < 3:
+        # even windows have no center pixel: the sliding view would emit
+        # (h+1)x(w+1) tiles (and 'threshold' would crash on the shape
+        # mismatch) — the reference's RankFilter neighborhoods are odd
+        raise ValueError(f"rank_filter size must be odd >= 3, got {size}")
     p = size // 2
     def fn(px, meta):
         return np.stack([rank_filter_np(b.astype(np.float64), measure, size)
@@ -259,27 +272,62 @@ def erode_mask_np(mask: np.ndarray, size: int = 3) -> np.ndarray:
 
 
 def mask_erode(size: int = 3, mask_band: int = -1) -> TileOp:
-    """TileOp: erode the mask band in place (other bands pass through) —
-    compose after a focal kernel to reproduce the reference's mask
-    semantics. Mask convention: >0 valid, 0 NoData."""
+    """TileOp: erode the mask band (other bands pass through) — compose
+    after a focal kernel to reproduce the reference's mask semantics.
+    Mask convention: >0 valid, 0 NoData.
+
+    Declares ``padding = size // 2`` so chains route it through the halo
+    exchange: a seam pixel's neighborhood is then judged against the
+    NEIGHBOR tile's real mask, not an implicit zero wall (the pre-r5 form
+    zero-padded every tile, invalidating a grid of lines at every
+    interior tile boundary of a multi-tile scene). At true scene borders
+    the pre-extension halo validity map marks the pad NoData, matching
+    the reference's border rule (scipy erosion border_value=0,
+    deprecated/Hillshade.py:90-93). Applied directly to a single
+    whole-raster tile (``.apply(px, {})``), the zero-pad behavior is
+    unchanged — there, every border IS a raster border."""
+    if size % 2 == 0 or size < 3:
+        raise ValueError(f"mask_erode size must be odd >= 3, got {size}")
+    p = size // 2
+
     def fn(px, meta):
-        out = px.copy()
         mb = mask_band if mask_band >= 0 else px.shape[0] - 1
+        if "_halo_pad" in meta:            # running under apply_focal
+            hp = meta["_halo_pad"]
+            m = (px[mb] > 0)
+            hv = meta.get("_halo_valid")
+            if hv is not None:
+                m = m & hv                 # scene-boundary pad = NoData
+            if hp != p:                    # wider halo than the window:
+                extra = hp - p             # trim to this op's neighborhood
+                m = m[extra:-extra or None, extra:-extra or None]
+                px = px[:, extra:-extra or None, extra:-extra or None]
+            eroded = rank_filter_np(m.astype(np.float64), "min",
+                                    size).astype(np.uint8)
+            out = px[:, p:-p or None, p:-p or None].copy()
+            out[mb] = eroded
+            return out
+        out = px.copy()
         out[mb] = erode_mask_np(px[mb] > 0, size)
         return out
-    return TileOp("mask_erode", fn)
+
+    return TileOp("mask_erode", fn, padding=p)
 
 
 # ------------------------------------------------------ halo exchange ------
 
-_HALO_MSG_SCHEMA = T.StructType([
-    T.StructField("scene_id", T.StringType()),
-    T.StructField("ttx", T.IntegerType()),
-    T.StructField("tty", T.IntegerType()),
-    T.StructField("dx", T.IntegerType()),
-    T.StructField("dy", T.IntegerType()),
-    T.StructField("part", T.BinaryType()),
-])
+def _halo_msg_schema(df: DataFrame, grid_cols) -> T.StructType:
+    """Message schema for the halo shuffle — key types follow the INPUT's
+    grid columns (a bigint ty or a non-string scene id must round-trip)."""
+    scn, txc, tyc = grid_cols
+    return T.StructType([
+        T.StructField("scene_id", df.schema[scn].dataType),
+        T.StructField("ttx", df.schema[txc].dataType),
+        T.StructField("tty", df.schema[tyc].dataType),
+        T.StructField("dx", T.IntegerType()),
+        T.StructField("dy", T.IntegerType()),
+        T.StructField("part", T.BinaryType()),
+    ])
 
 
 def _strip_for_target(px: np.ndarray, dx: int, dy: int, p: int) -> np.ndarray:
@@ -325,12 +373,16 @@ def apply_focal(df: DataFrame, op: TileOp, fmt_out: str = "zlib",
                         rows["part"].append(codec.encode(np.ascontiguousarray(part), "raw"))
             yield pd.DataFrame(rows)
 
-    msgs = df.select(scn, txc, tyc, "bytes").mapInPandas(emit, schema=_HALO_MSG_SCHEMA)
+    msgs = df.select(scn, txc, tyc, "bytes").mapInPandas(
+        emit, schema=_halo_msg_schema(df, grid_cols))
 
+    # output keys keep the CALLER's grid column names and types — the
+    # pre-r5 schema hardcoded scene_id/tx/ty, breaking every grid_cols
+    # parameterization (and the hydro operators that thread it through)
     out_schema = T.StructType([
-        T.StructField("scene_id", T.StringType()),
-        T.StructField("tx", T.IntegerType()),
-        T.StructField("ty", T.IntegerType()),
+        T.StructField(scn, df.schema[scn].dataType),
+        T.StructField(txc, df.schema[txc].dataType),
+        T.StructField(tyc, df.schema[tyc].dataType),
         T.StructField("bytes", T.BinaryType()),
         T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
         T.StructField("bands", T.IntegerType()), T.StructField("dtype", T.StringType()),
@@ -360,6 +412,7 @@ def apply_focal(df: DataFrame, op: TileOp, fmt_out: str = "zlib",
         # Scene-boundary pads: edge-extend vertically then horizontally.
         # This reproduces exactly clip-to-scene (mosaic-level edge pad)
         # semantics, including corners fed by a lateral neighbor's strip.
+        halo_valid = valid.copy()          # pre-extension: real data only
         if not valid.all():
             for r in range(p - 1, -1, -1):               # top pad rows
                 fill = ~valid[r] & valid[r + 1]
@@ -378,10 +431,17 @@ def apply_focal(df: DataFrame, op: TileOp, fmt_out: str = "zlib",
                 padded[:, fill, c] = padded[:, fill, c - 1]
                 valid[fill, c] = True
         meta = {c: center[c].iloc[0] for c in meta_keep} if meta_keep else {}
-        out_px = op.fn(padded, meta)
+        # ops that must distinguish REAL neighbor data from scene-boundary
+        # edge-extension (mask_erode's NoData-at-border rule) get the
+        # pre-extension validity map + pad width; kept out of `meta` so
+        # row.update(meta) below stays schema-clean
+        fn_meta = dict(meta)
+        fn_meta["_halo_pad"] = p
+        fn_meta["_halo_valid"] = halo_valid
+        out_px = op.fn(padded, fn_meta)
         if out_px.ndim == 2:
             out_px = out_px[None]
-        row = {"scene_id": key[0], "tx": int(key[1]), "ty": int(key[2]),
+        row = {scn: key[0], txc: int(key[1]), tyc: int(key[2]),
                "bytes": codec.encode(out_px, fmt_out),
                "w": out_px.shape[2], "h": out_px.shape[1],
                "bands": out_px.shape[0],

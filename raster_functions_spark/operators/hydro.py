@@ -217,7 +217,10 @@ def flow_accumulation_distributed(df: DataFrame, tile: int,
                 tx, ty = int(pdf[txc].iloc[i]), int(pdf[tyc].iloc[i])
                 rows.append({
                     scn: pdf[scn].iloc[i], txc: tx, tyc: ty,
-                    "acc_bytes": codec.encode(acc.astype(np.float32)[None], "raw"),
+                    # f8: accumulation COUNTS must stay exact — float32
+                    # rounds +1 increments away beyond 2^24 cells, silently
+                    # corrupting large basins AND the convergence checksum
+                    "acc_bytes": codec.encode(acc.astype(np.float64)[None], "raw"),
                     "outflows": [{"ttx": tx + dtx, "tty": ty + dty,
                                   "cell": cell, "amt": amt}
                                  for dtx, dty, cell, amt in outs],
@@ -246,7 +249,7 @@ def flow_accumulation_distributed(df: DataFrame, tile: int,
                       pdf["amt"].to_numpy(np.float64))
             return pd.DataFrame([{scn: key[0], txc: int(key[1]), tyc: int(key[2]),
                                   "inflow_bytes": codec.encode(
-                                      inflow.reshape(tile, tile).astype(np.float32)[None],
+                                      inflow.reshape(tile, tile)[None],
                                       "raw")}])
 
         inflow_schema = T.StructType([df.schema[scn], df.schema[txc], df.schema[tyc],
@@ -266,7 +269,38 @@ def flow_accumulation_distributed(df: DataFrame, tile: int,
             f"stabilize within max_rounds={max_rounds}; raise max_rounds "
             f"(needed ≈ longest flow path in tiles)")
 
-    return result.select(scn, txc, tyc, F.col("acc_bytes").alias("bytes"))
+    final_schema = T.StructType([
+        df.schema[scn], df.schema[txc], df.schema[tyc],
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+        T.StructField("bands", T.IntegerType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("fmt", T.StringType())])
+
+    def finalize(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                acc = codec.decode(bytes(pdf["acc_bytes"].iloc[i]))
+                rows.append({scn: pdf[scn].iloc[i],
+                             txc: int(pdf[txc].iloc[i]),
+                             tyc: int(pdf[tyc].iloc[i]),
+                             "bytes": codec.encode(acc, fmt_out),
+                             "w": acc.shape[2], "h": acc.shape[1],
+                             "bands": acc.shape[0], "dtype": "f8",
+                             "fmt": fmt_out})
+            yield pd.DataFrame(rows, columns=[f.name for f in final_schema])
+
+    # rounds iterate on raw (re-encoding per round would be waste); the
+    # REQUESTED fmt_out applies to the final product only
+    if fmt_out == "raw":
+        return result.select(
+            scn, txc, tyc, F.col("acc_bytes").alias("bytes"),
+            F.lit(tile).alias("w"), F.lit(tile).alias("h"),
+            F.lit(1).alias("bands"), F.lit("f8").alias("dtype"),
+            F.lit("raw").alias("fmt"))
+    return result.select(scn, txc, tyc, "acc_bytes").mapInPandas(
+        finalize, schema=final_schema)
 
 
 def cti_distributed(df: DataFrame, tile: int,
@@ -278,8 +312,12 @@ def cti_distributed(df: DataFrame, tile: int,
     from .focal import apply_focal, slope as slope_op
     from .multiraster import two_raster_op
     acc = flow_accumulation_distributed(df, tile, grid_cols, fmt_out="raw")
+    # meta_cols=(): the slope op would otherwise override ``cellsize`` with
+    # the tile's cell_dx column while the (acc+1)*cellsize term kept the
+    # argument — the two factors MUST use the same spacing (cti_scene uses
+    # the column for both; here the argument is authoritative for both)
     slp = apply_focal(df, slope_op(cellsize=cellsize), fmt_out="raw",
-                      grid_cols=grid_cols)
+                      meta_cols=(), grid_cols=grid_cols)
 
     def cti_fn(acc_px, slope_px):
         tan_s = np.maximum(np.tan(np.radians(slope_px[0].astype(np.float64))), 1e-6)

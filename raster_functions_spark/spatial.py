@@ -154,7 +154,9 @@ def pip_join_broadcast(points: DataFrame, aoi: DataFrame,
 def pip_join_partitioned(points: DataFrame, aoi: DataFrame,
                          x_col: str = "lon", y_col: str = "lat",
                          res: int | None = None,
-                         salt_hot_cells: int = 0) -> DataFrame:
+                         salt_hot_cells: int = 0,
+                         keep_unmatched: bool = False,
+                         id_col: str | None = None) -> DataFrame:
     """Point-in-polygon join for a LARGE vector side: polygons exploded to
     cell covers, shuffle equi-join on cell id, exact PIP refinement.
 
@@ -169,7 +171,18 @@ def pip_join_partitioned(points: DataFrame, aoi: DataFrame,
 
     The join key lives in a private ``_cover_cell`` column (dropped from
     the output), so a caller's own ``cell`` column — e.g. the flagship's
-    zonal cell at a different resolution — passes through untouched."""
+    zonal cell at a different resolution — passes through untouched.
+
+    ``keep_unmatched=True`` (left-join semantics: unmatched points appear
+    once with null aoi_id) requires ``id_col`` naming a unique point key —
+    a point's candidate rows are scattered across partitions, so deciding
+    "matched nothing" is a global per-point question; the broadcast path
+    decides it per-row and needs no key."""
+    if keep_unmatched and id_col is None:
+        raise ValueError(
+            "pip_join_partitioned(keep_unmatched=True) needs id_col= (a "
+            "unique point key) — unmatched detection is a global per-point "
+            "anti-join at this scale")
     r = res if res is not None else auto_cover_res_distributed(aoi)
     spark = points.sparkSession
 
@@ -215,7 +228,13 @@ def pip_join_partitioned(points: DataFrame, aoi: DataFrame,
                     pdf[y_col].to_numpy(np.float64)[loc], rx, ry)
             yield pdf.loc[keep].drop(columns=["ring_x", "ring_y", "_cover_cell"])
 
-    return joined.mapInPandas(refine, schema=out_schema)
+    matched = joined.mapInPandas(refine, schema=out_schema)
+    if not keep_unmatched:
+        return matched
+    unmatched = (points.join(matched.select(id_col).distinct(), id_col,
+                             "left_anti")
+                 .withColumn("aoi_id", F.lit(None).cast("long")))
+    return matched.unionByName(unmatched.select(*[f.name for f in out_schema]))
 
 
 def pip_join(points: DataFrame, aoi: DataFrame, x_col: str = "lon",
@@ -227,12 +246,17 @@ def pip_join(points: DataFrame, aoi: DataFrame, x_col: str = "lon",
     table it scans just enough rows to prove 'bigger than the threshold'
     instead of running a full count job per invocation."""
     n_aoi = aoi.limit(broadcast_threshold + 1).count()
+    keep = kwargs.get("keep_unmatched", False)
     if n_aoi <= broadcast_threshold:
         return pip_join_broadcast(points, aoi, x_col, y_col,
-                                  keep_unmatched=kwargs.get("keep_unmatched", False))
+                                  keep_unmatched=keep)
+    # left-join semantics must survive the routing decision — the
+    # partitioned path needs a point key for the global anti-join
     return pip_join_partitioned(points, aoi, x_col, y_col,
                                 res=kwargs.get("res"),
-                                salt_hot_cells=kwargs.get("salt_hot_cells", 0))
+                                salt_hot_cells=kwargs.get("salt_hot_cells", 0),
+                                keep_unmatched=keep,
+                                id_col=kwargs.get("id_col"))
 
 
 # ------------------------------------------------------------- zonal -------
@@ -261,17 +285,33 @@ def zonal_remap_col(df: DataFrame, zones: DataFrame, value_col: str,
     Non-matching rows: ``background`` mirrors the reference's
     background-initialized output (ZonalRemap.py:180-181, default 0);
     ``background=None`` (default) passes the value through — the deliberate
-    value-preserving divergence documented at operators.zonal.zonal_remap."""
-    z = zones.select(zone_col,
-                     F.col("zmin").alias("_zmin"), F.col("zmax").alias("_zmax"),
-                     F.col("zval").alias("_zval"))
-    joined = df.join(F.broadcast(z), zone_col, "left")
+    value-preserving divergence documented at operators.zonal.zonal_remap.
+
+    One output row per input row ALWAYS: zones with several intervals for
+    one zone_id are aggregated into an interval ARRAY before the join and
+    probed per row (first match under (zmin, zmax, zval) null-first
+    ordering wins — deterministic, matching the per-pixel
+    operators/zonal.py first-interval rule). A plain interval join would
+    FAN OUT one row per matching interval, silently inflating every
+    downstream aggregate. The probe is an interpreted array HOF — fine
+    here because interval lists are tiny dims; the row-multiplying join
+    it replaces was the real cost."""
+    z = zones.select(zone_col, F.struct(
+        F.col("zmin").alias("zmin"), F.col("zmax").alias("zmax"),
+        F.col("zval").alias("zval")).alias("_iv"))
+    zagg = z.groupBy(zone_col).agg(
+        F.sort_array(F.collect_list("_iv")).alias("_ivs"))
+    joined = df.join(F.broadcast(zagg), zone_col, "left")
     v = F.col(value_col)
-    in_iv = ((v > F.coalesce(F.col("_zmin"), F.lit(float("-inf"))))
-             & (v < F.coalesce(F.col("_zmax"), F.lit(float("inf")))))
+    match = F.filter(
+        F.col("_ivs"),
+        lambda iv: (v > F.coalesce(iv["zmin"], F.lit(float("-inf"))))
+        & (v < F.coalesce(iv["zmax"], F.lit(float("inf")))))
+    first = F.element_at(match, 1)
     miss = v if background is None else F.lit(background)
-    remapped = F.when(in_iv, F.coalesce(F.col("_zval"), F.lit(default))).otherwise(miss)
-    return joined.withColumn(f"{value_col}_remap", remapped).drop("_zmin", "_zmax", "_zval")
+    remapped = F.when(F.size(match) > 0,
+                      F.coalesce(first["zval"], F.lit(default))).otherwise(miss)
+    return joined.withColumn(f"{value_col}_remap", remapped).drop("_ivs")
 
 
 def rasterize_attributes_col(df: DataFrame, zones: DataFrame,

@@ -117,3 +117,73 @@ def test_mask_erosion_monotonic():
     out_op = focal.mask_erode().apply(px, {})
     assert (out_op[0] == 7.0).all()
     assert np.array_equal(out_op[1].astype(bool), e)
+
+
+def test_mask_erode_halo_no_seam_invalidation(spark):
+    """The r5 seam fix: mask_erode through apply_focal must equal erosion
+    of the WHOLE scene mask (zero border — the reference's raster-border
+    rule) — in particular, interior tile seams of an all-valid scene stay
+    valid (the pre-fix zero-pad-per-tile invalidated a grid of lines at
+    every tile boundary)."""
+    import pandas as pd
+    tiles_x, tiles_y, tile = 3, 2, 16
+    rng = np.random.default_rng(4)
+    full_mask = rng.random((tiles_y * tile, tiles_x * tile)) > 0.2
+    rows = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            m = full_mask[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            px = np.stack([np.full((tile, tile), 3.0, np.float32),
+                           m.astype(np.float32)])
+            rows.append({"scene_id": "s", "tx": tx, "ty": ty,
+                         "bytes": codec.encode(px, "raw")})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = focal.apply_focal(df, focal.mask_erode(3), fmt_out="raw").toPandas()
+    want_full = focal.erode_mask_np(full_mask, 3).astype(bool)
+    for _, row in out.iterrows():
+        got = codec.decode(bytes(row["bytes"]))
+        tx, ty = int(row["tx"]), int(row["ty"])
+        want = want_full[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+        assert np.array_equal(got[1].astype(bool), want), (tx, ty)
+        assert (got[0] == 3.0).all()                   # value band untouched
+    # sanity: an all-valid scene keeps interior seams valid
+    rows2 = [{"scene_id": "s2", "tx": tx, "ty": 0,
+              "bytes": codec.encode(np.stack(
+                  [np.full((tile, tile), 1.0, np.float32),
+                   np.ones((tile, tile), np.float32)]), "raw")}
+             for tx in range(2)]
+    out2 = focal.apply_focal(spark.createDataFrame(pd.DataFrame(rows2)),
+                             focal.mask_erode(3), fmt_out="raw").toPandas()
+    m0 = codec.decode(bytes(out2[out2.tx == 0]["bytes"].iloc[0]))[1]
+    m1 = codec.decode(bytes(out2[out2.tx == 1]["bytes"].iloc[0]))[1]
+    assert m0[5, -1] == 1 and m1[5, 0] == 1           # seam columns VALID
+    assert m0[0, 5] == 0 and m0[5, 0] == 0            # scene border invalid
+
+
+def test_rank_filter_rejects_even_size():
+    with pytest.raises(ValueError, match="odd"):
+        focal.rank_filter("min", 4)
+    with pytest.raises(ValueError, match="odd"):
+        focal.mask_erode(2)
+
+
+def test_apply_focal_custom_grid_cols(spark):
+    """grid_cols parameterization end to end: custom names (and a bigint
+    tile axis) must come back out under the caller's names — the pre-r5
+    schema hardcoded scene_id/tx/ty."""
+    import pandas as pd
+    tile = 8
+    rows = []
+    for tx in range(2):
+        z = np.arange(tile * tile, dtype=np.float32).reshape(1, tile, tile) + tx
+        rows.append({"sid": 7, "gx": tx, "gy": 0,
+                     "bytes": codec.encode(z, "raw")})
+    df = spark.createDataFrame(pd.DataFrame(rows))   # sid/gx/gy are bigint
+    out = focal.apply_focal(df, focal.rank_filter("max", 3), fmt_out="raw",
+                            meta_cols=(), grid_cols=("sid", "gx", "gy"))
+    pdf = out.toPandas()
+    assert set(["sid", "gx", "gy"]).issubset(pdf.columns)
+    assert sorted(pdf["gx"].tolist()) == [0, 1]
+    assert pdf["sid"].unique().tolist() == [7]
+    px = codec.decode(bytes(pdf[pdf.gx == 0]["bytes"].iloc[0]))
+    assert px.shape == (1, tile, tile)

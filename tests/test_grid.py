@@ -141,3 +141,23 @@ def test_splitmix64_matches_published_reference_vectors():
     got = splitmix64(xs)
     for x, g in zip(xs.tolist(), got.tolist()):
         assert int(g) == ref(int(x)), hex(int(x))
+
+
+def test_neighbors_tiny_grid_no_self_no_dups():
+    """Coarse resolutions where the longitude wrap collides: a cell must
+    never list itself, and every listed neighbor appears once."""
+    import numpy as np
+    from raster_functions_spark import grid
+
+    for res in (0, 1, 2):
+        c = int(grid.encode_np(np.array([0.0]), np.array([0.0]), res)[0])
+        nb = grid.neighbors(c)
+        assert c not in nb.tolist()
+        vals = nb[nb >= 0].tolist()
+        assert len(vals) == len(set(vals)), (res, vals)
+    # res 0: single cell world -> no neighbors at all
+    c0 = int(grid.encode_np(np.array([10.0]), np.array([20.0]), 0)[0])
+    assert grid.neighbors(c0).size == 0
+    # fine res unaffected: full 8-ring
+    c5 = int(grid.encode_np(np.array([10.0]), np.array([20.0]), 5)[0])
+    assert grid.neighbors(c5).size == 8

@@ -125,3 +125,43 @@ def test_rasterize_attributes_col(spark):
     assert len(out) == 3
     assert out[out.zone_id == 1]["attr1"].iloc[0] == 1.5
     assert np.isnan(out[out.zone_id == 99]["attr1"].iloc[0])  # left outer
+
+
+def test_pip_join_partitioned_keep_unmatched_matches_broadcast(spark):
+    """Left-join semantics must survive the broadcast→partitioned routing
+    (pre-r5 the partitioned path silently dropped keep_unmatched): the
+    partitioned path with an id_col returns the same (id, aoi) multiset —
+    including null-aoi unmatched rows — as the broadcast path."""
+    pts, _ = _points_df(spark, 400)
+    aoi = fixtures.aoi_df(spark, 20)
+    id_col = "pid"
+    b = {(r[id_col], r["aoi_id"]) for r in
+         spatial.pip_join_broadcast(pts, aoi, keep_unmatched=True).collect()}
+    p = {(r[id_col], r["aoi_id"]) for r in
+         spatial.pip_join_partitioned(pts, aoi, keep_unmatched=True,
+                                      id_col=id_col).collect()}
+    assert p == b
+    assert any(a is None for _, a in p)          # some points truly unmatched
+    # without an id the request is refused loudly, never silently dropped
+    import pytest as _pt
+    with _pt.raises(ValueError, match="id_col"):
+        spatial.pip_join_partitioned(pts, aoi, keep_unmatched=True)
+
+
+def test_zonal_remap_col_multi_interval_no_fanout(spark):
+    """A zone with several intervals must yield ONE output row per input
+    row (first matching interval wins), not one per matching interval —
+    the pre-r5 join form duplicated rows."""
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"zone_id": [1, 1, 2], "v": [5.0, 15.0, 5.0]}))
+    zones = spark.createDataFrame(pd.DataFrame({
+        "zone_id": [1, 1, 2],
+        "zmin": [0.0, 10.0, None], "zmax": [10.0, 20.0, None],
+        "zval": [100.0, 200.0, 7.0]}))
+    out = spatial.zonal_remap_col(df, zones, "v").toPandas()
+    assert len(out) == 3                                  # no fan-out
+    got = {(int(r.zone_id), r.v): r.v_remap for r in out.itertuples()}
+    assert got[(1, 5.0)] == 100.0
+    assert got[(1, 15.0)] == 200.0
+    assert got[(2, 5.0)] == 7.0                           # open interval
