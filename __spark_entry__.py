@@ -2082,11 +2082,14 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN acc > 0 AND b >= 32
                             THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS hi
             FROM hb GROUP BY 1)
-          SELECT doc_id,
-                 CAST(CASE WHEN hi >= 2147483648
-                           THEN (hi - 4294967296) * 4294967296 + lo
-                           ELSE hi * 4294967296 + lo END AS BIGINT) AS sh
-          FROM parts ORDER BY doc_id""",
+          SELECT p.doc_id,
+                 CASE WHEN d.text IS NULL OR d.text = '' THEN 0
+                      ELSE CAST(CASE WHEN hi >= 2147483648
+                                THEN (hi - 4294967296) * 4294967296 + lo
+                                ELSE hi * 4294967296 + lo END AS BIGINT)
+                 END AS sh
+          FROM parts p JOIN documents d ON p.doc_id = d.doc_id
+          ORDER BY p.doc_id""",
         "text_langid": f"""
           SELECT lang, {_text.lang_id_sql('text')} AS lang_pred, COUNT(*) AS n
           FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""",

@@ -236,13 +236,26 @@ def phash64(pixels: np.ndarray) -> int:
     """
     band = _as_chw(pixels)[0].astype(np.float64)
     h, w = band.shape
-    # box-mean resample to 32×32 via bin-mean (reduceat over row/col bins)
-    ri = (np.arange(32) * h) // 32
-    ci = (np.arange(32) * w) // 32
-    rows = np.add.reduceat(band, ri, axis=0)
-    small = np.add.reduceat(rows, ci, axis=1)
-    rcounts = np.diff(np.append(ri, h))[:, None].astype(np.float64)
-    ccounts = np.diff(np.append(ci, w))[None, :].astype(np.float64)
+    # box-mean resample to 32×32 via bin-mean (reduceat over row/col bins).
+    # Axes shorter than 32 use nearest-neighbor GATHER instead: their bin
+    # edges repeat, and zero-width bins divide by zero → inf coefficients
+    # → garbage hash bits (every sub-32-px image used to collide or
+    # scatter arbitrarily). For length ≥ 32 the bins are all ≥ 1 wide and
+    # the original arithmetic is untouched (stored hashes stay valid).
+    if h < 32:
+        rows = band[(np.arange(32) * h) // 32]
+        rcounts = np.ones((32, 1))
+    else:
+        ri = (np.arange(32) * h) // 32
+        rows = np.add.reduceat(band, ri, axis=0)
+        rcounts = np.diff(np.append(ri, h))[:, None].astype(np.float64)
+    if w < 32:
+        small = rows[:, (np.arange(32) * w) // 32]
+        ccounts = np.ones((1, 32))
+    else:
+        ci = (np.arange(32) * w) // 32
+        small = np.add.reduceat(rows, ci, axis=1)
+        ccounts = np.diff(np.append(ci, w))[None, :].astype(np.float64)
     small = small / (rcounts * ccounts)
     coef = _DCT32 @ small @ _DCT32.T
     block = coef[:8, :8].reshape(-1)[1:]  # drop DC

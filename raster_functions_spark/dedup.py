@@ -74,7 +74,15 @@ def _polyhash_sql(s_expr: str, k: int) -> str:
     """((a1·131 + a2)·131 + …) % P with aj = unicode point of char j —
     valid Spark SQL and DuckDB SQL alike."""
     # cast at the leaf: ascii() returns 32-bit INT and the polynomial
-    # overflows it (ANSI mode errors); all arithmetic must run in BIGINT
+    # overflows it (ANSI mode errors); all arithmetic must run in BIGINT.
+    # k ≤ 7 keeps the leading term < 2^63 for EVERY Unicode code point
+    # (1,114,111 · 131^6 ≈ 5.6e18); k=8 already overflows on astral-plane
+    # text — Spark non-ANSI would wrap silently while DuckDB promotes to
+    # HUGEINT, splitting the engines apart
+    if k > 7:
+        raise ValueError(
+            f"shingle k={k} overflows BIGINT in the rolling hash for "
+            "non-ASCII text (max safe k = 7)")
     e = f"CAST(ascii(substring({s_expr}, 1, 1)) AS BIGINT)"
     for j in range(2, k + 1):
         e = f"({e} * 131 + ascii(substring({s_expr}, {j}, 1)))"
@@ -173,6 +181,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     (or ``pairs.signature_cache.unpersist()``) once the result has been
     consumed, otherwise executor storage accumulates one signature table
     per invocation."""
+    if n_hashes > len(_MH_A):
+        raise ValueError(f"n_hashes ≤ {len(_MH_A)}")
+    if n_hashes % bands:
+        # silently dropping the trailing hashes would weaken the signature
+        # with no signal (and the banded column refs would blow up later
+        # with an opaque AnalysisException)
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
     rows = n_hashes // bands
     # signature via explode + codegen arithmetic + hash-agg min(bigint):
     # identical values to minhash_signature() but whole-stage-codegen
@@ -243,10 +258,13 @@ def simhash64_udf(text_col: str = "text", token_split: str = " "):
         out = np.empty(len(s), dtype=np.int64)
         bitpos = np.arange(64, dtype=np.uint64)
         for i, txt in enumerate(s):
-            toks = (txt or "").split(token_split)
-            if not toks:
+            if not txt:                 # null/empty doc → documented 0
+                # (''.split(' ') is [''] — truthy — so the old guard was
+                # unreachable and empty docs got md5('')'s simhash,
+                # clustering every empty doc as a near-dup of that value)
                 out[i] = 0
                 continue
+            toks = txt.split(token_split)
             # deterministic token hash (NOT Python hash(): that is
             # process-salted and would differ across executors)
             hs = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
@@ -266,16 +284,34 @@ def hamming64_col(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def band_masks(max_hamming: int, band_bits: int = 16) -> list[int]:
+    """Bit-band masks whose count GUARANTEES candidate generation for every
+    pair within ``max_hamming`` (pigeonhole: h differing bits cannot touch
+    all of h+1 disjoint bands). Equal ``band_bits``-wide bands are used
+    when enough of them exist; otherwise the 64 bits are re-split into
+    max_hamming+1 near-equal contiguous bands. Shared with the DuckDB
+    oracle builder so engine and oracle can never band differently."""
+    n_bands = 64 // band_bits
+    if n_bands >= max_hamming + 1:
+        return [_i64(((1 << band_bits) - 1) << (b * band_bits))
+                for b in range(n_bands)]
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming ≥ 64 needs no LSH — all pairs match")
+    edges = [(64 * b) // n_bands for b in range(n_bands + 1)]
+    return [_i64(((1 << (edges[b + 1] - edges[b])) - 1) << edges[b])
+            for b in range(n_bands)]
+
+
 def _hash_band_near_dups(d: DataFrame, max_hamming: int, band_bits: int,
                          max_bucket: int = 1000) -> DataFrame:
-    """Shared 64-bit-hash LSH: bucket by each of 64/band_bits bit-bands
-    (a pair within Hamming ≤ bands-1 shares ≥1 exact band), salt-split
-    oversized buckets with canonical bridges (see _salted_buckets), verify
-    with bit_count. Input d: (_id, sh)."""
-    n_bands = 64 // band_bits
-    bandcols = [((F.col("sh").cast("long").bitwiseAND(
-        F.lit(_i64(((1 << band_bits) - 1) << (b * band_bits)))))).alias(f"b{b}")
-        for b in range(n_bands)]
+    """Shared 64-bit-hash LSH: bucket by bit-bands (band_masks — enough
+    bands that a pair within max_hamming ALWAYS shares ≥1 exact band),
+    salt-split oversized buckets with canonical bridges
+    (see _salted_buckets), verify with bit_count. Input d: (_id, sh)."""
+    masks = band_masks(max_hamming, band_bits)
+    bandcols = [(F.col("sh").cast("long").bitwiseAND(F.lit(m))).alias(f"b{b}")
+                for b, m in enumerate(masks)]
     banded = d.select("_id", "sh", F.posexplode(F.array(*bandcols)).alias("band", "bsig"))
     salted = _salted_buckets(banded, max_bucket, carry_col="sh")
     g = (salted.groupBy("band", "bsig", "salt")

@@ -60,6 +60,13 @@ def band_arithmetic(op: str, a_band: int = 0, b_band: int = 1) -> TileOp:
 
 
 _WC_T_IN = {"f": (1.0, 0.0), "k": (1.8, -459.67), "c": (1.8, 32.0)}
+# NOTE: the knots and ft/s factors replicate the REFERENCE's own
+# conversions verbatim (Windchill.py:108-115: ``ws /= 1.15077945`` for
+# knots, ``ws *= 5280/3600`` for ft/s) — physically both are inverted
+# (1 knot = 1.15078 mph ⇒ multiply; 1 ft/s = 0.682 mph ⇒ divide), but
+# output parity with the reference is the contract here, exactly like the
+# SARIMA index-arithmetic divergences documented in operators/ml.py. The
+# m/s and kph entries are correct in both codebases.
 _WC_W_IN = {"mph": 1.0, "m/s": 3600.0 / 1609.344, "kph": 1.0 / 1.609344,
             "knots": 1.0 / 1.15077945, "ft/s": 5280.0 / 3600.0}
 
@@ -256,7 +263,10 @@ def latitude_source() -> TileOp:
     (/root/reference/functions/Latitude.py:53-59). Needs meta ymax + cell_dy."""
     def fn(px, meta):
         h, w = px.shape[1], px.shape[2]
-        dy = meta.get("cell_dy", (meta["ymax"] - meta["ymin"]) / h)
+        # lazy fallback: dict.get evaluates its default eagerly, which
+        # would demand ymin even when cell_dy is present
+        dy = (float(meta["cell_dy"]) if "cell_dy" in meta
+              else (meta["ymax"] - meta["ymin"]) / h)
         lat = meta["ymax"] - (np.arange(h, dtype=np.float64) + 0.5) * dy
         return np.broadcast_to(lat[:, None], (h, w)).astype(np.float32).copy()
     return TileOp("latitude", fn, bands_out=1, dtype_out="f4")

@@ -28,8 +28,18 @@ from pyspark.sql import types as T
 
 from .. import codec
 
+def _nansum_keep_invalid(s):
+    """nansum that preserves the module invariant: a position with NO
+    valid member stays NaN (np.nansum alone returns 0.0 for an all-NaN
+    slice — a fake zero that would feed downstream statistics; the other
+    measures already return NaN there)."""
+    with np.errstate(all="ignore"):
+        out = np.nansum(s, axis=0)
+    return np.where(np.isnan(s).all(axis=0), np.nan, out)
+
+
 _MEASURES: dict[str, Callable] = {
-    "sum": lambda s: np.nansum(s, axis=0),
+    "sum": _nansum_keep_invalid,
     "mean": lambda s: np.nanmean(s, axis=0),
     "median": lambda s: np.nanmedian(s, axis=0),
     "std": lambda s: np.nanstd(s, axis=0),
@@ -432,8 +442,14 @@ def percent_above_threshold(df: DataFrame, threshold: float,
     plain predicate (prunes partitions on a date-partitioned table) and the
     ratio is avg of a boolean — fully decomposable, no stack materialized."""
     d = df
-    if time_col is not None and t_min is not None:
-        d = d.filter((F.col(time_col) >= t_min) & (F.col(time_col) <= t_max))
+    # open-ended ranges: apply each bound independently — ANDing with a
+    # null literal makes the predicate null and silently filters out
+    # EVERY row (t_min without t_max returned an empty result before)
+    if time_col is not None:
+        if t_min is not None:
+            d = d.filter(F.col(time_col) >= t_min)
+        if t_max is not None:
+            d = d.filter(F.col(time_col) <= t_max)
 
     def per_tile(batches):
         for pdf in batches:

@@ -712,12 +712,14 @@ def phash_pairs_sql(n_images: int, max_hamming: int, band_bits: int = 16) -> str
     403/600). So the phashes are embedded as VALUES from the same public
     fixture code, and the query's actual logic — 4×16-bit band-bucket LSH
     candidate generation + Hamming verification — runs in SQL."""
+    from .dedup import band_masks
     ph = _image_phashes(n_images)
     values = ", ".join(f"('img{i:09d}', CAST({p} AS BIGINT))"
                        for i, p in enumerate(ph))
-    n_bands = 64 // band_bits
-    masks = [((1 << band_bits) - 1) << (b * band_bits) for b in range(n_bands)]
-    masks = [m - (1 << 64) if m >= (1 << 63) else m for m in masks]
+    # SAME mask derivation as the engine (dedup.band_masks) — the band set
+    # is part of the semantics (it decides candidate completeness), so the
+    # oracle must replicate it from the single source of truth
+    masks = band_masks(max_hamming, band_bits)
     share = " OR ".join(f"(a.ph & CAST({m} AS BIGINT)) = (b.ph & CAST({m} AS BIGINT))"
                         for m in masks)
     return f"""

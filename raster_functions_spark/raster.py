@@ -256,6 +256,10 @@ def stretch_stats_apply(df: DataFrame, stretch_type: str = "minmax",
     transfer: out = out_min + span·cdf(v), the histogram LUT broadcast to
     a per-pixel searchsorted gather)."""
     from .operators import pointwise
+    # two to three actions read the same tiles (stats pass(es) + the
+    # stretch map): persist so a non-trivial upstream lineage is decoded
+    # once, not re-computed per pass
+    df = df.persist()
     gmin, gmax = global_value_stats(df, band)
     if stretch_type == "percent_clip":
         hist = global_histogram(df, gmin, gmax, bins, band)

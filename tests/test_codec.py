@@ -78,3 +78,39 @@ def test_phash_survives_lossy():
     out = codec.decode(codec.encode(px, "dct"))
     # standard near-dup threshold for 64-bit phash is ~16
     assert codec.hamming64(codec.phash64(px), codec.phash64(out)) <= 16
+
+
+def test_phash64_small_tiles_finite_and_stable():
+    """Tiles under 32px per axis: the hash must be finite-math (no
+    zero-width box bins), identical images must collide, and a visibly
+    different image must not — the pre-r5 path produced inf DCT
+    coefficients and arbitrary bits for every sub-32-px image."""
+    import numpy as np
+    from raster_functions_spark import codec
+
+    rng = np.random.default_rng(3)
+    for shape in ((16, 16), (8, 24), (40, 16), (16, 40), (31, 31)):
+        a = rng.integers(0, 255, shape).astype(np.float64)
+        h1 = codec.phash64(a[None])
+        h2 = codec.phash64(a.copy()[None])
+        assert h1 == h2                                   # deterministic
+        b = 255.0 - a.T.copy() if shape[0] == shape[1] else 255.0 - a
+        hb = codec.phash64(b[None])
+        assert codec.hamming64(h1, hb) > 8, shape         # distinguishes
+    # >=32px axes: arithmetic untouched (spot-check vs manual reduceat)
+    big = rng.integers(0, 255, (64, 48)).astype(np.float64)
+    ri = (np.arange(32) * 64) // 32
+    ci = (np.arange(32) * 48) // 32
+    rows = np.add.reduceat(big, ri, axis=0)
+    small = np.add.reduceat(rows, ci, axis=1)
+    small = small / (np.diff(np.append(ri, 64))[:, None]
+                     * np.diff(np.append(ci, 48))[None, :])
+    coef = codec._DCT32 @ small @ codec._DCT32.T
+    block = coef[:8, :8].reshape(-1)[1:]
+    med = np.median(block)
+    want = 0
+    for i, v in enumerate(block.tolist()):
+        if v > med:
+            want |= 1 << i
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert codec.phash64(big[None]) == want

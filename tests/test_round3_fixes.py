@@ -244,3 +244,84 @@ def test_lang_id_frame_plan_is_linear(spark):
     # replace() per marker (5 langs × 4 markers = 20), the quadratic CASE
     # form inlines hundreds
     assert plan.count("replace(") <= 2 * 20, plan.count("replace(")
+
+
+# ---------------------------------------------------------- r5 review ----
+
+def test_stack_sum_all_nan_stays_invalid(spark):
+    """measure='sum' must honor the never-clear-stays-NaN invariant
+    (np.nansum alone returns a fake 0.0 for an all-NaN slice)."""
+    import pandas as pd
+    from raster_functions_spark import codec, fixtures
+    from raster_functions_spark.operators import stack as S
+    rows = []
+    for t in range(3):
+        vals = np.full((4, 4), 5.0, np.float32)
+        qa = np.full((4, 4), float(fixtures.QA_CLEAR_C1[0]), np.float32)
+        qa[0, 0] = float(fixtures.QA_CLOUDY[0])     # (0,0) never clear
+        rows.append({"scene_id": "s",
+                     "bytes": codec.encode(np.stack([vals, qa]))})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = S.stack_composite(df, "sum", qa_band=1,
+                            clear_values=fixtures.QA_CLEAR_C1,
+                            fmt_out="raw").collect()[0]
+    px = codec.decode(bytes(out["bytes"]))[0]
+    assert np.isnan(px[0, 0])
+    assert np.allclose(px[0, 1:], 15.0)
+
+
+def test_percent_above_open_ended_time_range(spark):
+    """t_min without t_max (and vice versa) must filter one-sided, not
+    silently drop every row through a null predicate."""
+    import pandas as pd
+    from raster_functions_spark import codec
+    from raster_functions_spark.operators import stack as S
+    rows = [{"scene_id": "s", "d": d,
+             "bytes": codec.encode(np.full((1, 2, 2), v, np.float32))}
+            for d, v in (("2019-06-01", 10.0), ("2020-06-01", 90.0),
+                         ("2021-06-01", 90.0))]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    lo = S.percent_above_threshold(df, 50.0, time_col="d",
+                                   t_min="2020-01-01").collect()[0]
+    assert lo["n_rasters"] == 2 and lo["pct"] == 100.0
+    hi = S.percent_above_threshold(df, 50.0, time_col="d",
+                                   t_max="2019-12-31").collect()[0]
+    assert hi["n_rasters"] == 1 and hi["pct"] == 0.0
+
+
+def test_latitude_source_cell_dy_without_ymin():
+    """cell_dy present, ymin absent — the eager dict.get default used to
+    raise KeyError('ymin')."""
+    from raster_functions_spark.operators import pointwise
+    px = np.zeros((1, 4, 4), np.float32)
+    out = pointwise.latitude_source().apply(
+        px, {"ymax": 45.0, "cell_dy": 0.5})
+    assert np.allclose(out[0][:, 0], [44.75, 44.25, 43.75, 43.25])
+
+
+def test_minhash_and_polyhash_guards(spark):
+    from raster_functions_spark import dedup
+    import pytest as _pt
+    docs = spark.createDataFrame([("a", "some text here")],
+                                 ["doc_id", "text"])
+    with _pt.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=3)
+    with _pt.raises(ValueError, match="n_hashes"):
+        dedup.minhash_lsh_candidates(docs, n_hashes=16, bands=4)
+    with _pt.raises(ValueError, match="BIGINT"):
+        dedup._polyhash_sql("s", 9)
+
+
+def test_band_masks_pigeonhole_complete():
+    """band_masks must cover all 64 bits disjointly with >= max_hamming+1
+    bands — the completeness precondition for hash-band LSH."""
+    from raster_functions_spark.dedup import band_masks
+    for mh, bb in ((3, 16), (8, 16), (10, 16), (8, 8), (20, 16)):
+        masks = band_masks(mh, bb)
+        assert len(masks) >= mh + 1
+        u = np.uint64(0)
+        for m in masks:
+            mm = np.uint64(m % (1 << 64))
+            assert u & mm == 0                      # disjoint
+            u |= mm
+        assert u == np.uint64(0xFFFFFFFFFFFFFFFF)   # full coverage
