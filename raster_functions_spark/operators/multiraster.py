@@ -168,8 +168,13 @@ def topographic_c_correction(dem: DataFrame, image: DataFrame,
                 else:
                     C = float(C_raw)
                     # self-shadowed / grazing pixels (cos_i ≈ 0 or < 0)
-                    # sit on the division singularity — leave uncorrected
-                    lit = ci > 0.05
+                    # sit on the division singularity — leave uncorrected.
+                    # The DENOMINATOR is cos_i + C: with a negative C
+                    # (brightness anti-correlated with illumination) it
+                    # crosses zero for LIT pixels too, so guard |cos_i+C|
+                    # as well — a near-zero denominator would encode ±inf
+                    # into the tile and poison downstream aggregates
+                    lit = (ci > 0.05) & (np.abs(ci + C) > 0.05)
                     corr = np.where(lit, v * (np.cos(sz) + C)
                                     / np.where(lit, ci + C, 1.0),
                                     v).astype(np.float32)

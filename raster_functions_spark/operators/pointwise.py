@@ -380,6 +380,9 @@ def remap(intervals: list[tuple[float, float, float]], band: int = 0,
 def colormap(cmap: dict[int, tuple[int, int, int]], band: int = 0) -> TileOp:
     """Value → RGB lookup — Colormap XML built-in; colormap structure per
     /root/reference/functions/Reference.py:150-153."""
+    # JSON round-trips (the documented chain-spec string form) stringify
+    # int dict keys — coerce back so '12' and 12 index identically
+    cmap = {int(k): v for k, v in cmap.items()}
     keys = np.array(sorted(cmap), dtype=np.int64)
     lut = np.zeros((int(keys.max()) + 1, 3), dtype=np.uint8)
     for k, rgb in cmap.items():

@@ -28,8 +28,12 @@ def pyramid_level(df: DataFrame, tile: int, measure: str = "mean",
     (scene edges) leave zero-filled quadrants, matching mosaic-edge
     behavior. Chain calls to build the full pyramid."""
     scn, txc, tyc = grid_cols
-    parent = (df.withColumn("ptx", (F.col(txc) / 2).cast("int"))
-              .withColumn("pty", (F.col(tyc) / 2).cast("int")))
+    # FLOOR division: cast('int') truncates toward zero, which for
+    # negative tile coordinates maps tx=-1 and tx=+1 to the same parent
+    # (and % keeps Python floor-modulo semantics on the kernel side) —
+    # children would silently overwrite each other's quadrant
+    parent = (df.withColumn("ptx", F.floor(F.col(txc) / 2).cast("int"))
+              .withColumn("pty", F.floor(F.col(tyc) / 2).cast("int")))
     out_schema = T.StructType([
         df.schema[scn],
         T.StructField(txc, T.IntegerType()), T.StructField(tyc, T.IntegerType()),
@@ -41,11 +45,12 @@ def pyramid_level(df: DataFrame, tile: int, measure: str = "mean",
     ])
 
     def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        first = codec.decode(bytes(pdf["bytes"].iloc[0]))
-        bands = first.shape[0]
-        mosaic = np.zeros((bands, 2 * tile, 2 * tile), dtype=np.float64)
+        mosaic = None
         for i in range(len(pdf)):
             px = codec.decode(bytes(pdf["bytes"].iloc[i])).astype(np.float64)
+            if mosaic is None:          # allocate from the first DECODE —
+                mosaic = np.zeros(      # no extra decode just for shape
+                    (px.shape[0], 2 * tile, 2 * tile), dtype=np.float64)
             qx = int(pdf[txc].iloc[i]) % 2
             qy = int(pdf[tyc].iloc[i]) % 2
             mosaic[:, qy * tile:(qy + 1) * tile, qx * tile:(qx + 1) * tile] = px
@@ -54,7 +59,7 @@ def pyramid_level(df: DataFrame, tile: int, measure: str = "mean",
         return pd.DataFrame([{
             scn: key[0], txc: int(key[1]), tyc: int(key[2]),
             "bytes": codec.encode(out, fmt_out),
-            "w": tile, "h": tile, "bands": bands, "dtype": "f4",
+            "w": tile, "h": tile, "bands": out.shape[0], "dtype": "f4",
             "fmt": fmt_out, "n_children": len(pdf)}])
 
     # ≤4 tiny rows per parent and (at scale) millions of parents — the

@@ -48,19 +48,23 @@ def zonal_remap(zones_pdf: pd.DataFrame, value_band: int = 0,
         v = px[value_band].astype(np.float64)
         zb = px[zone_band].astype(np.int64)
         out = v.copy() if background is None else np.full_like(v, background)
+        matched = np.zeros(v.shape, dtype=bool)
         for zkey in np.unique(zb):           # id-list pushdown: only zones present
             rows = np.nonzero(zid == zkey)[0]
-            if rows.size == 0:
-                continue
-            r = rows[0]
-            lo = z["zmin"][r] if z["zmin"] is not None else np.nan
-            hi = z["zmax"][r] if z["zmax"] is not None else np.nan
-            val = z["zval"][r] if z["zval"] is not None else np.nan
-            lo = -np.inf if np.isnan(lo) else lo
-            hi = np.inf if np.isnan(hi) else hi
-            val = default if np.isnan(val) else val
-            sel = (zb == zkey) & (v > lo) & (v < hi)
-            out[sel] = val
+            # ALL of the zone's intervals probe, first MATCH wins — the
+            # reference iterates the zone's whole interval list
+            # (ZonalRemap.py:184-198); probing only rows[0] made pixels in
+            # a later interval fall through to background/pass-through
+            for r in rows:
+                lo = z["zmin"][r] if z["zmin"] is not None else np.nan
+                hi = z["zmax"][r] if z["zmax"] is not None else np.nan
+                val = z["zval"][r] if z["zval"] is not None else np.nan
+                lo = -np.inf if np.isnan(lo) else lo
+                hi = np.inf if np.isnan(hi) else hi
+                val = default if np.isnan(val) else val
+                sel = (zb == zkey) & (v > lo) & (v < hi) & ~matched
+                out[sel] = val
+                matched |= sel
         return out.astype(np.float32)
 
     return TileOp("zonal_remap", fn, bands_out=1, dtype_out="f4")
@@ -110,13 +114,23 @@ def zone_band_from_cells(res: int = 12, n_zones: int = 20) -> TileOp:
 
 
 def zonal_statistics_px(df: DataFrame, zones_per_pixel: TileOp | None,
-                        value_band: int = 0, zone_band: int = 1) -> DataFrame:
+                        value_band: int = 0, zone_band: int = 1,
+                        meta_cols: tuple = ()) -> DataFrame:
     """Per-pixel zonal statistics: each tile emits (zone, sum, count, min,
     max) partials from its pixels; Catalyst finishes the aggregation —
-    a two-phase plan where the Python side only does the map-side combine."""
+    a two-phase plan where the Python side only does the map-side combine.
+    ``zones_per_pixel`` (optional) synthesizes/attaches the zone band
+    first — it is fused into the same decode pass via apply_chain."""
     import pyspark.sql.functions as F
     from pyspark.sql import types as T
     from .. import codec
+    from ..raster import apply_chain
+
+    if zones_per_pixel is not None:
+        # the parameter used to be accepted and silently ignored — a
+        # caller's zone-synthesizing op now actually runs
+        df = apply_chain(df, [zones_per_pixel], fmt_out="raw",
+                         meta_cols=meta_cols)
 
     out_schema = T.StructType([
         T.StructField("zone", T.LongType()),

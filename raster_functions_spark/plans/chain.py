@@ -223,7 +223,13 @@ def build_chain(df: DataFrame, spec, fmt_out: str = "zlib",
                 if pending:
                     cur = apply_chain(cur, pending, fmt_out=fmt_out, meta_cols=meta_cols)
                     pending = []
-                cur = focal.apply_focal(cur, op, fmt_out=fmt_out, grid_cols=grid_cols)
+                # forward the chain's meta columns THROUGH the halo stage
+                # (plus apply_focal's own cell_dx default) — otherwise any
+                # meta-dependent op after a focal op loses its inputs and
+                # the next fused stage KeyErrors on the executor
+                cur = focal.apply_focal(
+                    cur, op, fmt_out=fmt_out, grid_cols=grid_cols,
+                    meta_cols=tuple(dict.fromkeys(("cell_dx",) + tuple(meta_cols))))
         if pending:
             cur = apply_chain(cur, pending, fmt_out=fmt_out, meta_cols=meta_cols)
         return cur

@@ -72,7 +72,10 @@ def _position_cols(grid_cols, ctx) -> list[str]:
 
 def _qa_config(args, ctx, df: DataFrame):
     """(qa_band, clear_values) for the sensor, ctx override first; None QA
-    when the bound table has no QA band to mask with."""
+    when the bound table has no QA band to mask with (probed from the
+    first tile's header — a sensor-derived band index past the collection's
+    band count means the QA band simply is not in this table)."""
+    from .. import codec
     ctx = ctx or {}
     if "qa_band" in ctx:
         qa = ctx["qa_band"]
@@ -80,6 +83,10 @@ def _qa_config(args, ctx, df: DataFrame):
                          or _SENSOR_QA.get(str(args.get("sensor")),
                                            (7, LANDSAT_4_7_CLEAR))[1])
     num, clear = _SENSOR_QA.get(str(args.get("sensor")), (7, LANDSAT_4_7_CLEAR))
+    row = df.select("bytes").first()
+    n_bands = codec.peek_header(bytes(row["bytes"]))["bands"] if row else 0
+    if num - 1 >= n_bands:
+        return None, ()
     return num - 1, clear
 
 
@@ -127,8 +134,12 @@ def apply_mosaic(df: DataFrame, kind: str, args: dict, ctx: dict | None = None,
         month = _MONTHS[str(args["predict_month"])]
         col = ctx.get("month_col", "acq_month")
         d = df.filter(F.col(col) == month)
-        qa_band = ctx.get("qa_band")   # fixtures override; None → plain mean
-        clear = tuple(ctx.get("clear_values") or LANDSAT_4_7_CLEAR)
+        # the template's 'sensor' argument drives QA cloud masking exactly
+        # like pixel_percentile (Landsat_Image_Synthesis.py masks
+        # non-clear members); collections without the QA band (probed)
+        # keep the plain mean — the pre-r5 code read only the ctx
+        # override, silently averaging cloudy pixels on real Landsat runs
+        qa_band, clear = _qa_config(args, ctx, df)
         # mean is decomposable → map-side [Σ, count] partials
         return stack.stack_mean_assoc(
             d, group_cols=pos, fmt_out=fmt_out,

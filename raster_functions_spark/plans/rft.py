@@ -214,6 +214,14 @@ def compile_template(tmpl: dict) -> list:
     return _compile(tmpl)
 
 
+def _num(a: dict, key: str, default):
+    """Numeric arg with a None-aware default: ``a.get(key) or d`` swallows
+    a legitimate explicit 0/0.0 (e.g. Azimuth=0 = sun due north) and
+    silently substitutes the default — only absence may default."""
+    v = a.get(key)
+    return default if v is None else type(default)(v)
+
+
 def _compile(node) -> list:
     if node is RASTER_INPUT:
         return []
@@ -222,14 +230,14 @@ def _compile(node) -> list:
     f, a = node["function"], node["args"]
     if f == "SlopeFunction":
         return _compile(_input(a, "DEM", "Raster")) + [
-            {"op": "slope", "args": {"z_factor": float(a.get("ZFactor") or 1.0)}}]
+            {"op": "slope", "args": {"z_factor": _num(a, "ZFactor", 1.0)}}]
     if f == "AspectFunction":
         return _compile(_input(a, "Raster", "DEM")) + [{"op": "aspect"}]
     if f == "HillshadeFunction":
         return _compile(_input(a, "DEM", "Raster")) + [
-            {"op": "hillshade", "args": {"z_factor": float(a.get("ZFactor") or 1.0),
-                                         "azimuth": float(a.get("Azimuth") or 315.0),
-                                         "altitude": float(a.get("Altitude") or 45.0)}}]
+            {"op": "hillshade", "args": {"z_factor": _num(a, "ZFactor", 1.0),
+                                         "azimuth": _num(a, "Azimuth", 315.0),
+                                         "altitude": _num(a, "Altitude", 45.0)}}]
     if f == "RemapFunction":
         rngs = a.get("InputRanges") or []
         outs = a.get("OutputValues") or []
@@ -238,9 +246,9 @@ def _compile(node) -> list:
         return _compile(_input(a, "Raster")) + [
             {"op": "remap", "args": {"intervals": intervals}}]
     if f == "StretchFunction":
-        out_min = float(a.get("Min") or 0.0)
-        out_max = float(a.get("Max") or 255.0)
-        stype = int(a.get("StretchType") or 0)
+        out_min = _num(a, "Min", 0.0)
+        out_max = _num(a, "Max", 255.0)
+        stype = _num(a, "StretchType", 0)
         stats = (str(a.get("EstimateStatsHistogram")).lower() == "true"
                  or str(a.get("DRA")).lower() == "true")
         inner = _compile(_input(a, "Raster"))
@@ -254,15 +262,15 @@ def _compile(node) -> list:
         if stype == 6:                           # PercentClip from histogram
             return inner + [{"op": "stats_stretch",
                              "args": {"stretch_type": "percent_clip",
-                                      "min_percent": float(a.get("MinPercent") or 0.0),
-                                      "max_percent": float(a.get("MaxPercent") or 0.0),
+                                      "min_percent": _num(a, "MinPercent", 0.0),
+                                      "max_percent": _num(a, "MaxPercent", 0.0),
                                       "out_min": out_min, "out_max": out_max}}]
         if stype == 3:                           # StandardDeviation (μ ± nσ)
             return inner + [{"op": "stats_stretch",
                              "args": {"stretch_type": "stddev",
-                                      "n_std": float(
-                                          a.get("NumberOfStandardDeviation")
-                                          or 2.0),
+                                      "n_std": _num(
+                                          a, "NumberOfStandardDeviation",
+                                          2.0),
                                       "out_min": out_min, "out_max": out_max}}]
         if stype == 4:                           # Histogram Equalize (CDF)
             return inner + [{"op": "stats_stretch",
@@ -274,7 +282,7 @@ def _compile(node) -> list:
             "(4) run as two-pass table-level plans; sigmoid is display "
             "styling with no published pixel formula")
     if f == "BandArithmeticFunction":
-        if int(a.get("Method") or 0) != 0:
+        if _num(a, "Method", 0) != 0:
             raise ValueError("BandArithmeticFunction predefined methods are "
                              "template-specific; only Method=0 (user "
                              "expression) maps to the calculator")
@@ -327,7 +335,7 @@ def _compile(node) -> list:
         return [{"op": "branch_stack",
                  "branches": [_compile(r) for r in rasters]},
                 {"op": "arithmetic",
-                 "args": {"op": ops[int(a.get("Operation") or 1)],
+                 "args": {"op": ops[_num(a, "Operation", 1)],
                           "a_band": 0, "b_band": 1}}]
     if f == "RasterCalculatorFunction":
         return _compile_calculator(a)
@@ -350,7 +358,7 @@ def _compile_local(a: dict) -> list:
     reading is inferred from the 1-input-inner/3-input-outer shape and the
     template's name; the numeric enum is not publicly documented). That is
     exactly the mosaic first-valid composite."""
-    op = int(a.get("Operation") or 0)
+    op = _num(a, "Operation", 0)
     rasters = a.get("Rasters") or []
     inner_local = [r for r in rasters if isinstance(r, dict)
                    and r.get("function") == "LocalFunction"]
@@ -396,6 +404,14 @@ def _compile_calculator(a: dict) -> list:
             expr = re.sub(rf"\b{re.escape(nm)}\b", key, expr)
     calc = {"op": "calculator",
             "args": {"expression": expr, "band_names": band_names}}
+    if not branches:
+        # constant-only expression (no raster references): a zero-branch
+        # branch_stack would IndexError deep in stack_tiles — refuse with
+        # the actionable template-level error instead
+        raise ValueError(
+            f"RasterCalculator expression {expr!r} references none of its "
+            f"raster inputs {names} — use a FillRaster/fill_constant node "
+            "for constant rasters")
     if len(branches) == 1 and not branches[0]:
         return [calc]                      # plain expression over the base
     return [{"op": "branch_stack", "branches": branches}, calc]
@@ -478,8 +494,8 @@ def _compile_zonal_remap(a: dict) -> list:
     else:
         zones = {"$ctx": "zones"}
     args = {"zones": zones, "value_band": 0, "zone_band": 1,
-            "default": float(a.get("defzval") or 255.0),
-            "background": float(a.get("background") or 0.0)}
+            "default": _num(a, "defzval", 255.0),
+            "background": _num(a, "background", 0.0)}
     vr = a.get("vraster", RASTER_INPUT)
     zr = a.get("zraster", RASTER_INPUT)
     if not _is_raster(zr):      # zone raster optional (ZonalRemap.py:170)
@@ -505,7 +521,7 @@ def _compile_adapter(a: dict) -> list:
         # node build_chain resolves against ctx['request_cellsize'] (or the
         # table's own cell size), matching SelectByPixelSize.py:updatePixels
         return [{"op": "select_by_pixel_size",
-                 "args": {"threshold": float(a.get("threshold") or 0.0)},
+                 "args": {"threshold": _num(a, "threshold", 0.0)},
                  "branches": [_compile(_input(a, "r1")),
                               _compile(_input(a, "r2"))]}]
     if cls == "ZonalRemap":

@@ -154,3 +154,17 @@ def test_hexagon_pixels_aggregate(spark):
     # global mean preserved
     got_mean = (out["mean"] * out.n_px).sum() / total_px
     assert abs(got_mean - full.mean()) < 1e-6
+
+
+def test_topographic_c_negative_c_no_inf():
+    """A negative C factor puts the cos_i + C denominator through zero for
+    lit pixels — those must stay uncorrected (finite), never encode inf."""
+    import numpy as np
+    ci = np.array([[0.5, 0.52, 0.9]])
+    v = np.full_like(ci, 100.0)
+    C = -0.51
+    lit = (ci > 0.05) & (np.abs(ci + C) > 0.05)
+    corr = np.where(lit, v * (np.cos(0.3) + C) / np.where(lit, ci + C, 1.0), v)
+    assert np.isfinite(corr).all()
+    assert corr[0, 0] == 100.0 and corr[0, 1] == 100.0   # near-singular: passthrough
+    assert corr[0, 2] != 100.0                            # well-conditioned: corrected

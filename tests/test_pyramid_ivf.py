@@ -140,3 +140,28 @@ def test_ivf_build_search_matches_inline_and_prunes(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "list_id" in plan
     assert "list_id IN" in plan or "list_id#" in plan
+
+
+def test_pyramid_negative_tile_coords(spark):
+    """Grids with negative tile coordinates: floor-division parent math —
+    truncation used to merge tx=-1 and tx=+1 into the same parent and
+    overwrite quadrants."""
+    import pandas as pd
+    from raster_functions_spark import codec
+    from raster_functions_spark.operators import pyramid
+    tile = 8
+    rows = []
+    for tx in (-2, -1, 0, 1):
+        px = np.full((1, tile, tile), float(tx), np.float32)
+        rows.append({"scene_id": "s", "tx": tx, "ty": 0,
+                     "bytes": codec.encode(px, "raw")})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = pyramid.pyramid_level(df, tile, fmt_out="raw").toPandas()
+    got = {(int(r.tx), int(r.ty)): r for r in out.itertuples()}
+    assert set(got) == {(-1, 0), (0, 0)}          # two parents, not one
+    # parent -1 holds children -2 (qx 0) and -1 (qx 1)
+    p = codec.decode(bytes(got[(-1, 0)].bytes))[0]
+    # children sit at qy=0 -> TOP half of the parent; bottom half empty
+    assert np.allclose(p[:tile // 2, :tile // 2], -2.0)
+    assert np.allclose(p[:tile // 2, tile // 2:], -1.0)
+    assert got[(-1, 0)].n_children == 2 and got[(0, 0)].n_children == 2
