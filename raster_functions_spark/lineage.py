@@ -79,9 +79,28 @@ def _write_json_atomic(spark: SparkSession, dir_path: str, name: str,
     finally:
         out.close()
     dst = Path(dir_path, name)
-    if fs.exists(dst):
-        fs.delete(dst, False)
-    fs.rename(tmp, dst)
+    try:
+        # atomic overwrite-rename (FileContext supports Rename.OVERWRITE on
+        # HDFS and POSIX) — readers see old or new, with NO window where
+        # the manifest is absent
+        jvm = spark._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), spark._jsc.hadoopConfiguration())
+        overwrite = getattr(jvm.org.apache.hadoop.fs.Options.Rename,
+                            "OVERWRITE")
+        # rename(Path, Path, Rename...) is varargs — py4j needs the array
+        arr = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        arr[0] = overwrite
+        fc.rename(tmp, dst, arr)
+    except Exception:
+        # object stores without FileContext rename: fall back to
+        # delete+rename (small non-atomic window) but never swallow a
+        # failed rename — a false return would leave NO manifest at all
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        if not fs.rename(tmp, dst):
+            raise IOError(f"rename {tmp} -> {dst} failed")
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict:
@@ -109,8 +128,13 @@ def checkpointed_write(df: DataFrame, path: str, key_col: str,
     (b.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path))
-    # metrics per bucket: counts + order-insensitive checksum of the key
-    metrics = (b.groupBy("bucket")
+    # metrics per bucket from the FILES JUST WRITTEN (not a re-aggregation
+    # of the unmaterialized input, which would recompute the whole
+    # pipeline a second time AND checksum a recompute rather than the
+    # committed bytes)
+    metrics = (spark.read.parquet(path)
+               .filter(F.col("bucket").isin(todo))
+               .groupBy("bucket")
                .agg(F.count("*").alias("rows"),
                     F.sum(F.crc32(F.col(key_col).cast("string"))).alias("key_checksum"))
                .collect())
@@ -118,8 +142,16 @@ def checkpointed_write(df: DataFrame, path: str, key_col: str,
     for r in metrics:
         manifest["buckets"][str(r["bucket"])] = {
             "rows": r["rows"], "key_checksum": r["key_checksum"], "run_id": run_id}
+    # buckets with ZERO rows produce no parquet partition and no metrics
+    # row — record them as written-empty, or every later call would
+    # re-run the full write for permanently-"missing" buckets
+    seen = {int(r["bucket"]) for r in metrics}
+    for bkt in todo:
+        if bkt not in seen:
+            manifest["buckets"][str(bkt)] = {
+                "rows": 0, "key_checksum": 0, "run_id": run_id}
     manifest["run_ids"].append({"run_id": run_id, "at": time.time(),
-                                "buckets_written": [r["bucket"] for r in metrics]})
+                                "buckets_written": sorted(todo)})
     _write_manifest(spark, path, manifest)
     return manifest
 

@@ -526,8 +526,18 @@ def sarima_template_delta(df, data_start_year: int, train_start_year: int,
       slice, which shifts every forecast i0 extra steps past the training
       end (SeasonalARIMA.py:196-204 — arguably a bug: the index into the
       slice is computed against the unsliced axis); here forecasts start
-      at the training end, so predict_year/predict_month mean what they
-      say regardless of the slice origin;
+      at the training end, so the (predict_year, predict_month) indexing
+      is slice-origin-independent. NOTE the month labels themselves follow
+      the REFERENCE's convention (SeasonalARIMA.py:205-209): the training
+      slice ends at Dec(train_end_year − 1), yhat[0] = Jan(train_end_year),
+      and the j = Δyears·12 − (12 − month) lookup therefore lands
+      (12 − predict_month) months BEFORE the nominal calendar month — we
+      replicate that labeling exactly (for train_start == data_start the
+      two engines are index-for-index identical). A predict/current year
+      equal to train_end_year with month < Dec computes j < 0: the
+      reference's negative index falls into its except → −999 path; here
+      it raises the explicit ValueError below (same sentinel divergence
+      as documented next);
     - series too short to fit fall back to delta = 0.0 (a neutral 'no
       trend' answer), where the reference's exception handler emits the
       -999 sentinel (SeasonalARIMA.py:214) — pass the result through
@@ -599,8 +609,17 @@ def sarima_stack_delta(df, period: int = 12, horizon: int = 12,
         stack = np.stack([codec.decode(bytes(b))[value_band] for b in pdf["bytes"]])
         n_t, h, w = stack.shape
         Y = stack.reshape(n_t, -1).T.astype(np.float64)   # (pixels, T)
-        fc = sarima_forecast_batch(Y, horizon, period)[:, -1]
-        delta = (fc - Y[:, -1]).reshape(h, w).astype(np.float32)
+        if n_t < period + 2:
+            # short-series fallback: the CSS fit's regression slices are
+            # Y[:, s+1:] — empty for T ≤ period+1, which would propagate
+            # NaN coefficients into silently all-NaN tiles. (The stricter
+            # 2s+2 bound the per-group paths use is about forecast
+            # quality; here the exact historical behavior for
+            # s+2 ≤ T < 2s+2 is kept byte-stable for the m5 oracles.)
+            delta = np.zeros((h, w), np.float32)
+        else:
+            fc = sarima_forecast_batch(Y, horizon, period)[:, -1]
+            delta = (fc - Y[:, -1]).reshape(h, w).astype(np.float32)
         row = {c: key[i] for i, c in enumerate(group_cols)}
         row.update({"bytes": codec.encode(delta[None], fmt_out), "w": w, "h": h,
                     "bands": 1, "dtype": "f4", "fmt": fmt_out, "n_obs": n_t})

@@ -29,15 +29,18 @@ def get_spark(app_name: str = "raster_functions_spark",
               extra_conf: dict | None = None) -> SparkSession:
     """Build (or fetch) the session.
 
-    ``cores=None`` → ``local[*]``. On a real cluster this builder is a no-op
-    passthrough (master comes from spark-submit); nothing here is
-    local-mode-only semantics.
+    ``cores=None`` → ``local[*]`` unless a master is already configured.
+    spark-submit sets ``spark.master`` as a system property BEFORE this
+    builder runs, and an unconditional ``.master()`` here would OVERRIDE
+    --master yarn/k8s and silently run a cluster job on the driver node —
+    so the local default applies only when no master is configured and
+    ``cores`` was not explicitly requested.
     """
-    master = f"local[{cores}]" if cores else os.environ.get("SPARK_MASTER", "local[*]")
     n = cores or os.cpu_count() or 8
+    from pyspark import SparkConf
+    has_master = SparkConf().contains("spark.master")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -49,6 +52,11 @@ def get_spark(app_name: str = "raster_functions_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if cores is not None:
+        # explicit local-parallelism request (tests/benches) — intentional
+        builder = builder.master(f"local[{cores}]")
+    elif not has_master:
+        builder = builder.master(os.environ.get("SPARK_MASTER", "local[*]"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -69,12 +69,24 @@ def features_from_service_json(spark: SparkSession, payload: str | dict,
         if geom and "x" in geom:
             row["x"], row["y"] = geom["x"], geom["y"]
         elif geom and "rings" in geom:
-            ring = geom["rings"][0]
+            ring = geom["rings"][0]            # outer ring drives PIP
             row["ring_x"] = [p[0] for p in ring]
             row["ring_y"] = [p[1] for p in ring]
-            row["xmin"] = min(row["ring_x"]); row["xmax"] = max(row["ring_x"])
-            row["ymin"] = min(row["ring_y"]); row["ymax"] = max(row["ring_y"])
+            # envelope spans EVERY ring: a multipart polygon's extent is
+            # the full-geometry bbox (esriSpatialRelEnvelopeIntersects) —
+            # first-ring-only bboxes wrongly excluded features whose
+            # other parts intersect the query envelope
+            xs = [p[0] for r in geom["rings"] for p in r]
+            ys = [p[1] for r in geom["rings"] for p in r]
+            row["xmin"] = min(xs); row["xmax"] = max(xs)
+            row["ymin"] = min(ys); row["ymax"] = max(ys)
         rows.append(row)
+    # normalize the column set across geometry types BEFORE pandas fills
+    # gaps with NaN: a float NaN in a ring-array column makes Spark's
+    # schema merge fail (Double vs Array) — None infers as null instead,
+    # so mixed point+polygon feature sets load
+    all_keys = {k for r in rows for k in r}
+    rows = [{k: r.get(k) for k in all_keys} for r in rows]
     df = spark.createDataFrame(pd.DataFrame(rows))
     if where:
         df = df.where(where)
@@ -88,11 +100,20 @@ def envelope_filter(df: DataFrame, xmin: float, ymin: float,
     """esriSpatialRelEnvelopeIntersects as a plain predicate
     (utils.py:213-229): bbox-vs-bbox for polygon rows, point-in-bbox for
     point rows. Expressed declaratively → Catalyst pushes it to the scan."""
-    if "xmin" in df.columns:
-        return df.where((F.col("xmax") >= xmin) & (F.col("xmin") <= xmax)
-                        & (F.col("ymax") >= ymin) & (F.col("ymin") <= ymax))
-    return df.where((F.col("x") >= xmin) & (F.col("x") <= xmax)
-                    & (F.col("y") >= ymin) & (F.col("y") <= ymax))
+    poly = ((F.col("xmax") >= xmin) & (F.col("xmin") <= xmax)
+            & (F.col("ymax") >= ymin) & (F.col("ymin") <= ymax)
+            if "xmin" in df.columns else None)
+    pt = ((F.col("x") >= xmin) & (F.col("x") <= xmax)
+          & (F.col("y") >= ymin) & (F.col("y") <= ymax)
+          if "x" in df.columns else None)
+    if poly is not None and pt is not None:
+        # mixed point+polygon feature sets: dispatch PER ROW — the old
+        # column-existence dispatch evaluated the polygon predicate on
+        # point rows (null bbox → null predicate → row silently dropped)
+        return df.where(F.when(F.col("xmin").isNotNull(), poly).otherwise(pt))
+    if poly is not None:
+        return df.where(poly)
+    return df.where(pt)
 
 
 def catalog_binary_dir(spark: SparkSession, path: str) -> DataFrame:

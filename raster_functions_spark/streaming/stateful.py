@@ -66,18 +66,22 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
             return
         start_us, last_us, n = state.get if state.exists else (None, None, 0)
         out = []
-        for pdf in pdf_iter:
-            for ts in sorted(_us(t) for t in pdf[ts_col]):
-                if start_us is None:
-                    start_us, last_us, n = ts, ts, 1
-                elif ts - last_us > gap_us:
-                    out.append({"user_id": user, "session_start": _ts(start_us),
-                                "session_end": _ts(last_us), "n_events": n,
-                                "closed_by": "gap"})
-                    start_us, last_us, n = ts, ts, 1
-                else:
-                    last_us = max(last_us, ts)
-                    n += 1
+        # drain ALL Arrow chunks first and sort ONCE: a key whose batch
+        # spans several chunks (> arrow.maxRecordsPerBatch events) has no
+        # intra-group ordering guarantee — per-chunk sorting would close
+        # sessions against out-of-order timestamps and emit wrong bounds
+        all_ts = sorted(_us(t) for pdf in pdf_iter for t in pdf[ts_col])
+        for ts in all_ts:
+            if start_us is None:
+                start_us, last_us, n = ts, ts, 1
+            elif ts - last_us > gap_us:
+                out.append({"user_id": user, "session_start": _ts(start_us),
+                            "session_end": _ts(last_us), "n_events": n,
+                            "closed_by": "gap"})
+                start_us, last_us, n = ts, ts, 1
+            else:
+                last_us = max(last_us, ts)
+                n += 1
         state.update((start_us, last_us, n))
         if idle_timeout_sec is not None:
             state.setTimeoutDuration(idle_timeout_sec * 1000)

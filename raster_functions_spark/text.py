@@ -72,7 +72,11 @@ def lang_id(col: Column) -> Column:
     langs = list(LANG_MARKERS)
     best_lang = F.lit("und")
     best_score = F.lit(0).cast("long")
-    for lang in reversed(langs):  # earlier langs win ties (checked last, > strict)
+    # FORWARD iteration with strict >: the first language to reach the
+    # best score keeps it — earlier langs win ties, matching
+    # lang_id_frame's outermost-CASE rule (reversed iteration made the
+    # LAST language win ties, silently disagreeing with the frame form)
+    for lang in langs:
         sc = word_markers_score(col, lang)
         cond = sc > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
@@ -112,7 +116,7 @@ def lang_id_sql(expr: str) -> str:
         return f"({terms})"
     langs = list(LANG_MARKERS)
     sql_lang, sql_best = "'und'", "CAST(0 AS BIGINT)"
-    for lang in reversed(langs):
+    for lang in langs:          # forward: earlier langs win ties (see lang_id)
         sc = score(lang)
         sql_lang = f"(CASE WHEN {sc} > {sql_best} THEN '{lang}' ELSE {sql_lang} END)"
         sql_best = f"(CASE WHEN {sc} > {sql_best} THEN {sc} ELSE {sql_best} END)"

@@ -147,3 +147,44 @@ def test_stream_checkpointed_sink_resume(spark, tmp_path):
     q2 = ingest.stream_to_checkpointed_sink(stream2, out, ckpt, "t_sink2")
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n1
+
+
+def test_checkpointed_write_converges_with_empty_buckets(spark, tmp_path):
+    """Buckets that receive zero rows must still be recorded as done —
+    before, every later call re-ran the whole write for the permanently
+    'missing' buckets and the fast path was unreachable."""
+    from raster_functions_spark import lineage
+    df = (spark.range(0, 8)
+          .withColumnRenamed("id", "k")
+          .withColumn("v", F.col("k") * 2))
+    path = str(tmp_path / "ckpt")
+    m1 = lineage.checkpointed_write(df, path, "k", n_buckets=64,
+                                    run_id="r1")
+    assert len(m1["buckets"]) == 64                # incl. empty buckets
+    zero = [b for b, info in m1["buckets"].items() if info["rows"] == 0]
+    assert zero                                     # 8 rows over 64 buckets
+    # second call: fast path (no new run recorded, manifest unchanged)
+    m2 = lineage.checkpointed_write(df, path, "k", n_buckets=64,
+                                    run_id="r2")
+    assert [r["run_id"] for r in m2["run_ids"]] == ["r1"]
+    assert lineage.read_checkpointed(spark, path).count() == 8
+
+
+def test_envelope_filter_mixed_point_polygon_features(spark):
+    """A feature set mixing point and polygon geometries: points inside
+    the envelope must survive (the old column-existence dispatch null-
+    filtered every point row), and multipart polygons use the FULL
+    geometry extent."""
+    from raster_functions_spark.sources import feature_service as fsvc
+    doc = {"features": [
+        {"attributes": {"fid": 1}, "geometry": {"x": 5.0, "y": 5.0}},
+        {"attributes": {"fid": 2}, "geometry": {"x": 50.0, "y": 5.0}},
+        {"attributes": {"fid": 3}, "geometry": {"rings": [
+            [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]],
+            [[10, 0], [11, 0], [11, 1], [10, 1], [10, 0]]]}},
+    ]}
+    df = fsvc.features_from_service_json(spark, doc, envelope=(4, 0, 12, 6))
+    fids = sorted(r["fid"] for r in df.collect())
+    # point fid=1 inside; fid=2 outside; polygon fid=3 intersects via its
+    # SECOND ring's extent (first ring alone would be excluded)
+    assert fids == [1, 3]

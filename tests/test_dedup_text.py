@@ -202,3 +202,21 @@ def test_lsh_gemm_buckets_match_jvm_fold_order(spark):
                 F.col("embedding").cast("array<double>"), 48, 8).alias("b"))
             .toPandas().sort_values("vec_id"))
     assert np.array_equal(jvm2["b"].to_numpy(np.int64), g)
+
+
+def test_lang_id_tie_break_consistent_across_forms(spark):
+    """A text scoring equally in two languages must resolve to the EARLIER
+    language in LANG_MARKERS in all three implementations (column, frame,
+    SQL) — the column/SQL forms used to let the LAST language win."""
+    import pandas as pd
+    from raster_functions_spark import text as X
+    langs = list(X.LANG_MARKERS)
+    w_first = X.LANG_MARKERS[langs[0]][0]
+    w_last = X.LANG_MARKERS[langs[-1]][0]
+    s = f" {w_first}  {w_last} "                  # one marker hit each
+    df = spark.createDataFrame(pd.DataFrame({"text": [s]}))
+    col_form = df.select(X.lang_id(F.col("text")).alias("l")).first()["l"]
+    frame_form = X.lang_id_frame(df).first()["lang_pred"]
+    sql_form = spark.sql(
+        f"SELECT {X.lang_id_sql('text')} AS l FROM {{t}}", t=df).first()["l"]
+    assert col_form == frame_form == sql_form == langs[0]
