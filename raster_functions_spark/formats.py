@@ -414,11 +414,28 @@ IMAGE_KINDS = ("bmp", "pnm", "png", "jpeg", "rf")
 
 
 def peek_png(buf: bytes) -> dict:
-    """PNG header metadata without inflating any pixel data."""
+    """PNG header metadata without inflating any pixel data. Palette
+    (color type 3) band count matches decode_png's semantics: a color
+    PLTE expands to 3 bands, an all-grey PLTE collapses to 1 — the PLTE
+    chunk is a ≤768-byte metadata read, not pixel inflation (the old
+    unconditional bands=1 disagreed with decode on color palettes)."""
     if buf[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     w, h, depth, ctype, _c, _f, interlace = struct.unpack_from(">IIBBBBB", buf, 16)
-    return {"fmt": "png", "bands": _PNG_CHANNELS.get(ctype, 0),
+    bands = _PNG_CHANNELS.get(ctype, 0)
+    if ctype == 3:
+        pos = 8
+        while pos + 8 <= len(buf):
+            (ln,) = struct.unpack_from(">I", buf, pos)
+            tag = buf[pos + 4:pos + 8]
+            if tag == b"PLTE":
+                pal = np.frombuffer(buf, np.uint8, ln, pos + 8).reshape(-1, 3)
+                bands = 1 if (pal[:, 0] == pal[:, 1]).all()                     and (pal[:, 1] == pal[:, 2]).all() else 3
+                break
+            if tag == b"IDAT":
+                break
+            pos += 12 + ln
+    return {"fmt": "png", "bands": bands,
             "h": int(h), "w": int(w), "depth": int(depth),
             "nbytes": len(buf)}
 
@@ -431,6 +448,8 @@ def peek_jpeg(buf: bytes) -> dict:
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker stream corrupt")
+        while pos + 1 < n and buf[pos + 1] == 0xFF:   # FF fill (B.1.1.2)
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
@@ -463,13 +482,38 @@ def peek_image_any(buf: bytes) -> dict:
                 "h": meta["h"], "w": meta["w"], "depth": 0,
                 "nbytes": len(buf)}
     if kind == "bmp":
-        (_hdr, w, h, _pl, bpp, *_rest) = _BMP_INFO.unpack_from(buf, 14)
-        return {"fmt": "bmp", "bands": 3 if bpp == 24 else 1,
+        (hdr_size, w, h, _pl, bpp, _comp, _isz, _xp, _yp,
+         clr_used, _ci) = _BMP_INFO.unpack_from(buf, 14)
+        if bpp == 24:
+            bands = 3
+        else:
+            # match decode_bmp: color palettes expand to 3 bands, all-grey
+            # palettes collapse to 1 (palette = header metadata, not pixels)
+            n_pal = clr_used or 256
+            pal = np.frombuffer(buf, np.uint8, n_pal * 4,
+                                14 + hdr_size).reshape(-1, 4)
+            bands = 1 if (pal[:, 0] == pal[:, 1]).all()                 and (pal[:, 1] == pal[:, 2]).all() else 3
+        return {"fmt": "bmp", "bands": bands,
                 "h": abs(int(h)), "w": int(w), "depth": 8, "nbytes": len(buf)}
     if kind == "pnm":
-        px = decode_pnm(buf)                       # header parse is the cost
-        return {"fmt": "pnm", "bands": int(px.shape[0]), "h": int(px.shape[1]),
-                "w": int(px.shape[2]), "depth": 8, "nbytes": len(buf)}
+        # header-only: magic + dims from the ASCII preamble — the old path
+        # ran a full pixel decode (frombuffer+reshape+copy of h·w·b bytes)
+        # just to report shape, breaking the O(header) catalog contract
+        toks, pos = [], 2
+        while len(toks) < 3 and pos < len(buf):
+            while pos < len(buf) and buf[pos:pos + 1].isspace():
+                pos += 1
+            if buf[pos:pos + 1] == b"#":
+                while pos < len(buf) and buf[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos:pos + 1].isspace():
+                pos += 1
+            toks.append(buf[start:pos])
+        w2, h2 = int(toks[0]), int(toks[1])   # tokens after magic: w h maxval
+        return {"fmt": "pnm", "bands": 3 if buf[:2] == b"P6" else 1,
+                "h": h2, "w": w2, "depth": 8, "nbytes": len(buf)}
     raise ValueError(f"unrecognized image payload (magic {buf[:4]!r})")
 
 

@@ -125,6 +125,13 @@ def neighbors(cell, ring: int = 1) -> np.ndarray:
     padding where a neighbor fell off the top/bottom."""
     cells = np.atleast_1d(np.asarray(cell, dtype=np.int64))
     res = int(cell_res(cells[0]))
+    all_res = np.asarray(cell_res(cells))
+    if not (all_res == res).all():
+        # the vectorized wrap/clamp uses ONE grid width — silently applying
+        # cells[0]'s resolution to a mixed array returns wrong neighbors
+        # for every other resolution present
+        raise ValueError("neighbors() requires a uniform-resolution cell "
+                         f"array (got resolutions {sorted(set(all_res.tolist()))})")
     n = 1 << res
     i, j = cell_to_ij(cells)
     offs = [(di, dj) for dj in range(-ring, ring + 1)

@@ -397,6 +397,15 @@ def _tz_shift(v: np.ndarray, al: int) -> np.ndarray:
     return np.sign(v) * (np.abs(v) >> al)
 
 
+def _udims(w: int, h: int, chf: int, cvf: int, hmax: int, vmax: int):
+    """Unpadded per-component block-grid dims — ONE definition shared by
+    the progressive encoder and the decoder (_comp_block_dims): the two
+    sides must agree bit-for-bit on scan block order."""
+    cw = (w * chf + hmax - 1) // hmax
+    ch = (h * cvf + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
 def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
                             subsampling: str = "444") -> bytes:
     """Progressive JPEG (SOF2) with spectral selection AND successive
@@ -428,9 +437,7 @@ def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
 
     def comp_udims(ci):
         cid, chf, cvf, _tq = comps[ci]
-        cw = (w * chf + hmax - 1) // hmax
-        ch = (h * cvf + vmax - 1) // vmax
-        return (ch + 7) // 8, (cw + 7) // 8
+        return _udims(w, h, chf, cvf, hmax, vmax)
 
     out = _marker_preamble(h, w, comps, qtabs, gray, b"\xff\xc2", 0)
 
@@ -628,6 +635,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker
+        while pos + 1 < n and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:                        # EOI
@@ -721,6 +731,8 @@ def _entropy_segments(buf: bytes, pos: int) -> tuple[list[bytes], int]:
         if m == 0x00:
             cur.append(0xFF)
             pos += 2
+        elif m == 0xFF:                           # FF fill byte (B.1.1.2)
+            pos += 1
         elif 0xD0 <= m <= 0xD7:                   # RSTn: segment boundary
             segs.append(bytes(cur))
             cur = bytearray()
@@ -738,6 +750,16 @@ def _decode_scan(frame, scan, segs, qtabs, dc_tabs, ac_tabs,
     vmax = max(c["v"] for c in frame["comps"])
     if hmax not in (1, 2, 4) or vmax not in (1, 2, 4):
         raise ValueError("unsupported JPEG sampling factors")
+    for c in frame["comps"]:
+        # EVERY component's factor must be a power-of-two divisor of the
+        # max (the np.repeat upsample is integer-ratio): e.g. H=3 under
+        # hmax=4 would silently misalign chroma or die on an opaque
+        # shape error instead of this clear quarantine-able message
+        if (c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4)
+                or hmax % c["h"] or vmax % c["v"]):
+            raise ValueError(
+                f"unsupported JPEG sampling factors "
+                f"{c['h']}x{c['v']} (max {hmax}x{vmax})")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     # coefficient store per scan component: (blocks_down, blocks_across, 64)
@@ -832,6 +854,16 @@ def _frame_geometry(frame):
     vmax = max(c["v"] for c in frame["comps"])
     if hmax not in (1, 2, 4) or vmax not in (1, 2, 4):
         raise ValueError("unsupported JPEG sampling factors")
+    for c in frame["comps"]:
+        # EVERY component's factor must be a power-of-two divisor of the
+        # max (the np.repeat upsample is integer-ratio): e.g. H=3 under
+        # hmax=4 would silently misalign chroma or die on an opaque
+        # shape error instead of this clear quarantine-able message
+        if (c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4)
+                or hmax % c["h"] or vmax % c["v"]):
+            raise ValueError(
+                f"unsupported JPEG sampling factors "
+                f"{c['h']}x{c['v']} (max {hmax}x{vmax})")
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
     return hmax, vmax, mcux, mcuy
@@ -842,9 +874,7 @@ def _comp_block_dims(frame, comp):
     THIS, not the MCU-padded storage grid)."""
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
-    cw = (frame["w"] * comp["h"] + hmax - 1) // hmax
-    ch = (frame["h"] * comp["v"] + vmax - 1) // vmax
-    return (ch + 7) // 8, (cw + 7) // 8          # (rows, cols)
+    return _udims(frame["w"], frame["h"], comp["h"], comp["v"], hmax, vmax)
 
 
 def _init_stores(frame):

@@ -77,13 +77,19 @@ def image_features(df: DataFrame, bytes_col: str = "bytes",
             for i in range(len(pdf)):
                 buf = bytes(pdf[bytes_col].iloc[i])
                 fmt = pdf[fmt_col].iloc[i] if fmt_col in pdf else "raw"
-                if fmt in codec.FMT_CODES:
-                    px = codec.decode(buf).astype(np.float64)
-                elif formats.sniff(buf) in formats.IMAGE_KINDS:
-                    px = formats.decode_image_any(buf).astype(np.float64)
-                elif use_fake:
-                    px = fake_decode(buf).astype(np.float64)
-                else:
+                try:
+                    if fmt in codec.FMT_CODES:
+                        px = codec.decode(buf).astype(np.float64)
+                    elif formats.sniff(buf) in formats.IMAGE_KINDS:
+                        px = formats.decode_image_any(buf).astype(np.float64)
+                    elif use_fake:
+                        px = fake_decode(buf).astype(np.float64)
+                    else:
+                        px = None
+                except Exception:
+                    # sniffable magic but corrupt body (truncated IDAT,
+                    # bad entropy stream): the documented contract is
+                    # rows stay joinable — NaN-fill, never kill the task
                     px = None
                 if px is None:
                     feats = dict.fromkeys(
@@ -195,12 +201,23 @@ def resize_tiles(df: DataFrame, out_h: int, out_w: int,
             for b in pdf[bytes_col]:
                 px = codec.decode(bytes(b)).astype(np.float64)
                 bands, h, w = px.shape
-                ri = (np.arange(out_h) * h) // out_h
-                ci = (np.arange(out_w) * w) // out_w
-                rows_s = np.add.reduceat(px, ri, axis=1)
-                small = np.add.reduceat(rows_s, ci, axis=2)
-                rc = np.diff(np.append(ri, h)).astype(np.float64)[None, :, None]
-                cc = np.diff(np.append(ci, w)).astype(np.float64)[None, None, :]
+                # UPSCALED axes use nearest-gather: reduceat bin edges
+                # repeat when out > in, and the zero-width bins divide by
+                # zero — every upscaled tile came back inf/NaN before
+                if out_h > h:
+                    rows_s = px[:, (np.arange(out_h) * h) // out_h, :]
+                    rc = np.ones((1, out_h, 1))
+                else:
+                    ri = (np.arange(out_h) * h) // out_h
+                    rows_s = np.add.reduceat(px, ri, axis=1)
+                    rc = np.diff(np.append(ri, h)).astype(np.float64)[None, :, None]
+                if out_w > w:
+                    small = rows_s[:, :, (np.arange(out_w) * w) // out_w]
+                    cc = np.ones((1, 1, out_w))
+                else:
+                    ci = (np.arange(out_w) * w) // out_w
+                    small = np.add.reduceat(rows_s, ci, axis=2)
+                    cc = np.diff(np.append(ci, w)).astype(np.float64)[None, None, :]
                 small = small / (rc * cc)
                 bufs.append(codec.encode(small.astype(np.float32), fmt_out))
             out = pdf[keep].copy()
@@ -251,6 +268,10 @@ def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
 
     if on_error not in ("raise", "quarantine"):
         raise ValueError("on_error must be 'raise' or 'quarantine'")
+    if every_n < 1:
+        # a configuration error, not a data error — per-row quarantine
+        # would silently mark every video bad instead of surfacing it
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     quarantine = on_error == "quarantine"
     out_schema = T.StructType([df.schema[c] for c in keep_cols] + [
         T.StructField("codec", T.StringType()),
@@ -287,14 +308,22 @@ def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
                                        if t["level_idc"] is not None else -1),
                          "ok": False}
                     if tag.strip() in decodable:
-                        total, nd, hh, ww = 0, 0, -1, -1
-                        for s in samples[::every_n]:
-                            px = formats.decode_image_any(s)
-                            total += int(px.astype(np.int64).sum())
-                            hh, ww = int(px.shape[1]), int(px.shape[2])
-                            nd += 1
-                        m.update({"n_decoded": nd, "h": hh, "w": ww,
-                                  "px_sum": total, "ok": True})
+                        # frame-decode failures must NOT discard the
+                        # already-resolved demux metadata — the row
+                        # quarantines WITH its codec/frame-count/dims
+                        # enrichment (that is the catalog contract)
+                        try:
+                            total, nd, hh, ww = 0, 0, -1, -1
+                            for s in samples[::every_n]:
+                                px = formats.decode_image_any(s)
+                                total += int(px.astype(np.int64).sum())
+                                hh, ww = int(px.shape[1]), int(px.shape[2])
+                                nd += 1
+                            m.update({"n_decoded": nd, "h": hh, "w": ww,
+                                      "px_sum": total, "ok": True})
+                        except Exception:
+                            if not quarantine:
+                                raise
                 except Exception:
                     if not quarantine:
                         raise

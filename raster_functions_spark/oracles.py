@@ -1564,13 +1564,20 @@ def video_decode_sql(n: int = 30, every_n: int = 2) -> str:
             ch = t["codec_h"] if t["codec_h"] is not None else -1
             cw = t["codec_w"] if t["codec_w"] is not None else -1
             if tag.strip() in ("jpeg", "mjpa", "png"):
-                tot, nd, hh, ww = 0, 0, -1, -1
-                for s in samples[::every_n]:
-                    px = formats.decode_image_any(s)
-                    tot += int(px.astype(np.int64).sum())
-                    hh, ww = int(px.shape[1]), int(px.shape[2])
-                    nd += 1
-                vals = (tag, len(samples), nd, hh, ww, tot, pidc, lidc, "true")
+                # mirror the engine's rule: a frame-decode failure keeps
+                # the demuxed metadata and quarantines (ok=false)
+                try:
+                    tot, nd, hh, ww = 0, 0, -1, -1
+                    for s in samples[::every_n]:
+                        px = formats.decode_image_any(s)
+                        tot += int(px.astype(np.int64).sum())
+                        hh, ww = int(px.shape[1]), int(px.shape[2])
+                        nd += 1
+                    vals = (tag, len(samples), nd, hh, ww, tot, pidc, lidc,
+                            "true")
+                except Exception:
+                    vals = (tag, len(samples), 0, ch, cw, -1, pidc, lidc,
+                            "false")
             else:
                 # quarantined track: SPS-derived dims + profile enrich it
                 vals = (tag, len(samples), 0, ch, cw, -1, pidc, lidc, "false")

@@ -269,3 +269,60 @@ def test_avcc_in_container_enriches_demux():
     # tracks without codec config keep None enrichment
     t2 = Fm._demux_tables(Fm.encode_mp4_samples([b"x" * 9] * 2, "jpeg", 8, 8))
     assert t2["profile_idc"] is None and t2["codec_w"] is None
+
+
+def test_peek_matches_decode_band_count_palette():
+    """Catalog (peek) and decode must agree on band count for palette
+    images — color palettes expand to 3, grey palettes collapse to 1."""
+    import numpy as np
+    from raster_functions_spark import formats as Fm
+    rng = np.random.default_rng(5)
+    grey = rng.integers(0, 255, (6, 7)).astype(np.uint8)
+    for enc, peek in ((Fm.encode_bmp, Fm.peek_image_any),
+                      (Fm.encode_png, Fm.peek_image_any)):
+        g = enc(grey)
+        assert peek(g)["bands"] == Fm.decode_image_any(g).shape[0] == 1
+    rgb = rng.integers(0, 255, (3, 6, 7)).astype(np.uint8)
+    for enc in (Fm.encode_bmp, Fm.encode_png, Fm.encode_pnm):
+        c = enc(rgb)
+        assert (Fm.peek_image_any(c)["bands"]
+                == Fm.decode_image_any(c).shape[0] == 3)
+    # PNM peek is header-only but must still report exact dims
+    pk = Fm.peek_image_any(Fm.encode_pnm(rgb))
+    assert (pk["h"], pk["w"]) == (6, 7)
+
+
+def test_jpeg_ff_fill_bytes_are_conformant():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    decode and peek must both accept a padded stream."""
+    import numpy as np
+    from raster_functions_spark import formats as Fm
+    from raster_functions_spark import jpeg as J
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 255, (1, 16, 16)).astype(np.uint8)
+    buf = J.encode_jpeg(px, quality=90)
+    # insert a fill byte before the first marker after SOI
+    padded = buf[:2] + b"\xff" + buf[2:]
+    assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(buf))
+    assert Fm.peek_jpeg(padded)["w"] == 16
+
+
+def test_resize_tiles_upscale_finite(spark):
+    """Upscaling must nearest-gather, not divide by zero-width bins (the
+    old path encoded inf/NaN into every upscaled tile)."""
+    import numpy as np
+    import pandas as pd
+    from raster_functions_spark import codec, multimodal
+    px = np.arange(16, dtype=np.float32).reshape(1, 4, 4)
+    df = spark.createDataFrame(pd.DataFrame(
+        [{"image_id": "a", "bytes": codec.encode(px, "raw"),
+          "w": 4, "h": 4}]))
+    out = multimodal.resize_tiles(df, 8, 8, fmt_out="raw").collect()[0]
+    got = codec.decode(bytes(out["bytes"]))
+    assert got.shape == (1, 8, 8)
+    assert np.isfinite(got).all()
+    assert got[0, 0, 0] == 0.0 and got[0, 7, 7] == 15.0
+    # downscale path unchanged: 4x4 -> 2x2 box means
+    out2 = multimodal.resize_tiles(df, 2, 2, fmt_out="raw").collect()[0]
+    got2 = codec.decode(bytes(out2["bytes"]))
+    assert np.allclose(got2[0], [[2.5, 4.5], [10.5, 12.5]])
