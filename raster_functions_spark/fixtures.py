@@ -264,8 +264,12 @@ def jpeg_fixture_payload(i: int) -> bytes:
 def mixed_fixture_payload(i: int, corrupt_every: int = 0) -> bytes:
     """One crawl-dump payload: format cycles PNG → JPEG → BMP → engine
     container per row. With ``corrupt_every`` k > 0, every row where
-    i % k == 3 is truncated to 12 bytes (magic intact, body gone) — the
-    deterministic 'bit-rotted object' for quarantine-path contracts."""
+    i % k == min(3, k - 1) is truncated to 12 bytes (magic intact, body
+    gone) — the deterministic 'bit-rotted object' for quarantine-path
+    contracts. (The min() keeps the predicate satisfiable for k ≤ 3:
+    i % 2 == 3 is never true, so small-k callers silently got a fully
+    clean corpus and their quarantine tests passed vacuously; existing
+    k ≥ 4 callers keep the exact historical corrupt rows.)"""
     from . import codec as _codec
     from . import formats
     k = i // 4
@@ -277,7 +281,7 @@ def mixed_fixture_payload(i: int, corrupt_every: int = 0) -> bytes:
         buf = formats.encode_bmp(png_fixture_pixels(k))
     else:
         buf = _codec.encode(png_fixture_pixels(k), "zlib")
-    if corrupt_every and i % corrupt_every == 3:
+    if corrupt_every and i % corrupt_every == min(3, corrupt_every - 1):
         return buf[:12]
     return buf
 

@@ -31,9 +31,13 @@ def _auto_ship(spark: SparkSession) -> None:
 def decode_features(images: DataFrame, cell_res: int = 7) -> DataFrame:
     """Fused decode + per-tile features + fidelity columns + cell id.
 
-    Emits: image_id, caption, lon, lat, phash_ok (recomputed phash within
-    near-dup tolerance), psnr_ok (≥40 dB for lossy; exact for lossless,
-    vs the re-encoded roundtrip), px_mean/px_std, cell."""
+    Emits: image_id, caption, lon, lat, fmt, phash_ham (hamming of the
+    recomputed phash vs the stored one — the fidelity gate; -1 marks an
+    undecodable payload), px_mean/px_std (NaN when undecodable), n_px,
+    cell. The decode is PERMISSIVE, same rule as the fused broadcast
+    path (_decode_feature_arrays): this function feeds the partitioned
+    (large-AOI) flagship route, which must not die on corrupt rows
+    either."""
     _auto_ship(images.sparkSession)
     out_schema = T.StructType([
         images.schema["image_id"], images.schema["caption"],
@@ -47,16 +51,7 @@ def decode_features(images: DataFrame, cell_res: int = 7) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            n = len(pdf)
-            ham = np.zeros(n, np.int32)
-            mean = np.zeros(n, np.float64)
-            std = np.zeros(n, np.float64)
-            npx = np.zeros(n, np.int64)
-            for i in range(n):
-                px = codec.decode(bytes(pdf["bytes"].iloc[i]))
-                ham[i] = codec.hamming64(codec.phash64(px), int(pdf["phash"].iloc[i]))
-                f = px.astype(np.float64)
-                mean[i] = f.mean(); std[i] = f.std(); npx[i] = f.size
+            mean, std, ham, npx = _decode_feature_arrays(pdf)
             out = pdf[["image_id", "caption", "lon", "lat", "fmt"]].copy()
             out["phash_ham"] = ham
             out["px_mean"] = mean
@@ -77,16 +72,13 @@ def tile_assign(features: DataFrame, aoi: DataFrame,
 
 
 def _zonal_agg(assigned: DataFrame) -> DataFrame:
-    ok = lambda c: F.when(~F.isnan(c), F.col(c))  # NaN → null (avg skips null, not NaN)
-    return (assigned.groupBy("aoi_id")
-            .agg(F.count("*").alias("n_images"),
-                 F.round(F.avg(ok("px_mean")), 6).alias("mean_px"),
-                 F.round(F.avg(ok("px_std")), 6).alias("mean_std"),
-                 F.countDistinct("cell").alias("n_cells"),
-                 F.max("phash_ham").alias("max_phash_ham"),
-                 F.sum(F.when(F.col("phash_ham") < 0, 1).otherwise(0))
-                 .alias("n_bad"))
-            .orderBy("aoi_id"))
+    """Batch flagship aggregation — expressed as the MERGE of the same
+    decomposable partials the incremental view commits
+    (_assigned_partials → merge_flagship_partials), so the batch and
+    materialized-view paths share one definition of every statistic and
+    cannot drift."""
+    partials, pairs = _assigned_partials(assigned)
+    return merge_flagship_partials(partials, pairs)
 
 
 def flagship_modular(spark: SparkSession, images: DataFrame, aoi: DataFrame,
@@ -118,23 +110,37 @@ def flagship_assigned(spark: SparkSession, images: DataFrame, aoi: DataFrame,
     oversized vector sides to the fused-decode + cell-cover partitioned
     join, which never touches the driver."""
     _auto_ship(spark)
+    prep = prepare_aoi(spark, aoi, broadcast_threshold)
+    return flagship_assigned_prepared(spark, images, prep, cell_res)
+
+
+_ASSIGNED_SCHEMA = ("aoi_id long, image_id string, caption string, cell long, "
+                    "px_mean double, px_std double, phash_ham int")
+
+
+def prepare_aoi(spark: SparkSession, aoi: DataFrame,
+                broadcast_threshold: int = 10000):
+    """One-time AOI preparation for the fused flagship: bounded-probe
+    routing decision + (broadcast route) ONE collect + ONE broadcast.
+    Streaming sinks MUST call this once outside their per-batch closure —
+    re-probing/re-collecting/re-broadcasting a static dim per microbatch
+    runs extra driver jobs every batch and leaks one broadcast per batch
+    (they are never destroyed)."""
     n_aoi = aoi.limit(broadcast_threshold + 1).count()
     if n_aoi > broadcast_threshold:
+        return ("partitioned", aoi)
+    return ("broadcast", spatial.broadcast_aoi(spark, aoi))
+
+
+def flagship_assigned_prepared(spark: SparkSession, images: DataFrame,
+                               prep, cell_res: int = 7) -> DataFrame:
+    """The per-batch half of flagship_assigned, reusing a prepare_aoi
+    result (see prepare_aoi for why streaming callers need the split)."""
+    kind, payload = prep
+    if kind == "partitioned":
         feats = decode_features(images, cell_res)
-        return spatial.pip_join_partitioned(feats, aoi)
-    aoi_pdf = aoi.select("aoi_id", "ring_x", "ring_y",
-                         "xmin", "ymin", "xmax", "ymax").toPandas()
-    baoi = spark.sparkContext.broadcast({
-        "aoi_id": aoi_pdf["aoi_id"].to_numpy(np.int64),
-        "xmin": aoi_pdf["xmin"].to_numpy(np.float64),
-        "ymin": aoi_pdf["ymin"].to_numpy(np.float64),
-        "xmax": aoi_pdf["xmax"].to_numpy(np.float64),
-        "ymax": aoi_pdf["ymax"].to_numpy(np.float64),
-        "rings": [(np.asarray(rx, np.float64), np.asarray(ry, np.float64))
-                  for rx, ry in zip(aoi_pdf["ring_x"], aoi_pdf["ring_y"])],
-    })
-    out_schema = ("aoi_id long, image_id string, caption string, cell long, "
-                  "px_mean double, px_std double, phash_ham int")
+        return spatial.pip_join_partitioned(feats, payload)
+    baoi = payload
 
     def run(batches):
         a = baoi.value
@@ -143,45 +149,10 @@ def flagship_assigned(spark: SparkSession, images: DataFrame, aoi: DataFrame,
             x = pdf["lon"].to_numpy(np.float64)
             y = pdf["lat"].to_numpy(np.float64)
             cells = grid.encode_np(x, y, cell_res)
-            mean = np.empty(n); std = np.empty(n); ham = np.empty(n, np.int32)
-            bufs = pdf["bytes"].to_numpy()
-            hashes = pdf["phash"].to_numpy()
-            for i in range(n):
-                # permissive decode: a corrupt payload at 10^12-row scale is
-                # a certainty; mark (phash_ham = -1, NaN stats), don't kill
-                # the task (rows stay joinable/countable downstream)
-                try:
-                    px = codec.decode(bytes(bufs[i]))
-                    ham[i] = codec.hamming64(codec.phash64(px), int(hashes[i]))
-                    f = px.astype(np.float64)
-                    mean[i] = f.mean(); std[i] = f.std()
-                except Exception:
-                    ham[i] = -1
-                    mean[i] = np.nan; std[i] = np.nan
-            # bbox prefilter in AOI chunks: the N×K candidate matrix is
-            # ~(batch × n_aoi) bytes — chunking the AOI axis bounds the
-            # transient at ~16 MB regardless of how many polygons are
-            # broadcast (a 10k-AOI broadcast at 2048-row batches would
-            # otherwise allocate ~80 MB per batch)
-            ridx_list, aid_list = [], []
-            chunk = max(1, (16 << 20) // max(8 * n, 1))
-            for k0 in range(0, a["aoi_id"].size, chunk):
-                sl = slice(k0, k0 + chunk)
-                cand = ((x[:, None] >= a["xmin"][None, sl]) & (x[:, None] <= a["xmax"][None, sl])
-                        & (y[:, None] >= a["ymin"][None, sl]) & (y[:, None] <= a["ymax"][None, sl]))
-                for kk in np.unique(np.nonzero(cand)[1]):
-                    k = k0 + kk
-                    pts = np.nonzero(cand[:, kk])[0]
-                    rx, ry = a["rings"][k]
-                    hit = spatial.point_in_polygon_np(x[pts], y[pts], rx, ry)
-                    sel = pts[hit]
-                    ridx_list.append(sel)
-                    aid_list.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
-            if ridx_list:
-                ridx = np.concatenate(ridx_list)
-                aid = np.concatenate(aid_list)
-            else:
-                ridx = np.empty(0, np.int64); aid = np.empty(0, np.int64)
+            mean, std, ham, _npx = _decode_feature_arrays(pdf)
+            # shared broadcast-PIP kernel (spatial.pip_assign_np): AOI-
+            # chunked bbox prefilter + exact crossing-number refine
+            ridx, aid = spatial.pip_assign_np(a, x, y)
             yield pd.DataFrame({
                 "aoi_id": aid,
                 "image_id": pdf["image_id"].to_numpy()[ridx],
@@ -191,7 +162,29 @@ def flagship_assigned(spark: SparkSession, images: DataFrame, aoi: DataFrame,
                 "phash_ham": ham[ridx],
             })
 
-    return images.mapInPandas(run, schema=out_schema)
+    return images.mapInPandas(run, schema=_ASSIGNED_SCHEMA)
+
+
+def _decode_feature_arrays(pdf: pd.DataFrame):
+    """Permissive per-image decode+features over one Arrow batch — ONE
+    definition for every flagship path: a corrupt payload at 10^12-row
+    scale is a certainty; mark it (phash_ham = -1, NaN stats), never kill
+    the task (rows stay joinable/countable downstream)."""
+    n = len(pdf)
+    mean = np.empty(n); std = np.empty(n); ham = np.empty(n, np.int32)
+    npx = np.zeros(n, np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    hashes = pdf["phash"].to_numpy()
+    for i in range(n):
+        try:
+            px = codec.decode(bytes(bufs[i]))
+            ham[i] = codec.hamming64(codec.phash64(px), int(hashes[i]))
+            f = px.astype(np.float64)
+            mean[i] = f.mean(); std[i] = f.std(); npx[i] = f.size
+        except Exception:
+            ham[i] = -1
+            mean[i] = np.nan; std[i] = np.nan
+    return mean, std, ham, npx
 
 
 def flagship(spark: SparkSession, images: DataFrame, aoi: DataFrame,
@@ -224,19 +217,7 @@ def flagship_from_seed(spark: SparkSession, n_images: int, aoi: DataFrame,
         cores = spark.sparkContext.defaultParallelism
         partitions = max(2 * cores, (n_images + 1999) // 2000)
     from . import fixtures
-    aoi_pdf = aoi.select("aoi_id", "ring_x", "ring_y",
-                         "xmin", "ymin", "xmax", "ymax").toPandas()
-    baoi = spark.sparkContext.broadcast({
-        "aoi_id": aoi_pdf["aoi_id"].to_numpy(np.int64),
-        "xmin": aoi_pdf["xmin"].to_numpy(np.float64),
-        "ymin": aoi_pdf["ymin"].to_numpy(np.float64),
-        "xmax": aoi_pdf["xmax"].to_numpy(np.float64),
-        "ymax": aoi_pdf["ymax"].to_numpy(np.float64),
-        "rings": [(np.asarray(rx, np.float64), np.asarray(ry, np.float64))
-                  for rx, ry in zip(aoi_pdf["ring_x"], aoi_pdf["ring_y"])],
-    })
-    out_schema = ("aoi_id long, image_id string, caption string, cell long, "
-                  "px_mean double, px_std double, phash_ham int")
+    baoi = spatial.broadcast_aoi(spark, aoi)
 
     def run(batches):
         a = baoi.value
@@ -245,37 +226,8 @@ def flagship_from_seed(spark: SparkSession, n_images: int, aoi: DataFrame,
             x = pdf["lon"].to_numpy(np.float64)
             y = pdf["lat"].to_numpy(np.float64)
             cells = grid.encode_np(x, y, cell_res)
-            n = len(pdf)
-            mean = np.empty(n); std = np.empty(n); ham = np.empty(n, np.int32)
-            bufs = pdf["bytes"].to_numpy()
-            hashes = pdf["phash"].to_numpy()
-            for i in range(n):
-                try:
-                    px = codec.decode(bytes(bufs[i]))
-                    ham[i] = codec.hamming64(codec.phash64(px), int(hashes[i]))
-                    f = px.astype(np.float64)
-                    mean[i] = f.mean(); std[i] = f.std()
-                except Exception:
-                    ham[i] = -1
-                    mean[i] = np.nan; std[i] = np.nan
-            # AOI-chunked bbox prefilter (see flagship: bounds the N×K
-            # transient at ~16 MB for arbitrarily large AOI broadcasts)
-            ridx_list, aid_list = [], []
-            chunk = max(1, (16 << 20) // max(8 * n, 1))
-            for k0 in range(0, a["aoi_id"].size, chunk):
-                sl = slice(k0, k0 + chunk)
-                cand = ((x[:, None] >= a["xmin"][None, sl]) & (x[:, None] <= a["xmax"][None, sl])
-                        & (y[:, None] >= a["ymin"][None, sl]) & (y[:, None] <= a["ymax"][None, sl]))
-                for kk in np.unique(np.nonzero(cand)[1]):
-                    k = k0 + kk
-                    pts = np.nonzero(cand[:, kk])[0]
-                    rx, ry = a["rings"][k]
-                    hit = spatial.point_in_polygon_np(x[pts], y[pts], rx, ry)
-                    sel = pts[hit]
-                    ridx_list.append(sel)
-                    aid_list.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
-            ridx = (np.concatenate(ridx_list) if ridx_list else np.empty(0, np.int64))
-            aid = (np.concatenate(aid_list) if aid_list else np.empty(0, np.int64))
+            mean, std, ham, _npx = _decode_feature_arrays(pdf)
+            ridx, aid = spatial.pip_assign_np(a, x, y)
             yield pd.DataFrame({
                 "aoi_id": aid,
                 "image_id": pdf["image_id"].to_numpy()[ridx],
@@ -286,7 +238,7 @@ def flagship_from_seed(spark: SparkSession, n_images: int, aoi: DataFrame,
             })
 
     assigned = (spark.range(0, n_images, 1, partitions)
-                .mapInPandas(run, schema=out_schema))
+                .mapInPandas(run, schema=_ASSIGNED_SCHEMA))
     return _zonal_agg(assigned)
 
 
@@ -356,9 +308,12 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
 
     spark = stream_images.sparkSession
     vt = SnapshotTable(spark, view_path)
+    # static dim: probe + collect + broadcast ONCE for the stream's
+    # lifetime (doing it per microbatch leaked one broadcast per batch)
+    prep = prepare_aoi(spark, aoi)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        assigned = flagship_assigned(spark, batch_df, aoi, cell_res)
+        assigned = flagship_assigned_prepared(spark, batch_df, prep, cell_res)
         assigned.persist()
         try:
             partials, pairs = _assigned_partials(assigned)
@@ -381,8 +336,15 @@ def current_flagship(spark: SparkSession, view_path: str) -> DataFrame:
     from .snapshots import SnapshotTable
 
     vt = SnapshotTable(spark, view_path)
-    p = vt.read(table="partials")
-    pairs = vt.read(table="pairs")
+    return merge_flagship_partials(vt.read(table="partials"),
+                                   vt.read(table="pairs"))
+
+
+def merge_flagship_partials(p: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Merge per-AOI [Σ, count] partials + (aoi, cell) pairs into the
+    flagship's output schema — THE one definition of the flagship's
+    statistics, used by the batch aggregation (_zonal_agg) and the
+    materialized view (current_flagship) alike."""
     cells = (pairs.distinct().groupBy("aoi_id")
              .agg(F.countDistinct("cell").alias("n_cells")))
     merged = (p.groupBy("aoi_id")

@@ -256,10 +256,24 @@ def stretch_stats_apply(df: DataFrame, stretch_type: str = "minmax",
     transfer: out = out_min + span·cdf(v), the histogram LUT broadcast to
     a per-pixel searchsorted gather)."""
     from .operators import pointwise
-    # two to three actions read the same tiles (stats pass(es) + the
-    # stretch map): persist so a non-trivial upstream lineage is decoded
-    # once, not re-computed per pass
+    # the stats pass(es) read the same tiles 1-2x before the map pass:
+    # persist across THEM, then release — holding the cache for the
+    # (lazy) returned plan would pin a full tile-table copy in executor
+    # storage per call with no handle for the caller to release it; the
+    # map pass re-reads the raw lineage once instead
     df = df.persist()
+    try:
+        return _stretch_stats_apply_cached(
+            df, stretch_type, min_percent, max_percent, out_min, out_max,
+            band, bins, n_std, fmt_out)
+    finally:
+        df.unpersist()
+
+
+def _stretch_stats_apply_cached(df, stretch_type, min_percent, max_percent,
+                                out_min, out_max, band, bins, n_std,
+                                fmt_out):
+    from .operators import pointwise
     gmin, gmax = global_value_stats(df, band)
     if stretch_type == "percent_clip":
         hist = global_histogram(df, gmin, gmax, bins, band)

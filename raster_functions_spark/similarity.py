@@ -101,6 +101,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     q_pdf = queries.select(F.col(qid_col).alias("query_id"),
                            F.col(vec_col).alias("qv")).toPandas()
     spark = corpus.sparkSession
+    if not len(q_pdf):
+        # empty query set: an empty RESULT, not an opaque np.stack crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int")
     bq = spark.sparkContext.broadcast({
         "ids": q_pdf["query_id"].to_numpy(np.int64),
         "Q": np.stack(q_pdf["qv"].to_numpy()).astype(np.float64),
@@ -185,6 +189,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     path emits bigint ids so results are engine-comparable without
     float/string-hash hazards — see brute_force_topk). Map string keys
     to a surrogate bigint upstream."""
+    if n_probes - 1 > n_bits:
+        # probe p flips bit p-1: probes beyond n_bits produce bucket ids
+        # no corpus vector can occupy — silent no-ops that LOOK like
+        # extra recall; refuse instead
+        raise ValueError(f"n_probes ≤ n_bits+1 (= {n_bits + 1}): probe "
+                         f"{n_bits + 2} would flip a nonexistent bit")
     return _lsh_gemm_topk(corpus, queries, k, id_col, vec_col, qid_col,
                           n_bits=n_bits, n_tables=1, n_probes=n_probes,
                           dim=dim)
@@ -224,11 +234,18 @@ def _lsh_gemm_topk(corpus: DataFrame, queries: DataFrame, k: int,
     neighbor) pair appears at most once per table; the cross-table dedup
     also covers multi-probe."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        row = corpus.select(vec_col).first()
+        if row is None:
+            raise ValueError("empty corpus: pass dim= explicitly (or skip "
+                             "the search — there is nothing to match)")
+        dim = len(row[0])
     Hs = np.stack([_hyperplanes(dim, n_bits, table=t)
                    for t in range(n_tables)])          # (L, bits, dim)
     q_pdf = queries.select(F.col(qid_col).alias("query_id"),
                            F.col(vec_col).alias("qv")).toPandas()
+    if not len(q_pdf):
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, score double")
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     pow2 = (1 << np.arange(n_bits)).astype(np.int64)
 
@@ -438,7 +455,12 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     cast = F.col(vec_col).cast("array<double>")
     d = df.select(F.col(id_col).alias("_id"), cast.alias("v"))
     if limit_ids is not None:
-        d = d.filter(F.col("_id") < limit_ids)
+        # a true CARDINALITY cap (the lowest limit_ids ids, TakeOrdered +
+        # semi-join) — the previous value filter `_id < limit_ids` only
+        # approximated it for dense 0-based ids and silently dropped
+        # EVERYTHING for surrogate/hashed id spaces
+        keep = d.select("_id").orderBy("_id").limit(int(limit_ids))
+        d = d.join(F.broadcast(keep), "_id", "left_semi")
     if n_bits > 0:
         dim = len(df.select(vec_col).first()[0])
         d = d.withColumn("bucket", lsh_bucket_col(F.col("v"), dim, n_bits))

@@ -90,6 +90,54 @@ def auto_cover_res_distributed(aoi: DataFrame, max_cells_per_aoi: int = 64) -> i
 
 # ------------------------------------------------------- PIP join API ------
 
+def broadcast_aoi(spark, aoi: DataFrame):
+    """Collect + broadcast the AOI table as dense arrays — built ONCE per
+    query (a streaming sink must hoist this out of its per-batch closure:
+    re-collecting and re-broadcasting a static dim per microbatch leaks
+    one broadcast per batch)."""
+    aoi_pdf = aoi.select("aoi_id", "ring_x", "ring_y",
+                         "xmin", "ymin", "xmax", "ymax").toPandas()
+    return spark.sparkContext.broadcast({
+        "aoi_id": aoi_pdf["aoi_id"].to_numpy(np.int64),
+        "xmin": aoi_pdf["xmin"].to_numpy(np.float64),
+        "ymin": aoi_pdf["ymin"].to_numpy(np.float64),
+        "xmax": aoi_pdf["xmax"].to_numpy(np.float64),
+        "ymax": aoi_pdf["ymax"].to_numpy(np.float64),
+        "rings": [(np.asarray(rx, np.float64), np.asarray(ry, np.float64))
+                  for rx, ry in zip(aoi_pdf["ring_x"], aoi_pdf["ring_y"])],
+    })
+
+
+def pip_assign_np(a: dict, x: np.ndarray, y: np.ndarray,
+                  chunk_bytes: int = 16 << 20):
+    """THE broadcast-side PIP kernel (one definition — flagship fused
+    paths and pip_join_broadcast all call this): AOI-chunked bbox
+    prefilter (bounds the N×K boolean transient at ~chunk_bytes for
+    arbitrarily many polygons) + exact crossing-number test per candidate
+    polygon. Returns (point_idx, aoi_id) match arrays, polygon-ascending
+    order (identical to the historical unchunked iteration order)."""
+    n = x.size
+    ridx_list, aid_list = [], []
+    chunk = max(1, chunk_bytes // max(8 * n, 1))
+    for k0 in range(0, a["aoi_id"].size, chunk):
+        sl = slice(k0, k0 + chunk)
+        cand = ((x[:, None] >= a["xmin"][None, sl])
+                & (x[:, None] <= a["xmax"][None, sl])
+                & (y[:, None] >= a["ymin"][None, sl])
+                & (y[:, None] <= a["ymax"][None, sl]))
+        for kk in np.unique(np.nonzero(cand)[1]):
+            k = k0 + kk
+            pts = np.nonzero(cand[:, kk])[0]
+            rx, ry = a["rings"][k]
+            hit = point_in_polygon_np(x[pts], y[pts], rx, ry)
+            sel = pts[hit]
+            ridx_list.append(sel)
+            aid_list.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
+    ridx = np.concatenate(ridx_list) if ridx_list else np.empty(0, np.int64)
+    aid = np.concatenate(aid_list) if aid_list else np.empty(0, np.int64)
+    return ridx, aid
+
+
 def pip_join_broadcast(points: DataFrame, aoi: DataFrame,
                        x_col: str = "lon", y_col: str = "lat",
                        keep_unmatched: bool = False) -> DataFrame:
@@ -101,18 +149,8 @@ def pip_join_broadcast(points: DataFrame, aoi: DataFrame,
     bbox hits. Emits one row per (point, containing AOI). No shuffle at all —
     the plan is scan → mapInPandas; at 10^12 rows this is embarrassingly
     parallel."""
-    aoi_pdf = aoi.select("aoi_id", "ring_x", "ring_y",
-                         "xmin", "ymin", "xmax", "ymax").toPandas()
     spark = points.sparkSession
-    baoi = spark.sparkContext.broadcast({
-        "aoi_id": aoi_pdf["aoi_id"].to_numpy(np.int64),
-        "xmin": aoi_pdf["xmin"].to_numpy(np.float64),
-        "ymin": aoi_pdf["ymin"].to_numpy(np.float64),
-        "xmax": aoi_pdf["xmax"].to_numpy(np.float64),
-        "ymax": aoi_pdf["ymax"].to_numpy(np.float64),
-        "rings": [(np.asarray(rx, np.float64), np.asarray(ry, np.float64))
-                  for rx, ry in zip(aoi_pdf["ring_x"], aoi_pdf["ring_y"])],
-    })
+    baoi = broadcast_aoi(spark, aoi)
     out_schema = T.StructType(list(points.schema)
                               + [T.StructField("aoi_id", T.LongType(), True)])
 
@@ -121,23 +159,7 @@ def pip_join_broadcast(points: DataFrame, aoi: DataFrame,
         for pdf in batches:
             x = pdf[x_col].to_numpy(np.float64)
             y = pdf[y_col].to_numpy(np.float64)
-            # bbox prefilter: (n_points, n_aoi)
-            cand = ((x[:, None] >= a["xmin"][None, :]) & (x[:, None] <= a["xmax"][None, :])
-                    & (y[:, None] >= a["ymin"][None, :]) & (y[:, None] <= a["ymax"][None, :]))
-            rows_idx, aoi_hits = [], []
-            for k in np.unique(np.nonzero(cand)[1]):
-                pts = np.nonzero(cand[:, k])[0]
-                rx, ry = a["rings"][k]
-                hit = point_in_polygon_np(x[pts], y[pts], rx, ry)
-                sel = pts[hit]
-                rows_idx.append(sel)
-                aoi_hits.append(np.full(sel.size, a["aoi_id"][k], dtype=np.int64))
-            if rows_idx:
-                ridx = np.concatenate(rows_idx)
-                aid = np.concatenate(aoi_hits)
-            else:
-                ridx = np.empty(0, np.int64)
-                aid = np.empty(0, np.int64)
+            ridx, aid = pip_assign_np(a, x, y)
             out = pdf.iloc[ridx].copy()
             out["aoi_id"] = aid
             if keep_unmatched:
