@@ -132,12 +132,21 @@ def checkpointed_write(df: DataFrame, path: str, key_col: str,
     # of the unmaterialized input, which would recompute the whole
     # pipeline a second time AND checksum a recompute rather than the
     # committed bytes)
-    metrics = (spark.read.parquet(path)
-               .filter(F.col("bucket").isin(todo))
-               .groupBy("bucket")
-               .agg(F.count("*").alias("rows"),
-                    F.sum(F.crc32(F.col(key_col).cast("string"))).alias("key_checksum"))
-               .collect())
+    try:
+        metrics = (spark.read.parquet(path)
+                   .filter(F.col("bucket").isin(todo))
+                   .groupBy("bucket")
+                   .agg(F.count("*").alias("rows"),
+                        F.sum(F.crc32(F.col(key_col).cast("string"))).alias("key_checksum"))
+                   .collect())
+    except Exception as e:  # noqa: BLE001 — AnalysisException class moves
+        if "infer schema" not in str(e).lower() and "PATH_NOT_FOUND" not in str(e):
+            raise
+        # first run where EVERY todo bucket was empty: the dynamic
+        # overwrite wrote no parquet files at all, so there is nothing to
+        # read back — fall through and record all todo buckets as
+        # written-empty below
+        metrics = []
     manifest = _read_manifest(spark, path)
     for r in metrics:
         manifest["buckets"][str(r["bucket"])] = {

@@ -40,7 +40,13 @@ def zonal_remap(zones_pdf: pd.DataFrame, value_band: int = 0,
     (e.g. 0.0) for that behavior. ``background=None`` (default) instead
     passes the input value through, a deliberate divergence that keeps the
     operator composable in value-preserving chains (and is what the
-    contract queries' oracles assert)."""
+    contract queries' oracles assert).
+
+    Overlapping intervals: the reference iterates a zone's whole interval
+    list in TABLE ORDER and assigns every match (ZonalRemap.py:185-198
+    ``p[I] = ...`` per interval) — so the LAST matching interval wins.
+    Both engine paths implement exactly that (spatial.zonal_remap_col
+    carries an explicit table-order ordinal so its array probe agrees)."""
     z = _zones_payload(zones_pdf)
     zid = z["zone_id"]
 
@@ -48,23 +54,21 @@ def zonal_remap(zones_pdf: pd.DataFrame, value_band: int = 0,
         v = px[value_band].astype(np.float64)
         zb = px[zone_band].astype(np.int64)
         out = v.copy() if background is None else np.full_like(v, background)
-        matched = np.zeros(v.shape, dtype=bool)
-        for zkey in np.unique(zb):           # id-list pushdown: only zones present
-            rows = np.nonzero(zid == zkey)[0]
-            # ALL of the zone's intervals probe, first MATCH wins — the
-            # reference iterates the zone's whole interval list
-            # (ZonalRemap.py:184-198); probing only rows[0] made pixels in
-            # a later interval fall through to background/pass-through
-            for r in rows:
-                lo = z["zmin"][r] if z["zmin"] is not None else np.nan
-                hi = z["zmax"][r] if z["zmax"] is not None else np.nan
-                val = z["zval"][r] if z["zval"] is not None else np.nan
-                lo = -np.inf if np.isnan(lo) else lo
-                hi = np.inf if np.isnan(hi) else hi
-                val = default if np.isnan(val) else val
-                sel = (zb == zkey) & (v > lo) & (v < hi) & ~matched
-                out[sel] = val
-                matched |= sel
+        present = set(np.unique(zb).tolist())  # id-list pushdown: zones in tile
+        # iterate intervals in TABLE ORDER; each match overwrites prior
+        # matches ⇒ last-match-wins, bit-for-bit the reference's loop
+        for r in range(zid.size):
+            zkey = zid[r]
+            if zkey not in present:
+                continue
+            lo = z["zmin"][r] if z["zmin"] is not None else np.nan
+            hi = z["zmax"][r] if z["zmax"] is not None else np.nan
+            val = z["zval"][r] if z["zval"] is not None else np.nan
+            lo = -np.inf if np.isnan(lo) else lo
+            hi = np.inf if np.isnan(hi) else hi
+            val = default if np.isnan(val) else val
+            sel = (zb == zkey) & (v > lo) & (v < hi)
+            out[sel] = val
         return out.astype(np.float32)
 
     return TileOp("zonal_remap", fn, bands_out=1, dtype_out="f4")

@@ -149,7 +149,12 @@ class SnapshotTable:
         for i, s in enumerate(segs):
             if s.startswith("snap-"):
                 nxt = segs[i + 1]
-                return None if nxt.startswith("_p=") else nxt
+                # a default-layout EMPTY commit writes its zero-row
+                # fallback file directly under the snap dir (no _p= dir) —
+                # that is the default table, not a dataset named part-*
+                if nxt.startswith("_p=") or nxt.endswith(".parquet"):
+                    return None
+                return nxt
         return None
 
     def _commit(self, op: str, added: list[dict], live: list[dict],
@@ -286,6 +291,15 @@ class SnapshotTable:
             if since_snapshot_id < s["id"] <= hi and s["op"] != "compact":
                 files.extend(p for p in s["added"]
                              if self._table_of(p) == table)
+        if not files:
+            # a legitimate empty range (e.g. the selected named dataset
+            # got nothing in these snapshots) must yield an EMPTY frame
+            # with the table's schema, not a zero-path read error — take
+            # the schema from the current snapshot's live files
+            live = [f["path"] for f in self._manifest(root["current"])
+                    if f.get("table") == table] if root["current"] else []
+            if live:
+                return self._read_files(live).limit(0)
         return self._read_files(files)
 
     # --------------------------------------------------------- streaming --
@@ -391,7 +405,11 @@ class SnapshotTable:
                 if (f.get("table"), f["partition"]) not in targets]
         return self._commit("compact", added, kept + added, pcol, run_id,
                             {"compacted_values": sorted(
-                                f"{t}/{v}" if t else v for t, v in targets),
+                                # str(v): empty-commit fallback files have
+                                # partition=None, which must not sort
+                                # against str partitions (TypeError)
+                                f"{t}/{v}" if t else str(v)
+                                for t, v in targets),
                              "files_before": n_src,
                              "files_after": len(added)})
 

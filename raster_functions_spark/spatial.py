@@ -311,28 +311,34 @@ def zonal_remap_col(df: DataFrame, zones: DataFrame, value_col: str,
 
     One output row per input row ALWAYS: zones with several intervals for
     one zone_id are aggregated into an interval ARRAY before the join and
-    probed per row (first match under (zmin, zmax, zval) null-first
-    ordering wins — deterministic, matching the per-pixel
-    operators/zonal.py first-interval rule). A plain interval join would
-    FAN OUT one row per matching interval, silently inflating every
-    downstream aggregate. The probe is an interpreted array HOF — fine
-    here because interval lists are tiny dims; the row-multiplying join
-    it replaces was the real cost."""
+    probed per row. A plain interval join would FAN OUT one row per
+    matching interval, silently inflating every downstream aggregate.
+    Overlapping intervals: the reference assigns every matching interval
+    in TABLE ORDER so the LAST match wins (ZonalRemap.py:185-198) — an
+    explicit table-order ordinal rides in each interval struct, the array
+    is canonicalized by that ordinal, and the probe takes the last match;
+    identical semantics to the per-pixel operators/zonal.py path. The
+    ordinal comes from monotonically_increasing_id over ``zones`` as
+    passed, which preserves input row order for any narrow-lineage zones
+    frame (createDataFrame, parquet scan). The probe is an interpreted
+    array HOF — fine here because interval lists are tiny dims; the
+    row-multiplying join it replaces was the real cost."""
     z = zones.select(zone_col, F.struct(
+        F.monotonically_increasing_id().alias("_ord"),
         F.col("zmin").alias("zmin"), F.col("zmax").alias("zmax"),
         F.col("zval").alias("zval")).alias("_iv"))
     zagg = z.groupBy(zone_col).agg(
-        F.sort_array(F.collect_list("_iv")).alias("_ivs"))
+        F.sort_array(F.collect_list("_iv")).alias("_ivs"))  # by _ord: table order
     joined = df.join(F.broadcast(zagg), zone_col, "left")
     v = F.col(value_col)
     match = F.filter(
         F.col("_ivs"),
         lambda iv: (v > F.coalesce(iv["zmin"], F.lit(float("-inf"))))
         & (v < F.coalesce(iv["zmax"], F.lit(float("inf")))))
-    first = F.element_at(match, 1)
+    last = F.element_at(match, -1)
     miss = v if background is None else F.lit(background)
     remapped = F.when(F.size(match) > 0,
-                      F.coalesce(first["zval"], F.lit(default))).otherwise(miss)
+                      F.coalesce(last["zval"], F.lit(default))).otherwise(miss)
     return joined.withColumn(f"{value_col}_remap", remapped).drop("_ivs")
 
 

@@ -242,10 +242,10 @@ def test_append_tables_atomic_multi_dataset(spark, table):
     assert sc == before + 1
     assert table.read(table="stats").count() == 9
     assert table.read(table="pairs").count() == 9
-    # compact commit adds no incremental rows (empty scan raises — the
-    # schemaless-empty contract shared with the single-table path)
-    with pytest.raises(ValueError):
-        table.read_incremental(before, table="stats")
+    # compact commit adds no incremental rows — since r6 an empty range
+    # yields an EMPTY frame with the dataset's schema (not a raise)
+    inc = table.read_incremental(before, table="stats")
+    assert inc.count() == 0 and "image_id" in inc.columns
 
 
 def test_streaming_expire_automation_bounds_root_and_keeps_exactly_once(
@@ -286,9 +286,9 @@ def test_read_incremental_refuses_range_predating_retention(spark, table):
         table.read_incremental(1)
     # a range fully inside the retained log still works
     assert table.read_incremental(oldest - 1).count() > 0
-    # empty range at the head: unchanged empty-scan behavior
-    with pytest.raises(ValueError, match="no data files"):
-        table.read_incremental(table.current_id)
+    # empty range at the head: empty frame with the table's schema (r6)
+    head = table.read_incremental(table.current_id)
+    assert head.count() == 0 and "image_id" in head.columns
 
 
 def test_append_tables_empty_dataset_commits_readable_schema(spark, table):

@@ -150,8 +150,8 @@ def test_pip_join_partitioned_keep_unmatched_matches_broadcast(spark):
 
 def test_zonal_remap_col_multi_interval_no_fanout(spark):
     """A zone with several intervals must yield ONE output row per input
-    row (first matching interval wins), not one per matching interval —
-    the pre-r5 join form duplicated rows."""
+    row (last matching interval in table order wins, reference parity),
+    not one per matching interval — the pre-r5 join form duplicated rows."""
     import pandas as pd
     df = spark.createDataFrame(pd.DataFrame(
         {"zone_id": [1, 1, 2], "v": [5.0, 15.0, 5.0]}))
