@@ -313,13 +313,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """Dedup (MinHash+LSH): md5-minhash band-bucket candidate pairs."""
+    """Dedup (MinHash+LSH): band-bucket candidate pairs at a production
+    family size — 64 hashes, 16 bands × 4 rows (S-curve threshold
+    (1/16)^(1/4) ≈ 0.50, the standard near-dup operating point). The
+    (A_i, B_i) constants come from dedup.minhash_family (8 anchored +
+    seeded-splitmix64 extension) and are emitted literally into the
+    DuckDB oracle below, so engine/oracle parity holds by construction."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    # 2 bands × 4 rows: candidate threshold j ≈ (1/2)^(1/4) ≈ 0.84 — the
-    # synthetic corpus is highly self-similar (shared small vocabulary),
-    # so looser banding floods the pair stage with mid-similarity pairs
-    return (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+    return (dedup.minhash_lsh_candidates(docs, n_hashes=64, bands=16)
             .orderBy("id_a", "id_b"))
 
 
@@ -1760,11 +1762,28 @@ def oracle_sql() -> dict[str, str]:
     from raster_functions_spark import dedup as _dedup
     from raster_functions_spark import oracles as _orc
 
-    mh = _dedup.minhash_sql("text", 5, 8)
-    band_sigs = [" || '|' || ".join(mh[4 * b + r] for r in range(4)).join(["(", ")"])
-                 for b in range(2)]
-    bands_union = " UNION ALL ".join(
+    # legacy 8-hash / 2-band banding for the ngram-verification stage
+    # (its Spark query keeps the anchored-family candidate generator)
+    mh8 = _dedup.minhash_sql("text", 5, 8)
+    band_sigs8 = [" || '|' || ".join(mh8[4 * b + r] for r in range(4)).join(["(", ")"])
+                  for b in range(2)]
+    bands_union8 = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {s} AS bsig FROM documents"
+        for b, s in enumerate(band_sigs8))
+
+    # 64-hash / 16-band / 4-row family, matching q_dedup_minhash_lsh; the
+    # signature CTE computes each hash once so the 16 band projections
+    # don't recompute the shingle scan
+    _mh_n, _mh_bands, _mh_rows = 64, 16, 4
+    mh = _dedup.minhash_sql("text", 5, _mh_n)
+    sig_cte = ("SELECT doc_id, "
+               + ", ".join(f"{e} AS h{i}" for i, e in enumerate(mh))
+               + " FROM documents")
+    band_sigs = [" || '|' || ".join(f"h{_mh_rows * b + r}"
+                                    for r in range(_mh_rows)).join(["(", ")"])
+                 for b in range(_mh_bands)]
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {s} AS bsig FROM sigs"
         for b, s in enumerate(band_sigs))
 
     knn_oracle = """
@@ -1893,7 +1912,7 @@ def oracle_sql() -> dict[str, str]:
           FROM inc GROUP BY 2
           ORDER BY src, p_cell""",
         "dedup_ngram_jaccard": _orc.ngram_jaccard_sql(f"""
-          WITH bands AS ({bands_union}),
+          WITH bands AS ({bands_union8}),
           pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
@@ -2057,7 +2076,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text))
           WHERE n_dups > 1 ORDER BY canonical_id""",
         "dedup_minhash_lsh": f"""
-          WITH bands AS ({bands_union}),
+          WITH sigs AS ({sig_cte}),
+          bands AS ({bands_union}),
           pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b

@@ -64,10 +64,62 @@ def shingles_col(text_col: str, k: int = 5):
 # codegen HashAggregate (min over VARCHAR falls back to sort-based
 # aggregation — measured 2× slower at sf0.1).
 MINHASH_P = 2147483629  # prime < 2^31: A·x + B < 2^62, no bigint overflow
+MINHASH_MAX_HASHES = 128
+# the first 8 (A, B) pairs are anchored literals (byte-stable with every
+# prior round's signatures); minhash_family extends past them from a
+# seeded splitmix64 stream
 _MH_A = [1103515245, 1588635695, 1117695901, 987654323,
          805306457, 1299709663, 715827883, 433494437]
 _MH_B = [12345, 413158523, 268435399, 786433123,
          905460059, 122949829, 536870923, 674506081]
+
+
+def _splitmix64(x: int) -> int:
+    """Scalar splitmix64 finalizer (public domain); bit-identical to the
+    vectorized fixtures.splitmix64 (cross-checked in tests)."""
+    mask = (1 << 64) - 1
+    z = (x + 0x9E3779B97F4A7C15) & mask
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+    return z ^ (z >> 31)
+
+
+def minhash_family(n_hashes: int) -> tuple[list[int], list[int]]:
+    """(A_i, B_i) constants for the universal-hash minhash family.
+
+    The first 8 pairs are the anchored literals above; pairs 8..127 are
+    derived deterministically from a seeded splitmix64 stream
+    (A_i ∈ [1, P-1], B_i ∈ [0, P-1]). The constants are plain integers
+    emitted LITERALLY into both the Spark expressions and the DuckDB
+    oracle SQL, so engine/oracle parity holds by construction at any
+    family size — the pre-r6 hard cap at 8 was an artifact of the
+    hand-listed constants, not a design limit."""
+    if not 1 <= n_hashes <= MINHASH_MAX_HASHES:
+        raise ValueError(
+            f"n_hashes={n_hashes} outside [1, {MINHASH_MAX_HASHES}]")
+    A, B = list(_MH_A), list(_MH_B)
+    for i in range(len(A), n_hashes):
+        A.append(_splitmix64(2 * i) % (MINHASH_P - 1) + 1)
+        B.append(_splitmix64(2 * i + 1) % MINHASH_P)
+    return A[:n_hashes], B[:n_hashes]
+
+
+def choose_bands(n_hashes: int, target_jaccard: float) -> int:
+    """Pick the band count (a divisor of ``n_hashes``) whose LSH S-curve
+    threshold (1/b)^(r/n·…) — precisely t = (1/b)^(1/r) with r = n/b —
+    lands closest to ``target_jaccard``. E.g. choose_bands(64, 0.5) = 16
+    (t ≈ 0.50), choose_bands(128, 0.7) = 16 (t ≈ 0.707)."""
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError("target_jaccard must be in (0, 1)")
+    best = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        t = (1.0 / b) ** (b / n_hashes)
+        d = abs(t - target_jaccard)
+        if best is None or d < best[0]:
+            best = (d, b)
+    return best[1]
 
 
 def _polyhash_sql(s_expr: str, k: int) -> str:
@@ -92,12 +144,11 @@ def _polyhash_sql(s_expr: str, k: int) -> str:
 def minhash_signature(text_col: str, k: int = 5, n_hashes: int = 8):
     """Array-expression form of the signature (used for parity tests and
     small inputs; the LSH pipeline uses the faster explode form)."""
-    if n_hashes > len(_MH_A):
-        raise ValueError(f"n_hashes ≤ {len(_MH_A)}")
+    A, B = minhash_family(n_hashes)
     sig = [F.expr(
         f"array_min(transform({_shingles_sql_spark(text_col, k)},"
         f" s -> ({a}L * {_polyhash_sql('s', k)} + {b}L) % {MINHASH_P}))").alias(f"h{i}")
-        for i, (a, b) in enumerate(zip(_MH_A[:n_hashes], _MH_B[:n_hashes]))]
+        for i, (a, b) in enumerate(zip(A, B))]
     return F.array(*sig)
 
 
@@ -108,13 +159,12 @@ def _shingles_sql_spark(text_col: str, k: int) -> str:
 
 def minhash_sql(text_expr: str, k: int = 5, n_hashes: int = 8) -> list[str]:
     """DuckDB expressions mirroring :func:`minhash_signature` exactly."""
-    if n_hashes > len(_MH_A):
-        raise ValueError(f"n_hashes ≤ {len(_MH_A)}")
+    A, B = minhash_family(n_hashes)
     sh = (f"list_distinct(list_transform(range(1, greatest(length({text_expr}) - {k - 1}, 1) + 1),"
           f" i -> substring({text_expr}, i, {k})))")
     return [f"list_min(list_transform({sh},"
             f" s -> ({a} * {_polyhash_sql('s', k)} + {b}) % {MINHASH_P}))"
-            for a, b in zip(_MH_A[:n_hashes], _MH_B[:n_hashes])]
+            for a, b in zip(A, B)]
 
 
 def _salted_buckets(banded: DataFrame, max_bucket: int,
@@ -180,9 +230,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     run many dedup jobs should call ``release_signature_cache(pairs)``
     (or ``pairs.signature_cache.unpersist()``) once the result has been
     consumed, otherwise executor storage accumulates one signature table
-    per invocation."""
-    if n_hashes > len(_MH_A):
-        raise ValueError(f"n_hashes ≤ {len(_MH_A)}")
+    per invocation.
+
+    Family size: any ``n_hashes`` up to :data:`MINHASH_MAX_HASHES` (128);
+    pick ``bands`` with :func:`choose_bands` to target a Jaccard
+    threshold — e.g. (64, bands=16) ⇒ t ≈ 0.50, (128, bands=16) ⇒
+    t ≈ 0.71. Larger families sharpen the S-curve: fewer low-similarity
+    false candidates reach the Jaccard verification join at equal
+    recall (measured in BENCH/notes_r6.md)."""
+    A, B = minhash_family(n_hashes)
     if n_hashes % bands:
         # silently dropping the trailing hashes would weaken the signature
         # with no signal (and the banded column refs would blow up later
@@ -200,7 +256,7 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
           .select("_id", F.expr(f"substring(_t, i, {k})").alias("s")))
     hashed = sh.select("_id", F.expr(_polyhash_sql("s", k)).alias("ph"))
     aggs = [F.min(F.expr(f"({a}L * ph + {b}L) % {MINHASH_P}")).alias(f"h{h}")
-            for h, (a, b) in enumerate(zip(_MH_A[:n_hashes], _MH_B[:n_hashes]))]
+            for h, (a, b) in enumerate(zip(A, B))]
     # persist the signatures: the hot-bucket pass reads the banded table
     # twice (size aggregate + pairing), and recomputing it would re-run
     # the expensive shingle explode + hash aggregation over the raw text.

@@ -69,7 +69,7 @@ def main() -> int:
     # 5. minhash = hash aggregation, no interpreted lambdas in the hot path
     from raster_functions_spark import dedup
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    p = plan_of(dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2))
+    p = plan_of(dedup.minhash_lsh_candidates(docs, n_hashes=64, bands=16))
     # hot path = everything before the first shuffle; interpreted lambdas
     # (transform/aggregate HOFs) are allowed only in the tiny post-agg
     # pair-generation stage
@@ -137,7 +137,7 @@ def main() -> int:
     # for the size join, and the (band, bsig, salt) pairing groupBy reuses
     # that partitioning (grouping keys ⊇ partitioning keys → no second
     # banded shuffle). Count Exchanges carrying the banded row width.
-    p = plan_of(dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2))
+    p = plan_of(dedup.minhash_lsh_candidates(docs, n_hashes=64, bands=16))
     n_band_exchanges = p.count("Exchange hashpartitioning(band")
     ok = n_band_exchanges <= 2  # banded rows + the small sizes aggregate
     checks.append(("salted minhash adds no extra banded-table shuffle", ok))

@@ -307,7 +307,8 @@ def test_minhash_and_polyhash_guards(spark):
     with _pt.raises(ValueError, match="divide"):
         dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=3)
     with _pt.raises(ValueError, match="n_hashes"):
-        dedup.minhash_lsh_candidates(docs, n_hashes=16, bands=4)
+        # since r6 the family extends to 128; beyond that still raises
+        dedup.minhash_lsh_candidates(docs, n_hashes=256, bands=4)
     with _pt.raises(ValueError, match="BIGINT"):
         dedup._polyhash_sql("s", 9)
 
