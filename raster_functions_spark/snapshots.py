@@ -36,6 +36,7 @@ on object stores, not just local disk.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
@@ -45,6 +46,11 @@ from pyspark.sql import functions as F
 from .lineage import _hadoop_fs, _read_manifest_path, _write_json_atomic
 
 ROOT = "metadata.json"
+
+# sequential run-id shape "<prefix>-<n>" used by every streaming sink
+# (batch-<n>, compact-<n>): expired ids fold into a per-prefix contiguous
+# watermark range instead of one tombstone each
+_SEQ_RUN_ID = re.compile(r"^(.*)-(\d+)$")
 
 
 class SnapshotTable:
@@ -81,10 +87,20 @@ class SnapshotTable:
         for s in root["snapshots"]:
             if s.get("run_id") == run_id:
                 return s
-        # tombstones left by expire_snapshots: an EXPIRED commit's run_id
-        # must still short-circuit a late replay (exactly-once survives
-        # retention), at ~30 bytes per expired commit instead of its full
-        # snapshot entry
+        # expired commits must still short-circuit a late replay
+        # (exactly-once survives retention). Sequential run-ids
+        # ("<prefix>-<n>", the shape every streaming sink issues) are
+        # covered by a per-prefix contiguous watermark range — O(#sinks)
+        # root cost on an infinite stream; non-sequential or out-of-order
+        # ids fall back to exact per-id tombstones.
+        m = _SEQ_RUN_ID.match(run_id)
+        if m:
+            wm = (root.get("expired_seq_watermarks") or {}).get(m.group(1))
+            if wm is not None and wm["lo"] <= int(m.group(2)) <= wm["hi"]:
+                # the per-run snapshot id is gone with the tombstone; the
+                # newest expired snap id of the prefix stands in (callers
+                # only use it as "some already-committed snapshot")
+                return {"id": wm["hi_snap"]}
         tomb = root.get("expired_run_ids") or {}
         if run_id in tomb:
             return {"id": tomb[run_id]}
@@ -312,11 +328,16 @@ class SnapshotTable:
         foreachBatch sink (snapshot ingest, pixel-composite ingest,
         incremental flagship): small-file compaction every
         ``compact_every`` batches (exactly-once via its own run_id) and
-        log retention every ``expire_every`` batches (run-id tombstones
-        keep expired batches replay-safe). One copy of the scheduling
-        semantics — change it here, every sink follows."""
+        log retention every ``expire_every`` batches (per-prefix
+        watermarks + tombstones keep expired batches replay-safe). One
+        copy of the scheduling semantics — change it here, every sink
+        follows. The compaction run_id is the CONTIGUOUS compaction
+        ordinal (1, 2, 3, …), not the raw batch id, so expired compact
+        commits fold into the retention watermark instead of accreting
+        one exception tombstone per cadence hit."""
         if compact_every and (batch_id + 1) % compact_every == 0:
-            self.compact(min_files_per_value=2, run_id=f"compact-{batch_id}")
+            self.compact(min_files_per_value=2,
+                         run_id=f"compact-{(batch_id + 1) // compact_every}")
         if expire_every and (batch_id + 1) % expire_every == 0:
             self.expire_snapshots(keep_last=keep_last)
 
@@ -416,14 +437,29 @@ class SnapshotTable:
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete data
         files no longer referenced by any kept snapshot. Returns deleted
-        file paths. Expired commits' run_ids stay behind as TOMBSTONES in
-        the root so a late replay of an expired microbatch is still a
-        no-op — without them, retention would reopen the double-commit
-        window exactly-once closed. The root therefore stays
-        O(keep_last + expired-run-id count): retention bounds the heavy
-        per-snapshot entries (file lists, summaries) that otherwise make
-        every commit an O(#commits) root rewrite (measured 1.4 MiB /
-        ~200 ms per op at 10k commits — BENCH/notes_r5.md)."""
+        file paths. Expired commits' run_ids must still short-circuit a
+        late replay — without that, retention would reopen the
+        double-commit window exactly-once closed.
+
+        Replay protection is BOUNDED on an infinite stream (r6): a
+        sequential run_id "<prefix>-<n>" folds into a per-prefix
+        contiguous watermark range {lo, hi, hi_snap} — every streaming
+        sink issues exactly that shape with n increasing by 1 per commit
+        (batch-<n> from foreachBatch's contiguous batch ids, compact-<n>
+        from maintain()'s compaction ordinal), so the root carries O(#sink
+        prefixes) watermarks regardless of how many commits have ever
+        expired. An id that does NOT extend its prefix's range
+        contiguously (out-of-order replay mid-retention, hand-issued ids)
+        keeps an exact per-id tombstone in ``expired_run_ids`` — the
+        exception set, empty in normal streaming operation. Correctness of
+        the watermark relies on the writer issuing prefix seqs
+        monotonically, which is Structured Streaming's foreachBatch
+        contract; arbitrary ad-hoc run_ids (no trailing -<n>) always take
+        the exact-tombstone path. Retention thereby bounds the heavy
+        per-snapshot entries too (file lists, summaries) that otherwise
+        make every commit an O(#commits) root rewrite (measured 1.4 MiB /
+        ~200 ms per op at 10k commits — BENCH/notes_r5.md; watermark probe
+        in notes_r6.md shows root size flat in total history)."""
         root = self._root()
         if len(root["snapshots"]) <= keep_last:
             return []
@@ -435,9 +471,25 @@ class SnapshotTable:
         fs, Path = _hadoop_fs(self.spark, self.path)
         deleted = []
         tomb = dict(root.get("expired_run_ids") or {})
-        for s in dropped:
-            if s.get("run_id"):
-                tomb[s["run_id"]] = s["id"]
+        wms = {p: dict(w) for p, w in
+               (root.get("expired_seq_watermarks") or {}).items()}
+        for s in dropped:           # snapshot-id order = per-prefix seq order
+            rid = s.get("run_id")
+            if rid:
+                m = _SEQ_RUN_ID.match(rid)
+                if m:
+                    p, n = m.group(1), int(m.group(2))
+                    w = wms.get(p)
+                    if w is None:
+                        wms[p] = {"lo": n, "hi": n, "hi_snap": s["id"]}
+                    elif n == w["hi"] + 1:
+                        w["hi"], w["hi_snap"] = n, s["id"]
+                    elif w["lo"] <= n <= w["hi"]:
+                        pass        # already covered
+                    else:           # gap: exact exception tombstone
+                        tomb[rid] = s["id"]
+                else:
+                    tomb[rid] = s["id"]
             for rel in s["added"]:
                 if rel not in referenced:
                     fs.delete(Path(f"{self.path}/{rel}"), False)
@@ -445,5 +497,6 @@ class SnapshotTable:
             fs.delete(Path(f"{self.path}/metadata/manifest-{s['id']}.json"), False)
         root["snapshots"] = kept
         root["expired_run_ids"] = tomb
+        root["expired_seq_watermarks"] = wms
         _write_json_atomic(self.spark, self.path, ROOT, root)
         return deleted

@@ -161,3 +161,81 @@ def test_checkpointed_write_first_run_all_empty(spark, tmp_path):
     # resume is a no-op (manifest complete)
     m2 = lineage.checkpointed_write(df, path, "k", n_buckets=8, run_id="r2")
     assert [r["run_id"] for r in m2["run_ids"]] == ["r1"]
+
+
+# --------------------------------------- retention watermark (bounded) -----
+
+
+def test_watermark_replaces_per_id_tombstones(spark, tmp_path):
+    """Sequential batch-<n> run-ids fold into ONE contiguous watermark
+    range per prefix; a late replay of any pre-watermark batch is still a
+    no-op commit (exactly-once survives retention with O(#sinks) root
+    cost instead of O(#expired))."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    sink = t.streaming_sink("p_cell", expire_every=5, keep_last=2)
+    for b in range(20):
+        sink(_df(spark, (b, b + 1), f"v{b % 3}"), b)
+    root = t._root()
+    wm = root["expired_seq_watermarks"]["batch"]
+    assert wm["lo"] == 0 and wm["hi"] >= 15
+    assert not root.get("expired_run_ids")          # no per-id tombstones
+    cur, n = t.current_id, t.read().count()
+    for b in (0, 7, wm["hi"]):                      # replays across the range
+        sink(_df(spark, (b, b + 1), f"v{b % 3}"), b)
+        assert t.current_id == cur and t.read().count() == n
+    # a batch just ABOVE the watermark that is still in the live log is
+    # caught by the log scan, not the watermark
+    sink(_df(spark, (19, 20), "v1"), 19)
+    assert t.current_id == cur
+
+
+def test_watermark_root_size_independent_of_history(spark, tmp_path):
+    """Root byte size after 60 expired commits equals (±json noise) the
+    size after 20 — the watermark makes replay metadata O(1) in total
+    history, closing the last O(stream-lifetime) structure."""
+    import json
+
+    def run(n_batches):
+        t = SnapshotTable(spark, str(tmp_path / f"t{n_batches}"))
+        sink = t.streaming_sink("p_cell", expire_every=4, keep_last=2)
+        for b in range(n_batches):
+            sink(_df(spark, (b, b + 1), "a"), b)
+        return len(json.dumps(t._root()))
+
+    s20, s60 = run(20), run(60)
+    assert abs(s60 - s20) < 50                      # flat, not linear
+
+
+def test_gap_and_adhoc_run_ids_take_exact_tombstones(spark, tmp_path):
+    """Non-sequential ids and out-of-order gaps keep exact per-id
+    tombstones — the exception set — and still no-op on replay."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, (0, 2), "a"), "p_cell", run_id="manual-load")  # "-load" is not -<digits>
+    t.append(_df(spark, (2, 4), "a"), "p_cell", run_id="batch-0")
+    t.append(_df(spark, (4, 6), "a"), "p_cell", run_id="batch-5")      # gap vs 0
+    t.append(_df(spark, (6, 8), "a"), "p_cell", run_id="batch-6")
+    t.expire_snapshots(keep_last=1)
+    root = t._root()
+    assert root["expired_seq_watermarks"]["batch"] == {
+        "lo": 0, "hi": 0, "hi_snap": 2}
+    assert set(root["expired_run_ids"]) == {"manual-load", "batch-5"}
+    cur, n = t.current_id, t.read().count()
+    for rid in ("manual-load", "batch-0", "batch-5"):
+        t.append(_df(spark, (0, 2), "a"), "p_cell", run_id=rid)
+        assert t.current_id == cur and t.read().count() == n
+
+
+def test_maintain_compact_ordinal_is_contiguous(spark, tmp_path):
+    """maintain()'s compaction run-ids are the contiguous ordinal
+    (compact-1, compact-2, …) so they fold into the watermark too."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    sink_pcol = "p_cell"
+    for b in range(8):
+        t.append(_df(spark, (b, b + 1), "a"), sink_pcol, run_id=f"batch-{b}")
+        t.maintain(b, compact_every=3)
+    rids = [s.get("run_id") for s in t.snapshots()]
+    assert "compact-1" in rids and "compact-2" in rids
+    t.expire_snapshots(keep_last=1)
+    root = t._root()
+    assert root["expired_seq_watermarks"]["compact"]["lo"] == 1
+    assert not root.get("expired_run_ids")

@@ -259,7 +259,10 @@ def test_streaming_expire_automation_bounds_root_and_keeps_exactly_once(
         sink(_df(spark, (b * 2, b * 2 + 2), f"v{b}"), b)
     root = table._root()
     assert len(root["snapshots"]) <= 3 + 4          # bounded by retention
-    assert root["expired_run_ids"]                  # tombstones recorded
+    # sequential batch-<n> ids fold into the per-prefix watermark (r6);
+    # the exact-tombstone exception set stays empty in normal streaming
+    assert root["expired_seq_watermarks"]["batch"]["hi"] >= 0
+    assert not root.get("expired_run_ids")
     cur = table.current_id
     n_rows = table.read().count()
     assert n_rows == 20                             # data files all live
