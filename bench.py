@@ -38,6 +38,32 @@ HEADLINE = [
 ]
 
 
+CEILING_REF = "BENCH/ceiling_ref.json"
+
+
+def _window_ceiling(k: int) -> float:
+    """Same-window hardware ceiling (images/sec) of the no-Spark kernel —
+    measures what the shared sandbox host is DELIVERING right now, so a
+    co-tenant-loaded window can be told apart from a code regression
+    (r5's recorded 11.58s vs the same day's 9.27s was exactly that)."""
+    return _raw_ceiling(k)
+
+
+def _load_factor(measured_ips: float) -> tuple[float, float]:
+    """(ref_ips, load_factor): ref is a ratcheting best-known ceiling kept
+    in BENCH/ceiling_ref.json; load_factor = measured/ref ∈ (0, ~1]."""
+    ref = measured_ips
+    if os.path.exists(CEILING_REF):
+        with open(CEILING_REF) as f:
+            ref = max(float(json.load(f)["ips"]), measured_ips)
+    if ref == measured_ips:          # ratchet up on a good window
+        os.makedirs("BENCH", exist_ok=True)
+        with open(CEILING_REF, "w") as f:
+            json.dump({"ips": round(measured_ips, 1),
+                       "at": time.strftime("%Y-%m-%d %H:%M")}, f)
+    return ref, measured_ips / ref
+
+
 def run_default() -> None:
     import __spark_entry__ as entrymod
     from raster_functions_spark import fixtures, pipeline
@@ -48,12 +74,10 @@ def run_default() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
 
-    qtimes: dict[str, float] = {}
     qs = entrymod.queries()
     aoi = fixtures.aoi_df(spark, 200)
     # warmup: spin up executor python workers before any timing
     pipeline.flagship_from_seed(spark, 1000, aoi, partitions=cpus * 4).count()
-    t_total0 = time.time()
 
     # flagship image pipeline (the BASELINE.json metric: images/sec);
     # min-of-3 — the sandbox CPU envelope swings ~30% between trials
@@ -62,17 +86,32 @@ def run_default() -> None:
         t0 = time.time()
         n_rows = pipeline.flagship_from_seed(spark, N_BENCH_IMAGES, aoi).count()
         best = min(best, time.time() - t0)
-    qtimes["img_flagship"] = round(best, 3)
+    flagship_wall = best
     images_per_sec = round(N_BENCH_IMAGES / best, 1)
 
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):  # min of 3: the sandbox host stalls sporadically
-            t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        qtimes[name] = round(best, 3)
+    # TWO separated measurement windows per query (the hardware-ceiling
+    # probe between them provides the separation), per-query min across
+    # every trial: a single loaded window cannot masquerade as a suite
+    # regression in the recorded artifact
+    def sweep(trials: int) -> dict[str, float]:
+        w: dict[str, float] = {}
+        for name in HEADLINE:
+            best = float("inf")
+            for _ in range(trials):  # sandbox host stalls sporadically
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+            w[name] = best
+        return w
 
+    win_a = sweep(2)
+    ceiling_ips = _window_ceiling(min(cpus, 16))
+    win_b = sweep(2)
+    ref_ips, load = _load_factor(ceiling_ips)
+
+    qtimes = {"img_flagship": round(flagship_wall, 3)}
+    qtimes.update({n: round(min(win_a[n], win_b[n]), 3) for n in HEADLINE})
+    totals = [round(flagship_wall + sum(w.values()), 3) for w in (win_a, win_b)]
     total = round(sum(qtimes.values()), 3)
     spark.stop()
     print(json.dumps({
@@ -82,6 +121,16 @@ def run_default() -> None:
         "queries": qtimes, "sf": float(sf),
         "images_per_sec": images_per_sec,
         "n_flagship_rows": n_rows, "cpus": cpus,
+        # noise-robustness block (VERDICT r5 #4): per-window totals, the
+        # same-window no-Spark hardware ceiling vs its ratcheted best-known
+        # reference, and the ceiling-normalized forms — a loaded window
+        # shows load_factor << 1 with value_hw_normalized near the true
+        # engine cost, instead of reading as a code regression
+        "window_totals": totals,
+        "hw_ceiling": {"ips": round(ceiling_ips, 1), "ref_ips": round(ref_ips, 1),
+                       "load_factor": round(load, 3)},
+        "value_hw_normalized": round(total * load, 3),
+        "images_per_sec_hw_normalized": round(images_per_sec / load, 1),
     }))
 
 
