@@ -363,6 +363,27 @@ def q_text_tokens(spark, sf_dir):
             .orderBy("lang"))
 
 
+def q_text_tokens_merged(spark, sf_dir):
+    """Text: TRAINED-BPE token budget per language — the committed merge
+    table (bpe_vocab.BPE_MERGES, scripts/train_bpe.py) applied per
+    pre-token in rank order, Sennrich/GPT-2 semantics, via the vectorized
+    pandas-UDF counter (production path). The oracle replays the SAME
+    merge table by a different method entirely (delimited replace-chain
+    in DuckDB), so the two agree only if the merge semantics match.
+    Pre-token estimate alongside for the refinement contrast."""
+    from raster_functions_spark import text
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .select("lang",
+                    text.token_count_merged_udf("text").alias("merged"),
+                    text.token_count_bpe(F.col("text")).alias("pre"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum("merged").cast("long").alias("sum_merged"),
+                 F.sum("pre").cast("long").alias("sum_pre"))
+            .orderBy("lang"))
+
+
 def q_text_quality(spark, sf_dir):
     """Text: quality features rollup per source."""
     from raster_functions_spark import text
@@ -1663,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
+        "text_tokens_merged": q_text_tokens_merged,
         "j5_knn": q_j5_knn,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
@@ -2117,6 +2139,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT lang, COUNT(*) AS n,
                  CAST(SUM({_text.token_count_bpe_sql('text')}) AS BIGINT) AS sum_bpe,
                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_ws
+          FROM documents GROUP BY lang ORDER BY lang""",
+        "text_tokens_merged": f"""
+          SELECT lang, COUNT(*) AS n,
+                 CAST(SUM({_text.token_count_merged_sql('text')}) AS BIGINT) AS sum_merged,
+                 CAST(SUM({_text.token_count_bpe_sql('text')}) AS BIGINT) AS sum_pre
           FROM documents GROUP BY lang ORDER BY lang""",
         "text_quality": f"""
           WITH q AS (SELECT source, {_text.quality_sql('text')} FROM documents)

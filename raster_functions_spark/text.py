@@ -1,13 +1,17 @@
 """Text analysis for training-data pipelines over the ``documents`` table.
 
 Language-ID (stopword-hit heuristic), quality scoring, token counting and
-document fingerprinting — each expressed in pure Spark SQL expressions
-(JVM-side, codegen) so they are cheap at 100 TB AND mirror 1:1 into DuckDB
-SQL for the correctness oracle. No UDFs in this module at all.
+document fingerprinting — expressed in pure Spark SQL expressions (JVM-side,
+codegen) so they are cheap at 100 TB AND mirror 1:1 into DuckDB SQL for
+the correctness oracle. The ONE exception is the trained-BPE token
+counter: applying a learned merge table is inherently iterative, so it
+runs as a vectorized (Arrow-batched, memoized) pandas UDF, with the
+regex pre-token count kept as the zero-UDF fast path.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +60,142 @@ def token_count_bpe(col: Column) -> Column:
 
 def token_count_bpe_sql(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_PATTERN}'))"
+
+
+# ----------------------------------------------------------- real BPE ------
+#
+# Trained byte-pair encoding on top of the same pre-tokenizer: a merge
+# table learned offline (scripts/train_bpe.py → bpe_vocab.BPE_MERGES,
+# deterministic), applied per pre-token in RANK ORDER with left-to-right
+# non-overlapping occurrence merging — the classic Sennrich/GPT-2
+# semantics. Rank-order sequential application is equivalent to the
+# min-rank-first loop because a merge's two component symbols are always
+# products of strictly earlier merges, and merging two symbols never
+# creates a new adjacency between other symbols.
+#
+# The production counter is a vectorized pandas UDF with a per-batch
+# pre-token memo (crawl text repeats pre-tokens heavily). The DuckDB
+# oracle replays the SAME merge table by a completely different method —
+# each pre-token expanded to a chr(31)-delimited symbol string
+# ("\x1f a \x1f\x1f b \x1f") and each merge applied as one SQL replace()
+# (replace's left-to-right non-overlap IS the BPE occurrence rule) — so
+# engine and oracle agree only if the semantics genuinely match.
+# Contract: chr(31) is reserved (stripped from input on both sides).
+
+_BPE_D = "\x1f"
+
+
+def bpe_train(texts, n_merges: int = 64) -> list[tuple[str, str]]:
+    """Learn a BPE merge table. Deterministic: the next merge is the
+    most frequent adjacent symbol pair, ties broken by the
+    lexicographically smallest (a, b)."""
+    import re as _re
+    pat = _re.compile(BPE_TOKEN_PATTERN)
+    vocab: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        if not t:
+            continue
+        for pt in pat.findall(t.replace(_BPE_D, "")):
+            key = tuple(pt)
+            vocab[key] = vocab.get(key, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def _merged_symbol_count(pt: str, merges: list[tuple[str, str]],
+                         memo: dict[str, int]) -> int:
+    n = memo.get(pt)
+    if n is not None:
+        return n
+    syms: list[str] = list(pt)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    memo[pt] = len(syms)
+    return len(syms)
+
+
+def token_count_merged_udf(text_col: str = "text",
+                           merges: list[tuple[str, str]] | None = None):
+    """Trained-BPE token count as a vectorized pandas UDF (the production
+    subword budget — actual merge counts, not the regex pre-token
+    estimate). Pre-token results are memoized per batch."""
+    if merges is None:
+        from .bpe_vocab import BPE_MERGES as merges
+    merges = list(merges)
+
+    @F.pandas_udf("long")
+    def count(s: pd.Series) -> pd.Series:
+        import re as _re
+        pat = _re.compile(BPE_TOKEN_PATTERN)
+        memo: dict[str, int] = {}
+        vals = []
+        for txt in s:
+            if not txt:
+                vals.append(0)
+                continue
+            vals.append(sum(_merged_symbol_count(pt, merges, memo)
+                            for pt in pat.findall(txt.replace(_BPE_D, ""))))
+        return pd.Series(vals, dtype="int64")
+
+    return count(F.col(text_col))
+
+
+def token_count_merged_sql(expr: str,
+                           merges: list[tuple[str, str]] | None = None) -> str:
+    """DuckDB replay of the merge table: per pre-token, symbols delimited
+    as \\x1f<sym>\\x1f\\x1f<sym>…\\x1f, each merge one replace() in rank
+    order (left-to-right non-overlap = the BPE occurrence rule); token
+    count = '\\x1f\\x1f' occurrences + 1, summed over pre-tokens."""
+    if merges is None:
+        from .bpe_vocab import BPE_MERGES as merges
+    d = _BPE_D
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    stripped = f"replace({expr}, '{d}', '')"
+    seq = f"('{d}' || left(regexp_replace(pt, '(.)', '\\1{d}{d}', 'g'), -1))"
+    for a, b in merges:
+        seq = (f"replace({seq}, '{d}{q(a)}{d}{d}{q(b)}{d}',"
+               f" '{d}{q(a + b)}{d}')")
+    per_pt = occurrence_count_sql(seq, d + d) + " + 1"
+    return (f"coalesce(list_sum(list_transform("
+            f"regexp_extract_all({stripped}, '{BPE_TOKEN_PATTERN}'),"
+            f" pt -> {per_pt})), 0)")
 
 
 def word_markers_score(col: Column, lang: str) -> Column:
