@@ -1298,6 +1298,40 @@ def q_ann_ivf_index(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_ann_ivf_append(spark, sf_dir):
+    """Incremental IVF index maintenance (similarity.ivf_build_snapshot →
+    ivf_append → ivf_search_snapshot): build on half the corpus, append
+    the other half exactly-once into the snapshot-backed index (a
+    replayed append run_id no-ops), search with manifest-level partition
+    pruning. Exhaustive probe (n_probe = n_lists) ⇒ the same brute-force
+    oracle as ann_ivf — centroid- and split-independent by construction;
+    append/search parity itself is pytest-asserted with fixed centroids
+    (tests/test_round6_ivf_append.py)."""
+    import shutil
+    import tempfile
+    from raster_functions_spark import similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    tmp = tempfile.mkdtemp(prefix="ivfsnap_")
+    try:
+        similarity.ivf_build_snapshot(
+            corpus.filter(F.col("vec_id") % 2 == 1), tmp + "/idx", n_lists=8)
+        similarity.ivf_append(
+            corpus.filter(F.col("vec_id") % 2 == 0), tmp + "/idx",
+            run_id="ivf-1")
+        similarity.ivf_append(          # replay: must not double-insert
+            corpus.filter(F.col("vec_id") % 2 == 0), tmp + "/idx",
+            run_id="ivf-1")
+        out = similarity.ivf_search_snapshot(
+            spark, tmp + "/idx", emb.filter(F.col("vec_id") < 5),
+            k=3, n_probe=8)
+        res = (out.select("query_id", "neighbor_id", "rank")
+               .orderBy("query_id", "rank"))
+        return spark.createDataFrame(res.toPandas())   # materialize pre-cleanup
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_img_ndvi_zonal(spark, sf_dir):
     """F1 NDVI kernel → cell rollup (LoD parent) → zonal sum over the
     lossless red/NIR tier (lossy DCT round trip gated by PSNR pytest)."""
@@ -1740,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_training_csv": q_s4_training_csv,
         "f16_key_metadata": q_f16_key_metadata,
         "ann_ivf_index": q_ann_ivf_index,
+        "ann_ivf_append": q_ann_ivf_append,
         "mm_resize": q_mm_resize,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
@@ -1874,6 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "s4_training_csv": _orc.training_csv_sql(),
         "f16_key_metadata": _orc.key_metadata_sql(200),
         "ann_ivf_index": knn_oracle,
+        "ann_ivf_append": knn_oracle,
         "mm_decode_video": _orc.video_decode_sql(30, 2),
         "ann_lsh_multi": _orc.lsh_multi_sql(2000, 8, 32, 5, 8, 4),
         "m5_sarima_seasonal": _orc.sarima_seasonal_sql(8, 144),

@@ -478,23 +478,12 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 
 # ----------------------------------------------- persistent IVF index ------
 
-def ivf_build(corpus: DataFrame, n_lists: int = 16, train_sample: int = 2000,
-              id_col: str = "vec_id", vec_col: str = "embedding",
-              index_path: str | None = None):
-    """Build-once half of the production ANN shape: train the coarse
-    quantizer (deterministic k-means over the TakeOrdered sample — same
-    protocol as ivf_topk) and materialize the corpus WITH its list
-    assignment. When ``index_path`` is given, the index is written as
-    parquet PARTITIONED BY list_id — searches then read only the probed
-    lists' partitions (Catalyst partition pruning does the candidate
-    skip at the SCAN, before any compute).
-
-    Returns (index_df, centroids). The assignment column makes repeated
-    searches skip the per-batch assignment GEMM too."""
-    sample = _train_sample(corpus, id_col, vec_col, train_sample)
-    C = _kmeans_fit(sample.astype(np.float64), n_lists)
-    spark = corpus.sparkSession
-    bC = spark.sparkContext.broadcast(C)
+def _assign_lists(corpus: DataFrame, C: np.ndarray,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Coarse-quantize: each vector to its nearest centroid's list, one
+    broadcast + one GEMM per Arrow batch (shared by build and append)."""
+    bC = corpus.sparkSession.sparkContext.broadcast(
+        np.asarray(C, dtype=np.float64))
 
     @F.pandas_udf("long")
     def nearest_list(v):
@@ -504,13 +493,115 @@ def ivf_build(corpus: DataFrame, n_lists: int = 16, train_sample: int = 2000,
               + (Cv ** 2).sum(1)[None, :])
         return pd.Series(d2.argmin(1).astype(np.int64))
 
-    index = corpus.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).cast("array<double>").alias("cv"),
-                          nearest_list(F.col(vec_col)).alias("list_id"))
+    return corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).cast("array<double>").alias("cv"),
+                         nearest_list(F.col(vec_col)).alias("list_id"))
+
+
+def ivf_build(corpus: DataFrame, n_lists: int = 16, train_sample: int = 2000,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              index_path: str | None = None, centroids=None):
+    """Build-once half of the production ANN shape: train the coarse
+    quantizer (deterministic k-means over the TakeOrdered sample — same
+    protocol as ivf_topk) and materialize the corpus WITH its list
+    assignment. When ``index_path`` is given, the index is written as
+    parquet PARTITIONED BY list_id — searches then read only the probed
+    lists' partitions (Catalyst partition pruning does the candidate
+    skip at the SCAN, before any compute). ``centroids`` overrides
+    training with a fixed quantizer (parity tests; re-building a grown
+    corpus against the original centroids).
+
+    Returns (index_df, centroids). The assignment column makes repeated
+    searches skip the per-batch assignment GEMM too."""
+    if centroids is None:
+        sample = _train_sample(corpus, id_col, vec_col, train_sample)
+        centroids = _kmeans_fit(sample.astype(np.float64), n_lists)
+    C = np.asarray(centroids, dtype=np.float64)
+    index = _assign_lists(corpus, C, id_col, vec_col)
     if index_path is not None:
         index.write.mode("overwrite").partitionBy("list_id").parquet(index_path)
         index = corpus.sparkSession.read.parquet(index_path)
     return index, C
+
+
+# --------------------------------------- snapshot-backed IVF (streaming) ----
+#
+# The streaming-corpus production shape: the index lives in a
+# SnapshotTable partitioned by list_id, with the trained centroids in an
+# atomic sidecar (centroids.json). ivf_append assigns new vectors to the
+# EXISTING centroids and commits exactly-once (run_id replay protection
+# — a retried microbatch cannot double-insert vectors), closing the
+# build-once/search-many loop for a corpus that keeps growing. Because
+# assignment depends only on the frozen centroids,
+# search(append(build(A), B)) ≡ search(build(A ∪ B, same centroids))
+# by construction — asserted in tests/test_round6_ivf_append.py.
+
+def ivf_build_snapshot(corpus: DataFrame, snap_path: str, n_lists: int = 16,
+                       train_sample: int = 2000, id_col: str = "vec_id",
+                       vec_col: str = "embedding", centroids=None,
+                       run_id: str = "ivf-build-0"):
+    """Build the snapshot-backed IVF index: train (or accept) centroids,
+    persist them as an atomic sidecar, commit the assigned corpus as the
+    first snapshot. Returns (SnapshotTable, centroids)."""
+    from .lineage import _write_json_atomic
+    from .snapshots import SnapshotTable
+    if centroids is None:
+        sample = _train_sample(corpus, id_col, vec_col, train_sample)
+        centroids = _kmeans_fit(sample.astype(np.float64), n_lists)
+    C = np.asarray(centroids, dtype=np.float64)
+    spark = corpus.sparkSession
+    # sidecar first: append() is replay-protected by run_id, and an
+    # identical sidecar rewrite on retry is harmless (atomic rename)
+    _write_json_atomic(spark, snap_path, "centroids.json", {"C": C.tolist()})
+    table = SnapshotTable(spark, snap_path)
+    table.append(_assign_lists(corpus, C, id_col, vec_col), "list_id",
+                 run_id=run_id)
+    return table, C
+
+
+def ivf_load_centroids(spark, snap_path: str) -> np.ndarray:
+    from .lineage import _read_manifest_path
+    m = _read_manifest_path(spark, f"{snap_path}/centroids.json")
+    if m is None:
+        raise ValueError(f"no IVF centroids sidecar at {snap_path}")
+    return np.asarray(m["C"], dtype=np.float64)
+
+
+def ivf_append(new_rows: DataFrame, snap_path: str, run_id: str,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+    """Incremental index maintenance: assign ``new_rows`` to the index's
+    EXISTING centroids and commit one snapshot (exactly-once via run_id —
+    wire ``run_id=f"ivf-{batch_id}"`` from a foreachBatch sink). Work is
+    O(new rows), never a rebuild. Returns the new snapshot id."""
+    from .snapshots import SnapshotTable
+    spark = new_rows.sparkSession
+    C = ivf_load_centroids(spark, snap_path)
+    table = SnapshotTable(spark, snap_path)
+    return table.append(_assign_lists(new_rows, C, id_col, vec_col),
+                        "list_id", run_id=run_id)
+
+
+def ivf_search_snapshot(spark, snap_path: str, queries: DataFrame,
+                        k: int = 3, n_probe: int = 4,
+                        vec_col: str = "embedding",
+                        qid_col: str = "vec_id") -> DataFrame:
+    """Search the snapshot-backed index: probe lists are computed
+    driver-side, the snapshot read is pruned at the MANIFEST level to the
+    probed lists' files (the snapshot-table equivalent of partition
+    pruning — unprobed lists' files are never opened), then the same
+    per-list GEMM scoring as ivf_search."""
+    from .snapshots import SnapshotTable
+    C = ivf_load_centroids(spark, snap_path)
+    table = SnapshotTable(spark, snap_path)
+    q_pdf = queries.select(F.col(qid_col).alias("query_id"),
+                           F.col(vec_col).alias("qv")).toPandas()
+    Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    d2q = ((Q ** 2).sum(1)[:, None] - 2 * Q @ C.T + (C ** 2).sum(1)[None, :])
+    probed = np.argsort(d2q, axis=1)[:, :n_probe]
+    probed_union = sorted({str(int(l)) for row in probed for l in row})
+    index = table.read(partition_values=probed_union)
+    return ivf_search(index, C, queries, k=k, n_probe=n_probe,
+                      vec_col=vec_col, qid_col=qid_col)
 
 
 def ivf_search(index: DataFrame, centroids: np.ndarray, queries: DataFrame,

@@ -269,15 +269,25 @@ class SnapshotTable:
                 .drop("_p"))
 
     def read(self, snapshot_id: int | None = None,
-             table: str | None = None) -> DataFrame:
+             table: str | None = None,
+             partition_values: list[str] | None = None) -> DataFrame:
         """Scan the table at a snapshot (default: current) — time travel.
         ``table`` selects one named dataset of an append_tables commit
-        (None = the default single-table layout)."""
+        (None = the default single-table layout). ``partition_values``
+        prunes at the MANIFEST level: only files whose partition value is
+        in the list are opened (the snapshot-table form of partition
+        pruning — a value-aligned predicate never touches other values'
+        files). Zero-row fallback files (partition=None) are kept so an
+        empty selection still materializes the schema."""
         snap = snapshot_id if snapshot_id is not None else self.current_id
         if snap is None:
             raise ValueError("empty table")
-        return self._read_files([f["path"] for f in self._manifest(snap)
-                                 if f.get("table") == table])
+        files = [f for f in self._manifest(snap) if f.get("table") == table]
+        if partition_values is not None:
+            vals = {str(v) for v in partition_values}
+            files = [f for f in files
+                     if f["partition"] is None or f["partition"] in vals]
+        return self._read_files([f["path"] for f in files])
 
     def read_incremental(self, since_snapshot_id: int,
                          until_snapshot_id: int | None = None,
