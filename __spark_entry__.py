@@ -1496,8 +1496,8 @@ def q_f16_key_metadata(spark, sf_dir):
 def q_flagship_incremental(spark, sf_dir):
     """The flagship zonal query as a continuously-updatable materialized
     view: two availableNow microbatches of the SAME 1000-image corpus the
-    batch flagship query uses, each committing decomposable per-AOI
-    partials + (aoi, cell) pairs to snapshot tables exactly-once; the
+    batch flagship query uses, each committing the decomposable
+    per-(aoi, cell) partials to the snapshot table exactly-once; the
     merged view must match the img_flagship DuckDB oracle row for row."""
     import shutil
     import tempfile

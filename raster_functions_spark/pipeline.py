@@ -77,8 +77,7 @@ def _zonal_agg(assigned: DataFrame) -> DataFrame:
     (_assigned_partials → merge_flagship_partials), so the batch and
     materialized-view paths share one definition of every statistic and
     cannot drift."""
-    partials, pairs = _assigned_partials(assigned)
-    return merge_flagship_partials(partials, pairs)
+    return merge_flagship_partials(_assigned_partials(assigned))
 
 
 def flagship_modular(spark: SparkSession, images: DataFrame, aoi: DataFrame,
@@ -259,31 +258,34 @@ def run_benchmark(spark: SparkSession, n_images: int, n_aoi: int = 50,
 
 # ------------------------------------------------ incremental flagship ----
 
-def _assigned_partials(assigned: DataFrame):
-    """The decomposable per-AOI partial aggregates + distinct (aoi, cell)
-    pairs over already-assigned rows — THE single definition both the
-    batch helper and the streaming sink share (they must never diverge:
-    the merged view is compared against the batch flagship oracle)."""
+def _assigned_partials(assigned: DataFrame) -> DataFrame:
+    """The decomposable per-(aoi, cell) partial aggregates over
+    already-assigned rows — THE single definition both the batch helper
+    and the streaming sink share (they must never diverge: the merged
+    view is compared against the batch flagship oracle). Grouping by
+    (aoi, cell) — instead of r5's per-AOI partials PLUS a separate
+    (aoi, cell) pairs dataset — makes n_cells free (it is the group key)
+    and collapses the view commit to ONE aggregation and ONE dataset,
+    which halved the microbatch fixed cost (BENCH/notes_r6.md §5).
+    Cardinality per batch is bounded by AOIs × cells-per-AOI, same as
+    the old pairs table, never by image count."""
     ok = lambda c: F.when(~F.isnan(c), F.col(c))
-    partials = (assigned.groupBy("aoi_id")
-                .agg(F.count("*").alias("n_images"),
-                     F.sum(ok("px_mean")).alias("s_mean"),
-                     F.count(ok("px_mean")).alias("k_mean"),
-                     F.sum(ok("px_std")).alias("s_std"),
-                     F.count(ok("px_std")).alias("k_std"),
-                     F.max("phash_ham").alias("max_phash_ham"),
-                     F.sum(F.when(F.col("phash_ham") < 0, 1).otherwise(0))
-                     .alias("n_bad")))
-    pairs = assigned.select("aoi_id", "cell").distinct()
-    return partials, pairs
+    return (assigned.groupBy("aoi_id", "cell")
+            .agg(F.count("*").alias("n_images"),
+                 F.sum(ok("px_mean")).alias("s_mean"),
+                 F.count(ok("px_mean")).alias("k_mean"),
+                 F.sum(ok("px_std")).alias("s_std"),
+                 F.count(ok("px_std")).alias("k_std"),
+                 F.max("phash_ham").alias("max_phash_ham"),
+                 F.sum(F.when(F.col("phash_ham") < 0, 1).otherwise(0))
+                 .alias("n_bad")))
 
 
 def flagship_batch_partials(spark: SparkSession, images: DataFrame,
-                            aoi: DataFrame, cell_res: int = 7):
-    """One batch's contribution to the incremental flagship: decomposable
-    per-AOI partial aggregates + the batch's distinct (aoi, cell) pairs
-    (n_cells is the one non-trivially-decomposable stat — exact via pair
-    dedup across batches, bounded by cells-per-AOI, not images)."""
+                            aoi: DataFrame, cell_res: int = 7) -> DataFrame:
+    """One batch's contribution to the incremental flagship: the
+    decomposable per-(aoi, cell) partial aggregates (see
+    _assigned_partials)."""
     return _assigned_partials(flagship_assigned(spark, images, aoi, cell_res))
 
 
@@ -293,17 +295,28 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
                                compact_every: int | None = None,
                                expire_every: int | None = None,
                                keep_last: int = 64,
+                               view_buckets: int = 16,
                                query_name: str = "flagship-incremental"):
     """The flagship zonal query as a continuously-updatable materialized
-    view: each image microbatch runs decode→cell→PIP ONCE (the assigned
-    rows are persisted for the two aggregations — round 4 recomputed the
-    whole decode per dataset), then commits its per-AOI partials AND
-    (aoi, cell) pairs in a SINGLE atomic snapshot commit
-    (SnapshotTable.append_tables) with run_id=batch-<id> — a retried
-    batch is a no-op (exactly-once), and no reader can see one dataset's
-    batch without the other's. ``current_flagship`` merges at read time.
-    Work per batch ∝ batch size; view freshness is one tiny
-    aggregation."""
+    view: each image microbatch runs decode→cell→PIP once, reduces to
+    the per-(aoi, cell) decomposable partials (_assigned_partials — ONE
+    aggregation; n_cells is the group key, so no second dataset), and
+    commits ONE snapshot with run_id=batch-<id> — a retried batch is a
+    no-op (exactly-once). ``current_flagship`` merges at read time.
+    Work per batch ∝ batch size; view freshness is one tiny aggregation.
+
+    Per-batch FIXED cost (r6, measured in BENCH/notes_r6.md §5): one
+    Spark action per batch (r5 ran two dataset writes off a persisted
+    intermediate), and the view partitions on a BUCKET of aoi_id
+    (``_vb = aoi_id mod view_buckets``) with the tiny aggregate coalesced
+    to one task. Partitioning by raw aoi_id wrote one file+dir per AOI
+    VALUE per dataset per batch (~400 filesystem objects/commit at 200
+    AOIs — listing, committing and manifesting them was most of the
+    ~5s/batch constant the r5 probe measured); bucketing caps it at
+    view_buckets objects regardless of AOI count. The view never
+    overwrites by AOI, so the only partition-layout consumers are
+    compaction (fewer, larger groups — strictly better) and the
+    manifest."""
     from .snapshots import SnapshotTable
 
     spark = stream_images.sparkSession
@@ -311,17 +324,14 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
     # static dim: probe + collect + broadcast ONCE for the stream's
     # lifetime (doing it per microbatch leaked one broadcast per batch)
     prep = prepare_aoi(spark, aoi)
+    vb = F.pmod(F.col("aoi_id"), F.lit(view_buckets)).cast("long")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         assigned = flagship_assigned_prepared(spark, batch_df, prep, cell_res)
-        assigned.persist()
-        try:
-            partials, pairs = _assigned_partials(assigned)
-            vt.append_tables({"partials": (partials, "aoi_id"),
-                              "pairs": (pairs, "aoi_id")},
-                             run_id=f"batch-{batch_id}")
-        finally:
-            assigned.unpersist()
+        partials = _assigned_partials(assigned)
+        vt.append_tables(
+            {"partials": (partials.withColumn("_vb", vb).coalesce(1), "_vb")},
+            run_id=f"batch-{batch_id}")
         vt.maintain(batch_id, compact_every=compact_every,
                     expire_every=expire_every, keep_last=keep_last)
 
@@ -336,24 +346,22 @@ def current_flagship(spark: SparkSession, view_path: str) -> DataFrame:
     from .snapshots import SnapshotTable
 
     vt = SnapshotTable(spark, view_path)
-    return merge_flagship_partials(vt.read(table="partials"),
-                                   vt.read(table="pairs"))
+    return merge_flagship_partials(vt.read(table="partials"))
 
 
-def merge_flagship_partials(p: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Merge per-AOI [Σ, count] partials + (aoi, cell) pairs into the
-    flagship's output schema — THE one definition of the flagship's
-    statistics, used by the batch aggregation (_zonal_agg) and the
-    materialized view (current_flagship) alike."""
-    cells = (pairs.distinct().groupBy("aoi_id")
-             .agg(F.countDistinct("cell").alias("n_cells")))
-    merged = (p.groupBy("aoi_id")
-              .agg(F.sum("n_images").alias("n_images"),
-                   F.round(F.sum("s_mean") / F.sum("k_mean"), 6).alias("mean_px"),
-                   F.round(F.sum("s_std") / F.sum("k_std"), 6).alias("mean_std"),
-                   F.max("max_phash_ham").alias("max_phash_ham"),
-                   F.sum("n_bad").alias("n_bad")))
-    return (merged.join(cells, "aoi_id")
+def merge_flagship_partials(p: DataFrame) -> DataFrame:
+    """Merge per-(aoi, cell) [Σ, count] partials into the flagship's
+    output schema — THE one definition of the flagship's statistics,
+    used by the batch aggregation (_zonal_agg) and the materialized view
+    (current_flagship) alike. n_cells = countDistinct(cell) (the same
+    cell recurs across batches; within one batch groups are unique)."""
+    return (p.groupBy("aoi_id")
+            .agg(F.sum("n_images").alias("n_images"),
+                 F.round(F.sum("s_mean") / F.sum("k_mean"), 6).alias("mean_px"),
+                 F.round(F.sum("s_std") / F.sum("k_std"), 6).alias("mean_std"),
+                 F.countDistinct("cell").alias("n_cells"),
+                 F.max("max_phash_ham").alias("max_phash_ham"),
+                 F.sum("n_bad").alias("n_bad"))
             .select("aoi_id", "n_images", "mean_px", "mean_std", "n_cells",
                     "max_phash_ham", "n_bad")
             .orderBy("aoi_id"))

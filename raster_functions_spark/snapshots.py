@@ -174,8 +174,12 @@ class SnapshotTable:
         return None
 
     def _commit(self, op: str, added: list[dict], live: list[dict],
-                pcol: str, run_id: str | None, summary: dict) -> int:
-        root = self._root()
+                pcol: str, run_id: str | None, summary: dict,
+                root: dict | None = None) -> int:
+        # callers that already read the root pass it through — the root
+        # read is py4j+JSON and costs ~0.1-0.2s per microbatch commit
+        # (single writer assumed, so the passed copy cannot be stale)
+        root = root if root is not None else self._root()
         snap_id = (root["current"] or 0) + 1
         _write_json_atomic(self.spark, f"{self.path}/metadata",
                            f"manifest-{snap_id}.json",
@@ -201,7 +205,7 @@ class SnapshotTable:
         added = self._write_data(df, partition_col, next_id)
         live = (self._manifest(root["current"]) if root["current"] else []) + added
         return self._commit("append", added, live, partition_col, run_id,
-                            {"added_files": len(added)})
+                            {"added_files": len(added)}, root=root)
 
     def append_tables(self, named: dict[str, tuple[DataFrame, str]],
                       run_id: str | None = None) -> int:
@@ -232,7 +236,7 @@ class SnapshotTable:
         live = (self._manifest(root["current"]) if root["current"] else []) + added
         return self._commit("append", added, live, pcol, run_id,
                             {"added_files": len(added),
-                             "tables": sorted(named)})
+                             "tables": sorted(named)}, root=root)
 
     def overwrite_partitions(self, df: DataFrame, values: list,
                              run_id: str | None = None) -> int:
@@ -258,7 +262,7 @@ class SnapshotTable:
                 if f["partition"] not in vals]
         return self._commit("overwrite", added, kept + added, pcol, run_id,
                             {"replaced_values": sorted(vals),
-                             "added_files": len(added)})
+                             "added_files": len(added)}, root=root)
 
     # ------------------------------------------------------------ read ----
 
@@ -442,7 +446,7 @@ class SnapshotTable:
                                 f"{t}/{v}" if t else str(v)
                                 for t, v in targets),
                              "files_before": n_src,
-                             "files_after": len(added)})
+                             "files_after": len(added)}, root=root)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop all but the newest ``keep_last`` snapshots and delete data

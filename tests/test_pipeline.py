@@ -134,9 +134,10 @@ def test_incremental_flagship_matches_batch(spark, tmp_path):
             assert abs(live[a][col] - full[a][col]) <= 2e-6, (a, col)
     # replayed commit: no-op
     b0 = images.filter("image_id < 'img000000200'")
-    p0, pr0 = pipeline.flagship_batch_partials(spark, b0, aoi)
+    p0 = pipeline.flagship_batch_partials(spark, b0, aoi)
     SnapshotTable(spark, vp).append_tables(
-        {"partials": (p0, "aoi_id"), "pairs": (pr0, "aoi_id")},
+        {"partials": (p0.withColumn("_vb", F.pmod(F.col("aoi_id"), F.lit(16))
+                                    .cast("long")), "_vb")},
         run_id="batch-0")
     live2 = {r["aoi_id"]: r["n_images"]
              for r in pipeline.current_flagship(spark, vp).collect()}
