@@ -1707,62 +1707,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # now rotate to the back — they remain verified by
     # scripts/check_oracles.py, which runs ALL keys).
     return {k: shipped(v) for k, v in {
-        # ---- r5 driver window: new/changed queries first, then every
-        # key whose last driver-issued row predates round 4 (rotation
-        # discipline, VERDICT r4 #6) ----
-        "m5_sarima_d2": q_m5_sarima_d2,
-        "mm_decode_video": q_mm_decode_video,
-        "flagship_incremental": q_flagship_incremental,
-        "stream_pixel_composite": q_stream_pixel_composite,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "text_langid": q_text_langid,
-        "text_tokens": q_text_tokens,
-        "text_tokens_merged": q_text_tokens_merged,
-        "j5_knn": q_j5_knn,
-        "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
-        "sim_near_dup_pairs": q_sim_near_dup_pairs,
-        "img_phash_dedup": q_img_phash_dedup,
-        "sessionize": q_sessionize,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_windowed": q_stream_windowed,
-        "a1_pricing_summary": q_a1_pricing_summary,
-        "a4_percentile": q_a4_percentile,
-        "a7_percent_above": q_a7_percent_above,
-        "a8_topk_per_group": q_a8_topk_per_group,
-        "a9_regression": q_a9_regression,
-        "p6_bitmask": q_p6_bitmask,
-        "p8_time_range": q_p8_time_range,
-        "p9_zonal_interval": q_p9_zonal_interval,
-        "j2_rasterize_attrs": q_j2_rasterize_attrs,
-        "j8_routing": q_j8_routing,
-        "w4_window_rank": q_w4_window_rank,
-        "w3_tumbling": q_w3_tumbling,
-        "u1_union_dedup": q_u1_union_dedup,
-        "u4_extent_union": q_u4_extent_union,
-        "f10_date_scale": q_f10_date_scale,
-        "f17_json": q_f17_json,
-        "grid_cell_encode": q_grid_cell_encode,
-        "spatial_bbox_join": q_spatial_bbox_join,
-        "dedup_exact": q_dedup_exact,
-        "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "img_hillshade": q_img_hillshade,
-        "img_ndvi_zonal": q_img_ndvi_zonal,
-        "img_zonal_remap_px": q_img_zonal_remap_px,
-        "img_cti": q_img_cti,
-        "img_knn_classify": q_img_knn_classify,
-        "img_chain": q_img_chain,
-        "img_dnbr": q_img_dnbr,
-        "img_cloud_fill": q_img_cloud_fill,
-        "img_hexbin": q_img_hexbin,
-        "img_pyramid": q_img_pyramid,
-        "w2_aspect_slope": q_w2_aspect_slope,
-        "w7_mdhillshade": q_w7_mdhillshade,
-        "f4_windchill": q_f4_windchill,
-        # ---- driver window boundary (50) — driver-r4-fresh keys below ----
+        # ---- r6 driver window (first 50): snap_retention (zero
+        # driver rows ever) + this round's new (text_tokens_merged,
+        # ann_ivf_append) and semantically-changed queries
+        # (dedup_minhash_lsh 64-hash family, flagship_incremental
+        # cell-partials, zonal last-match-wins), then every key
+        # whose last driver row predates round 5 ----
         "snap_retention": q_snap_retention,
+        "text_tokens_merged": q_text_tokens_merged,
+        "ann_ivf_append": q_ann_ivf_append,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "flagship_incremental": q_flagship_incremental,
+        "p9_zonal_interval": q_p9_zonal_interval,
+        "img_zonal_remap_px": q_img_zonal_remap_px,
         "rft_mosaic_findmax": q_rft_mosaic_findmax,
         "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
@@ -1774,7 +1731,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_training_csv": q_s4_training_csv,
         "f16_key_metadata": q_f16_key_metadata,
         "ann_ivf_index": q_ann_ivf_index,
-        "ann_ivf_append": q_ann_ivf_append,
         "mm_resize": q_mm_resize,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
@@ -1807,6 +1763,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_catalog": q_s7_catalog,
         "w4_rank_median_px": q_w4_rank_median_px,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # ---- driver window boundary (50) — r5-green and the
+        # freshest-stale keys below (rotate into r7) ----
+        "m5_sarima_d2": q_m5_sarima_d2,
+        "mm_decode_video": q_mm_decode_video,
+        "stream_pixel_composite": q_stream_pixel_composite,
+        "dedup_simhash": q_dedup_simhash,
+        "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
+        "j5_knn": q_j5_knn,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
+        "sim_near_dup_pairs": q_sim_near_dup_pairs,
+        "img_phash_dedup": q_img_phash_dedup,
+        "sessionize": q_sessionize,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_windowed": q_stream_windowed,
+        "a1_pricing_summary": q_a1_pricing_summary,
+        "a4_percentile": q_a4_percentile,
+        "a7_percent_above": q_a7_percent_above,
+        "a8_topk_per_group": q_a8_topk_per_group,
+        "a9_regression": q_a9_regression,
+        "p6_bitmask": q_p6_bitmask,
+        "p8_time_range": q_p8_time_range,
+        "j2_rasterize_attrs": q_j2_rasterize_attrs,
+        "j8_routing": q_j8_routing,
+        "w4_window_rank": q_w4_window_rank,
+        "w3_tumbling": q_w3_tumbling,
+        "u1_union_dedup": q_u1_union_dedup,
+        "u4_extent_union": q_u4_extent_union,
+        "f10_date_scale": q_f10_date_scale,
+        "f17_json": q_f17_json,
+        "grid_cell_encode": q_grid_cell_encode,
+        "spatial_bbox_join": q_spatial_bbox_join,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "img_hillshade": q_img_hillshade,
+        "img_ndvi_zonal": q_img_ndvi_zonal,
+        "img_cti": q_img_cti,
+        "img_knn_classify": q_img_knn_classify,
+        "img_chain": q_img_chain,
+        "img_dnbr": q_img_dnbr,
+        "img_cloud_fill": q_img_cloud_fill,
+        "img_hexbin": q_img_hexbin,
+        "img_pyramid": q_img_pyramid,
+        "w2_aspect_slope": q_w2_aspect_slope,
+        "w7_mdhillshade": q_w7_mdhillshade,
+        "f4_windchill": q_f4_windchill,
         "m5_sarima": q_m5_sarima,
         "m5_sarima_px": q_m5_sarima_px,
         "img_flagship": q_img_flagship,
