@@ -41,14 +41,6 @@ HEADLINE = [
 CEILING_REF = "BENCH/ceiling_ref.json"
 
 
-def _window_ceiling(k: int) -> float:
-    """Same-window hardware ceiling (images/sec) of the no-Spark kernel —
-    measures what the shared sandbox host is DELIVERING right now, so a
-    co-tenant-loaded window can be told apart from a code regression
-    (r5's recorded 11.58s vs the same day's 9.27s was exactly that)."""
-    return _raw_ceiling(k)
-
-
 def _load_factor(measured_ips: float) -> tuple[float, float]:
     """(ref_ips, load_factor): ref is a ratcheting best-known ceiling kept
     in BENCH/ceiling_ref.json; load_factor = measured/ref ∈ (0, ~1]."""
@@ -104,8 +96,12 @@ def run_default() -> None:
             w[name] = best
         return w
 
+    # the ceiling probe between the sweeps measures what the shared host
+    # is DELIVERING right now, so a co-tenant-loaded window can be told
+    # apart from a code regression (r5's recorded 11.58s vs the same
+    # day's 9.27s was exactly that)
     win_a = sweep(2)
-    ceiling_ips = _window_ceiling(min(cpus, 16))
+    ceiling_ips = _raw_ceiling(min(cpus, 16))
     win_b = sweep(2)
     ref_ips, load = _load_factor(ceiling_ips)
 

@@ -593,40 +593,49 @@ def ivf_search_snapshot(spark, snap_path: str, queries: DataFrame,
     from .snapshots import SnapshotTable
     C = ivf_load_centroids(spark, snap_path)
     table = SnapshotTable(spark, snap_path)
-    q_pdf = queries.select(F.col(qid_col).alias("query_id"),
-                           F.col(vec_col).alias("qv")).toPandas()
-    Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
-    d2q = ((Q ** 2).sum(1)[:, None] - 2 * Q @ C.T + (C ** 2).sum(1)[None, :])
-    probed = np.argsort(d2q, axis=1)[:, :n_probe]
-    probed_union = sorted({str(int(l)) for row in probed for l in row})
-    index = table.read(partition_values=probed_union)
+    probes = _probe_lists(queries, C, n_probe, vec_col, qid_col)
+    index = table.read(partition_values=[str(l)
+                                         for l in probes["probed_union"]])
     return ivf_search(index, C, queries, k=k, n_probe=n_probe,
-                      vec_col=vec_col, qid_col=qid_col)
+                      vec_col=vec_col, qid_col=qid_col, _probes=probes)
 
 
-def ivf_search(index: DataFrame, centroids: np.ndarray, queries: DataFrame,
-               k: int = 3, n_probe: int = 4, vec_col: str = "embedding",
-               qid_col: str = "vec_id") -> DataFrame:
-    """Search-many half: probe lists per query are computed driver-side,
-    the index scan is FILTERED to the union of probed lists (partition
-    pruning on a partitioned index — unprobed lists are never read), and
-    each batch scores per-list GEMMs against only its probing queries.
-    Identical results to ivf_topk on the same corpus/queries (same
-    centroids, same assignment, same tie-exact order)."""
-    C = np.asarray(centroids, dtype=np.float64)
-    n_lists = C.shape[0]
-    spark = index.sparkSession
+def _probe_lists(queries: DataFrame, C: np.ndarray, n_probe: int,
+                 vec_col: str, qid_col: str) -> dict:
+    """Driver-side probe computation shared by ivf_search and
+    ivf_search_snapshot (one queries collect + one Q·Cᵀ GEMM, never
+    repeated per layer): per-query probed lists, the per-list prober
+    index sets, and the probed-list union for scan pruning."""
     q_pdf = queries.select(F.col(qid_col).alias("query_id"),
                            F.col(vec_col).alias("qv")).toPandas()
     Q = np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
     d2q = ((Q ** 2).sum(1)[:, None] - 2 * Q @ C.T + (C ** 2).sum(1)[None, :])
     probed = np.argsort(d2q, axis=1)[:, :n_probe]
     probers = [np.nonzero((probed == l).any(axis=1))[0]
-               for l in range(n_lists)]
-    probed_union = sorted({int(l) for row in probed for l in row})
+               for l in range(C.shape[0])]
+    return {"ids": q_pdf["query_id"].to_numpy(np.int64), "Q": Q,
+            "probers": probers,
+            "probed_union": sorted({int(l) for row in probed for l in row})}
+
+
+def ivf_search(index: DataFrame, centroids: np.ndarray, queries: DataFrame,
+               k: int = 3, n_probe: int = 4, vec_col: str = "embedding",
+               qid_col: str = "vec_id", _probes: dict | None = None) -> DataFrame:
+    """Search-many half: probe lists per query are computed driver-side,
+    the index scan is FILTERED to the union of probed lists (partition
+    pruning on a partitioned index — unprobed lists are never read), and
+    each batch scores per-list GEMMs against only its probing queries.
+    Identical results to ivf_topk on the same corpus/queries (same
+    centroids, same assignment, same tie-exact order). ``_probes``: a
+    precomputed _probe_lists result (ivf_search_snapshot passes its own
+    so the query collect + GEMM run once, not once per layer)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    spark = index.sparkSession
+    p = _probes if _probes is not None else _probe_lists(
+        queries, C, n_probe, vec_col, qid_col)
+    probed_union = p["probed_union"]
     bq = spark.sparkContext.broadcast({
-        "ids": q_pdf["query_id"].to_numpy(np.int64), "Q": Q,
-        "probers": probers})
+        "ids": p["ids"], "Q": p["Q"], "probers": p["probers"]})
 
     def score(batches):
         b = bq.value

@@ -286,11 +286,17 @@ class SnapshotTable:
         snap = snapshot_id if snapshot_id is not None else self.current_id
         if snap is None:
             raise ValueError("empty table")
-        files = [f for f in self._manifest(snap) if f.get("table") == table]
+        all_files = [f for f in self._manifest(snap) if f.get("table") == table]
+        files = all_files
         if partition_values is not None:
             vals = {str(v) for v in partition_values}
             files = [f for f in files
                      if f["partition"] is None or f["partition"] in vals]
+            if not files and all_files:
+                # pruned everything away (e.g. every probed IVF list is
+                # empty): an empty frame with the table's schema, not a
+                # zero-path read error
+                return self._read_files([all_files[0]["path"]]).limit(0)
         return self._read_files([f["path"] for f in files])
 
     def read_incremental(self, since_snapshot_id: int,
@@ -346,12 +352,16 @@ class SnapshotTable:
         watermarks + tombstones keep expired batches replay-safe). One
         copy of the scheduling semantics — change it here, every sink
         follows. The compaction run_id is the CONTIGUOUS compaction
-        ordinal (1, 2, 3, …), not the raw batch id, so expired compact
-        commits fold into the retention watermark instead of accreting
-        one exception tombstone per cadence hit."""
+        ordinal (compaction-1, compaction-2, …), not the raw batch id,
+        so expired compact commits fold into the retention watermark
+        instead of accreting one exception tombstone per cadence hit.
+        The prefix is 'compaction' — distinct from the pre-r6
+        'compact-<batch_id>' scheme — so an ordinal can never collide
+        with a legacy run_id on an upgraded table (a collision would
+        silently skip that compaction as a replay)."""
         if compact_every and (batch_id + 1) % compact_every == 0:
             self.compact(min_files_per_value=2,
-                         run_id=f"compact-{(batch_id + 1) // compact_every}")
+                         run_id=f"compaction-{(batch_id + 1) // compact_every}")
         if expire_every and (batch_id + 1) % expire_every == 0:
             self.expire_snapshots(keep_last=keep_last)
 

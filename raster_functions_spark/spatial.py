@@ -298,7 +298,8 @@ def zonal_statistics(assigned: DataFrame, value_col: str,
 
 def zonal_remap_col(df: DataFrame, zones: DataFrame, value_col: str,
                     zone_col: str = "zone_id", default: float = 255.0,
-                    background: float | None = None) -> DataFrame:
+                    background: float | None = None,
+                    ordinal_col: str | None = None) -> DataFrame:
     """Column-level ZonalRemap: broadcast-join the zone interval table and
     remap ``value_col`` where zmin < v < zmax (null bounds = open interval,
     null zval → default) — probe semantics of
@@ -317,14 +318,24 @@ def zonal_remap_col(df: DataFrame, zones: DataFrame, value_col: str,
     in TABLE ORDER so the LAST match wins (ZonalRemap.py:185-198) — an
     explicit table-order ordinal rides in each interval struct, the array
     is canonicalized by that ordinal, and the probe takes the last match;
-    identical semantics to the per-pixel operators/zonal.py path. The
-    ordinal comes from monotonically_increasing_id over ``zones`` as
-    passed, which preserves input row order for any narrow-lineage zones
-    frame (createDataFrame, parquet scan). The probe is an interpreted
-    array HOF — fine here because interval lists are tiny dims; the
-    row-multiplying join it replaces was the real cost."""
-    z = zones.select(zone_col, F.struct(
-        F.monotonically_increasing_id().alias("_ord"),
+    identical semantics to the per-pixel operators/zonal.py path.
+    ``ordinal_col`` names an explicit ordinal column in ``zones`` — the
+    fully order-independent form, REQUIRED for correctness when the zones
+    frame has a shuffle in its lineage (join/dropDuplicates/repartition
+    leave row order arbitrary). When None, the ordinal is derived from
+    monotonically_increasing_id over the zones dim coalesced to ONE
+    partition, which makes it a pure function of the frame's row
+    sequence (for narrow-lineage frames — createDataFrame, parquet
+    scan — that is the table order; coalescing a tiny interval dim is
+    free and removes the partition-layout dependence a multi-partition
+    m_i_i would add). The probe is an interpreted array HOF — fine here
+    because interval lists are tiny dims; the row-multiplying join it
+    replaces was the real cost."""
+    ord_expr = (F.col(ordinal_col).cast("long") if ordinal_col is not None
+                else F.monotonically_increasing_id())
+    zsrc = zones if ordinal_col is not None else zones.coalesce(1)
+    z = zsrc.select(zone_col, F.struct(
+        ord_expr.alias("_ord"),
         F.col("zmin").alias("zmin"), F.col("zmax").alias("zmax"),
         F.col("zval").alias("zval")).alias("_iv"))
     zagg = z.groupBy(zone_col).agg(

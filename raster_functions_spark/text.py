@@ -47,7 +47,10 @@ def token_count(col: Column) -> Column:
 # BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
 # the split GPT-style tokenizers apply before merges. The pattern uses
 # only constructs whose semantics agree between Java regex (Spark) and
-# RE2 (DuckDB), so the count is engine-portable.
+# RE2 (DuckDB), so the count is engine-portable. CAUTION: \s is ASCII in
+# Java regex and RE2 but Unicode in Python re — every Python-side use of
+# this pattern MUST compile with re.ASCII (otherwise U+3000/NBSP-class
+# whitespace splits the engines apart on real crawl text).
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -90,7 +93,7 @@ def bpe_train(texts, n_merges: int = 64) -> list[tuple[str, str]]:
     most frequent adjacent symbol pair, ties broken by the
     lexicographically smallest (a, b)."""
     import re as _re
-    pat = _re.compile(BPE_TOKEN_PATTERN)
+    pat = _re.compile(BPE_TOKEN_PATTERN, _re.ASCII)   # match Java/RE2 \s
     vocab: dict[tuple[str, ...], int] = {}
     for t in texts:
         if not t:
@@ -160,7 +163,7 @@ def token_count_merged_udf(text_col: str = "text",
     @F.pandas_udf("long")
     def count(s: pd.Series) -> pd.Series:
         import re as _re
-        pat = _re.compile(BPE_TOKEN_PATTERN)
+        pat = _re.compile(BPE_TOKEN_PATTERN, _re.ASCII)   # match Java/RE2 \s
         memo: dict[str, int] = {}
         vals = []
         for txt in s:

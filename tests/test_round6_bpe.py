@@ -13,7 +13,7 @@ from raster_functions_spark.bpe_vocab import BPE_MERGES
 
 def _count_py(txt, merges):
     import re
-    pat = re.compile(T.BPE_TOKEN_PATTERN)
+    pat = re.compile(T.BPE_TOKEN_PATTERN, re.ASCII)
     memo = {}
     if not txt:
         return 0
@@ -53,7 +53,11 @@ def test_sql_replay_matches_python_on_anchors():
              ("abab", [("a", "b"), ("ab", "a")]),
              ("it's a don't-stop world!!!", BPE_MERGES),
              ("", BPE_MERGES),
-             ("的是和在 mixed 语言 text", BPE_MERGES)]
+             ("的是和在 mixed 语言 text", BPE_MERGES),
+             # non-ASCII whitespace (U+3000, NBSP): Python \s is Unicode,
+             # Java/RE2 \s is ASCII — the UDF compiles with re.ASCII so
+             # all three engines treat these as punctuation-class tokens
+             ("a\u3000b\u00a0c", BPE_MERGES)]
     con = duckdb.connect()
     for txt, merges in cases:
         con.register("t", pd.DataFrame({"text": [txt]}))

@@ -227,15 +227,30 @@ def test_gap_and_adhoc_run_ids_take_exact_tombstones(spark, tmp_path):
 
 def test_maintain_compact_ordinal_is_contiguous(spark, tmp_path):
     """maintain()'s compaction run-ids are the contiguous ordinal
-    (compact-1, compact-2, …) so they fold into the watermark too."""
+    (compaction-1, compaction-2, …) so they fold into the watermark too."""
     t = SnapshotTable(spark, str(tmp_path / "t"))
     sink_pcol = "p_cell"
     for b in range(8):
         t.append(_df(spark, (b, b + 1), "a"), sink_pcol, run_id=f"batch-{b}")
         t.maintain(b, compact_every=3)
     rids = [s.get("run_id") for s in t.snapshots()]
-    assert "compact-1" in rids and "compact-2" in rids
+    assert "compaction-1" in rids and "compaction-2" in rids
     t.expire_snapshots(keep_last=1)
     root = t._root()
-    assert root["expired_seq_watermarks"]["compact"]["lo"] == 1
+    assert root["expired_seq_watermarks"]["compaction"]["lo"] == 1
     assert not root.get("expired_run_ids")
+
+
+def test_zonal_remap_col_explicit_ordinal_survives_shuffle(spark):
+    """A zones frame with a shuffle in its lineage has arbitrary row
+    order — the explicit ordinal_col keeps last-match-wins deterministic
+    and identical to the table-order result."""
+    zp = _OVERLAP_ZONES.copy()
+    zp["ord"] = range(len(zp))
+    zones = (spark.createDataFrame(zp)
+             .repartition(8, "zval"))            # destroys row order
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0), (2, 5.0)], "zone_id long, v double")
+    out = spatial.zonal_remap_col(df, zones, "v", ordinal_col="ord").toPandas()
+    got = {(int(r.zone_id), r.v): r.v_remap for r in out.itertuples()}
+    assert got == {(1, 5.0): 300.0, (1, 7.0): 200.0, (2, 5.0): 255.0}
