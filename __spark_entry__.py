@@ -1252,6 +1252,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Dedup pipeline END: LSH candidates → exact n-gram-Jaccard verify →
+    connected components (hash-min label propagation, the grouping step
+    the salt-split bridge pairs exist for) → (doc_id, component_id)
+    duplicate clusters. Oracle: recursive-CTE min-reachable-id over the
+    same verified pair set."""
+    from raster_functions_spark import dedup
+    docs = _t(spark, sf_dir, "documents")
+    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+            .select("id_a", "id_b"))
+    verified = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                         candidates=cand)
+    return dedup.connected_components(verified).orderBy("doc_id")
+
+
 def q_ann_lsh(spark, sf_dir):
     """ANN via hyperplane-sign LSH buckets + multi-probe (integer ids;
     bucket bits bit-exact vs the oracle's unrolled dot products)."""
@@ -1716,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_retention": q_snap_retention,
         "text_tokens_merged": q_text_tokens_merged,
         "ann_ivf_append": q_ann_ivf_append,
+        "dedup_components": q_dedup_components,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "flagship_incremental": q_flagship_incremental,
         "p9_zonal_interval": q_p9_zonal_interval,
@@ -1980,6 +1996,13 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           SELECT DISTINCT id_a, id_b FROM pairs"""),
+        "dedup_components": _dedup.components_sql(_orc.ngram_jaccard_sql(f"""
+          WITH bands AS ({bands_union8}),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+          SELECT DISTINCT id_a, id_b FROM pairs""")) + " ORDER BY doc_id",
         "a1_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
                  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -437,6 +437,95 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+# ------------------------------------------------ duplicate clusters -------
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Duplicate clusters from a candidate/verified pair graph: every doc
+    gets ``component_id`` = the minimum doc id reachable through pairs —
+    the grouping step the LSH/SimHash/phash candidate generators defer to
+    (their salt-split bridge pairs exist exactly so this pass re-joins
+    oversized buckets).
+
+    Algorithm: hash-min label propagation — each round every node takes
+    the min label among itself and its neighbors, expressed as a
+    symmetric-edge join + min aggregation (two shuffles per round, both
+    on the node id). Rounds needed = graph diameter; duplicate-pair
+    graphs are unions of near-cliques (all pairs sharing LSH buckets), so
+    2-4 rounds converge even at crawl scale. Each round localCheckpoints
+    the label table: lineage stays O(1) instead of O(rounds), and the
+    convergence count reuses the materialized labels rather than
+    recomputing the whole chain. Degree skew is bounded upstream by
+    max_bucket (a node pairs with at most ~max_bucket members per band) —
+    no node explodes the join. The driver loop carries only the changed
+    count, never data.
+
+    Returns (doc_id, component_id) for every doc that appears in a pair;
+    singleton docs are absent (their component is trivially themselves —
+    left-join and coalesce with the corpus when the full mapping is
+    needed, see dedup_keep_canonical)."""
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .unionByName(pairs.select(F.col(dst).alias("a"),
+                                       F.col(src).alias("b")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("doc_id"))
+              .distinct()
+              .withColumn("component_id", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.b == labels.doc_id)
+                        .groupBy("a")
+                        .agg(F.min("component_id").alias("_nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.doc_id == neighbor_min.a, "left")
+                      .select("doc_id",
+                              F.least("component_id",
+                                      F.coalesce("_nmin", F.col("component_id")))
+                              .alias("component_id"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.component_id") != F.col("o.component_id"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise ValueError(f"connected_components: no convergence in "
+                         f"{max_iter} rounds (diameter > {max_iter}?)")
+    return labels
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """The end of the dedup pipeline: keep ONE representative per
+    duplicate cluster (the min-id member), drop the rest. Docs in no pair
+    are their own cluster and are kept. One broadcast-or-shuffle join
+    against the (small) component mapping."""
+    comp = (connected_components(pairs)
+            .withColumnRenamed("doc_id", "_cc_id")      # avoid colliding
+            .withColumnRenamed("component_id", "_cc_comp"))  # with id_col
+    return (df.join(comp, df[id_col] == comp["_cc_id"], "left")
+            .filter(F.coalesce(F.col("_cc_comp"), df[id_col]) == df[id_col])
+            .drop("_cc_id", "_cc_comp"))
+
+
+def components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for connected_components: min reachable id via a
+    recursive CTE over the symmetric edge set (UNION dedups states, so
+    the recursion terminates on cyclic graphs)."""
+    return f"""
+      WITH RECURSIVE pr AS ({pairs_sql}),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pr
+                UNION SELECT id_b, id_a FROM pr),
+      reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      SELECT id AS doc_id, MIN(r) AS component_id
+      FROM reach GROUP BY id"""
+
+
 # ----------------------------------------------------- phash near-dup ------
 
 def phash_near_dups(images: DataFrame, max_hamming: int = 8,

@@ -1,0 +1,68 @@
+"""Round-6: connected components over dedup pair graphs — hash-min label
+propagation vs the recursive-CTE oracle, bridge-pair reconnection, and
+keep-canonical filtering."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raster_functions_spark import dedup
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_components_basic_shapes(spark):
+    # two components: a 4-chain (diameter 3) and a triangle, plus a
+    # 2-cycle expressed redundantly
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (21, 20)]
+    got = {r.doc_id: r.component_id for r in
+           dedup.connected_components(_pairs_df(spark, pairs)).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_match_recursive_cte_oracle(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    # random sparse graph over 200 nodes
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, 200, (150, 2))
+             if a != b]
+    got = (dedup.connected_components(_pairs_df(spark, pairs))
+           .orderBy("doc_id").toPandas())
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    want = con.sql(dedup.components_sql("SELECT id_a, id_b FROM p")
+                   + " ORDER BY doc_id").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["component_id"].tolist() == [int(x) for x in want["component_id"]]
+
+
+def test_components_rejoin_salted_bridge_pairs(spark):
+    """The scenario _salted_buckets defers to this pass: an oversized
+    bucket split into sub-buckets emits within-sub pairs plus
+    canonical bridges — components must reunite the whole bucket."""
+    sub1 = [(1, 2), (2, 3)]          # sub-bucket A (canonical 1)
+    sub2 = [(7, 8), (8, 9)]          # sub-bucket B (canonical 7)
+    bridge = [(1, 7)]                # canonical bridge
+    comp = {r.doc_id: r.component_id for r in
+            dedup.connected_components(
+                _pairs_df(spark, sub1 + sub2 + bridge)).collect()}
+    assert set(comp.values()) == {1} and len(comp) == 6
+
+
+def test_keep_canonical(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    pairs = _pairs_df(spark, [(0, 3), (3, 5)])   # cluster {0,3,5}
+    kept = sorted(r.doc_id for r in
+                  dedup.dedup_keep_canonical(df, pairs).collect())
+    assert kept == [0, 1, 2, 4]                  # 3,5 dropped; singletons kept
+
+
+def test_components_divergence_guard(spark):
+    with pytest.raises(ValueError, match="convergence"):
+        dedup.connected_components(
+            _pairs_df(spark, [(i, i + 1) for i in range(8)]), max_iter=2)
