@@ -1267,6 +1267,22 @@ def q_dedup_components(spark, sf_dir):
     return dedup.connected_components(verified).orderBy("doc_id")
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """The deduplicated corpus itself: keep one min-id representative per
+    duplicate cluster (LSH→Jaccard→components), singletons untouched —
+    what a training-data pipeline actually feeds the trainer."""
+    from raster_functions_spark import dedup
+    docs = _t(spark, sf_dir, "documents")
+    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+            .select("id_a", "id_b"))
+    verified = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                         candidates=cand)
+    return (dedup.dedup_keep_canonical(docs, verified)
+            .groupBy("lang").agg(F.count("*").alias("n_kept"),
+                                 F.sum("doc_id").alias("sum_ids"))
+            .orderBy("lang"))
+
+
 def q_ann_lsh(spark, sf_dir):
     """ANN via hyperplane-sign LSH buckets + multi-probe (integer ids;
     bucket bits bit-exact vs the oracle's unrolled dot products)."""
@@ -1732,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_merged": q_text_tokens_merged,
         "ann_ivf_append": q_ann_ivf_append,
         "dedup_components": q_dedup_components,
+        "dedup_corpus": q_dedup_corpus,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "flagship_incremental": q_flagship_incremental,
         "p9_zonal_interval": q_p9_zonal_interval,
@@ -2003,6 +2020,20 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           SELECT DISTINCT id_a, id_b FROM pairs""")) + " ORDER BY doc_id",
+        "dedup_corpus": f"""
+          WITH comp AS ({_dedup.components_sql(_orc.ngram_jaccard_sql(f'''
+          WITH bands AS ({bands_union8}),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+          SELECT DISTINCT id_a, id_b FROM pairs'''))})
+          SELECT lang, COUNT(*) AS n_kept,
+                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+          FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM comp
+                               WHERE component_id <> doc_id)
+          GROUP BY lang ORDER BY lang""",
         "a1_pricing_summary": """
           SELECT l_returnflag, l_linestatus,
                  ROUND(SUM(l_quantity), 4) AS sum_qty,
