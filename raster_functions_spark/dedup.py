@@ -439,6 +439,38 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------ duplicate clusters -------
 
+def _star_edges(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (or small-star) contraction round over a symmetric
+    edge table (a, b): every node u computes m = min(Γ(u) ∪ {u}) and
+    re-attaches its larger (large) / smaller (small) neighbors — plus
+    itself — directly to m (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SOCC'14). The neighbor view is re-symmetrized
+    every round (the emitted edges are directed child→parent); the body
+    is one min-aggregation on the node id + one equi-join back on the
+    same key. Every replaced edge (u,v) keeps u—v connected through m
+    (both endpoints re-attach to m within the round), and a node's
+    attachment id only ever decreases — monotone convergence to stars
+    rooted at each component minimum."""
+    # symmetrize in ONE pass via explode — unioning a plan with its own
+    # reversed projection reuses the subtree twice, which Catalyst's
+    # relation dedup mishandles when the result is later checkpointed
+    # ("key not found: b#N" from inside localCheckpoint)
+    sym = (edges.select(F.explode(F.array(
+               F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+               F.struct(F.col("b").alias("a"), F.col("a").alias("b"))))
+           .alias("_e")).select("_e.a", "_e.b"))
+    mins = (sym.groupBy("a")
+            .agg(F.least(F.min("b"), F.first("a")).alias("_m"))
+            .withColumnRenamed("a", "_u"))
+    sel = (F.col("b") > F.col("a")) if large else (F.col("b") < F.col("a"))
+    reattached = (sym.filter(sel)
+                  .join(mins, F.col("a") == F.col("_u"))
+                  .select(F.col("b").alias("a"), F.col("_m").alias("b")))
+    self_link = mins.select(F.col("_u").alias("a"), F.col("_m").alias("b"))
+    return (reattached.unionByName(self_link)
+            .filter(F.col("a") != F.col("b")).distinct())
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 50) -> DataFrame:
     """Duplicate clusters from a candidate/verified pair graph: every doc
@@ -447,53 +479,59 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     (their salt-split bridge pairs exist exactly so this pass re-joins
     oversized buckets).
 
-    Algorithm: hash-min label propagation — each round every node takes
-    the min label among itself and its neighbors, expressed as a
-    symmetric-edge join + min aggregation (two shuffles per round, both
-    on the node id). Rounds needed = graph diameter; duplicate-pair
-    graphs are unions of near-cliques (all pairs sharing LSH buckets), so
-    2-4 rounds converge even at crawl scale. Each round localCheckpoints
-    the label table: lineage stays O(1) instead of O(rounds), and the
-    convergence count reuses the materialized labels rather than
-    recomputing the whole chain. Degree skew is bounded upstream by
-    max_bucket (a node pairs with at most ~max_bucket members per band) —
-    no node explodes the join. The driver loop carries only the changed
-    count, never data.
+    Algorithm: alternating large-star/small-star contraction (Kiveris et
+    al., SOCC'14) — each round is one min-aggregation plus one equi-join,
+    both shuffling on the node id, and the edge set contracts toward
+    stars rooted at each component's minimum. Rounds to converge are
+    O(log² n) even on pathological long-path graphs (plain hash-min label
+    propagation is O(diameter): the pre-upgrade probe took ~25 rounds on
+    a clique graph chained by random cross-links; this form takes ~5 —
+    BENCH/notes_r6.md §9). Each round localCheckpoints the edge table so
+    lineage stays O(1); convergence is detected by an (edge count,
+    xor-hash) fingerprint — two tiny aggregations, no data to the
+    driver. Degree skew is bounded upstream by max_bucket; the star
+    contraction itself only ever lowers a node's attachment point.
 
     Returns (doc_id, component_id) for every doc that appears in a pair;
     singleton docs are absent (their component is trivially themselves —
     left-join and coalesce with the corpus when the full mapping is
     needed, see dedup_keep_canonical)."""
-    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-             .unionByName(pairs.select(F.col(dst).alias("a"),
-                                       F.col(src).alias("b")))
+    edges = (pairs.select(F.explode(F.array(
+                 F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                 F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
+             .alias("_e")).select("_e.a", "_e.b")
+             .filter(F.col("a") != F.col("b"))
              .distinct().localCheckpoint(eager=True))
-    labels = (edges.select(F.col("a").alias("doc_id"))
-              .distinct()
-              .withColumn("component_id", F.col("doc_id"))
-              .localCheckpoint(eager=True))
+    nodes = edges.select(F.col("a").alias("doc_id")).distinct() \
+                 .localCheckpoint(eager=True)
+
+    def fingerprint(e: DataFrame):
+        # pmod bounds each summand to 2^31 so the ANSI-mode sum cannot
+        # overflow long below 2^32 edges
+        r = e.agg(F.count("*").alias("n"),
+                  F.sum(F.pmod(F.xxhash64("a", "b"),
+                               F.lit(1 << 31))).alias("h")).first()
+        return (r["n"], r["h"])
+
+    prev = fingerprint(edges)
     for _ in range(max_iter):
-        neighbor_min = (edges.join(labels, edges.b == labels.doc_id)
-                        .groupBy("a")
-                        .agg(F.min("component_id").alias("_nmin")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.doc_id == neighbor_min.a, "left")
-                      .select("doc_id",
-                              F.least("component_id",
-                                      F.coalesce("_nmin", F.col("component_id")))
-                              .alias("component_id"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.component_id") != F.col("o.component_id"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+        # large-star result feeds small-star within the same round
+        edges = _star_edges(edges, large=True)
+        edges = _star_edges(edges, large=False).localCheckpoint(eager=True)
+        cur = fingerprint(edges)
+        if cur == prev:
             break
+        prev = cur
     else:
         raise ValueError(f"connected_components: no convergence in "
-                         f"{max_iter} rounds (diameter > {max_iter}?)")
-    return labels
+                         f"{max_iter} rounds")
+    # converged edges are stars (u → component root); the root itself has
+    # no outgoing edge, so left-join and default to self
+    roots = edges.groupBy("a").agg(F.min("b").alias("component_id"))
+    return (nodes.join(roots, nodes.doc_id == roots.a, "left")
+            .select("doc_id",
+                    F.coalesce("component_id", F.col("doc_id"))
+                    .alias("component_id")))
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,

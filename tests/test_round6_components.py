@@ -63,6 +63,18 @@ def test_keep_canonical(spark):
 
 
 def test_components_divergence_guard(spark):
+    # a 200-link path cannot contract to stars in 2 alternation rounds
     with pytest.raises(ValueError, match="convergence"):
         dedup.connected_components(
-            _pairs_df(spark, [(i, i + 1) for i in range(8)]), max_iter=2)
+            _pairs_df(spark, [(i, i + 1) for i in range(200)]), max_iter=2)
+
+
+def test_components_long_path_converges_fast(spark):
+    """The algorithmic point of large-star/small-star: a 200-node path
+    (diameter 200 — hash-min would need ~200 rounds) contracts in a
+    handful of alternation rounds."""
+    got = {r.doc_id: r.component_id for r in
+           dedup.connected_components(
+               _pairs_df(spark, [(i, i + 1) for i in range(200)]),
+               max_iter=12).collect()}
+    assert set(got.values()) == {0} and len(got) == 201
