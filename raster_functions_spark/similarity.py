@@ -581,6 +581,34 @@ def ivf_append(new_rows: DataFrame, snap_path: str, run_id: str,
                         "list_id", run_id=run_id)
 
 
+def start_ivf_ingest(stream: DataFrame, snap_path: str, checkpoint: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     compact_every: int | None = None,
+                     expire_every: int | None = None, keep_last: int = 64,
+                     query_name: str = "ivf-ingest"):
+    """Wire a vector stream into the snapshot-backed IVF index: one
+    ivf_append per microbatch (run_id=ivf-<batch_id> ⇒ exactly-once; a
+    retried batch cannot double-insert), with the shared maintain()
+    cadence for small-file compaction and log retention. The index must
+    already exist (ivf_build_snapshot) — appends assign against its
+    frozen centroids, so searches stay parity-exact with a full rebuild
+    at any point in the stream."""
+    from .snapshots import SnapshotTable
+
+    spark = stream.sparkSession
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append(batch_df, snap_path, run_id=f"ivf-{batch_id}",
+                   id_col=id_col, vec_col=vec_col)
+        SnapshotTable(spark, snap_path).maintain(
+            batch_id, compact_every=compact_every,
+            expire_every=expire_every, keep_last=keep_last)
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name).trigger(availableNow=True).start())
+
+
 def ivf_search_snapshot(spark, snap_path: str, queries: DataFrame,
                         k: int = 3, n_probe: int = 4,
                         vec_col: str = "embedding",

@@ -90,3 +90,35 @@ def test_snapshot_search_prunes_at_manifest_level(spark, emb, tmp_path):
     assert len(one) < len(all_files)
     assert (table.read(partition_values=[lists_present[0]]).count()
             == index_full.filter(F.col("list_id") == int(lists_present[0])).count())
+
+
+def test_streaming_ivf_ingest_matches_batch_build(spark, emb, tmp_path):
+    """Stream two vector microbatches into the index; search must equal a
+    one-shot build over the union with the same centroids."""
+    import numpy as np
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    queries = emb.filter(F.col("vec_id") < 5)
+    sample = similarity._train_sample(corpus, "vec_id", "embedding", 500)
+    C0 = similarity._kmeans_fit(sample.astype(np.float64), 8)
+
+    A = corpus.filter(F.col("vec_id") % 2 == 1)
+    p = str(tmp_path / "idx")
+    similarity.ivf_build_snapshot(A, p, n_lists=8, centroids=C0)
+    # stream the other half in two file-microbatches
+    B = corpus.filter(F.col("vec_id") % 2 == 0)
+    src = str(tmp_path / "src")
+    B.filter(F.col("vec_id") % 4 == 0).coalesce(1).write.parquet(src + "/a")
+    B.filter(F.col("vec_id") % 4 == 2).coalesce(1).write.parquet(src + "/b")
+    stream = (spark.readStream.schema(B.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    q = similarity.start_ivf_ingest(stream, p, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    t = SnapshotTable(spark, p)
+    assert [s["run_id"] for s in t.snapshots()] == \
+        ["ivf-build-0", "ivf-0", "ivf-1"]
+    got = similarity.ivf_search_snapshot(spark, p, queries, k=3, n_probe=2)
+
+    p2 = str(tmp_path / "full")
+    similarity.ivf_build_snapshot(corpus, p2, n_lists=8, centroids=C0)
+    want = similarity.ivf_search_snapshot(spark, p2, queries, k=3, n_probe=2)
+    assert _rows(got) == _rows(want) and _rows(got)
