@@ -1254,9 +1254,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_components(spark, sf_dir):
     """Dedup pipeline END: LSH candidates → exact n-gram-Jaccard verify →
-    connected components (hash-min label propagation, the grouping step
-    the salt-split bridge pairs exist for) → (doc_id, component_id)
-    duplicate clusters. Oracle: recursive-CTE min-reachable-id over the
+    connected components (large-star/small-star contraction, the
+    grouping step the salt-split bridge pairs exist for) →
+    (doc_id, component_id) duplicate clusters. Oracle: recursive-CTE min-reachable-id over the
     same verified pair set."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")

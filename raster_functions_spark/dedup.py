@@ -483,9 +483,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     al., SOCC'14) — each round is one min-aggregation plus one equi-join,
     both shuffling on the node id, and the edge set contracts toward
     stars rooted at each component's minimum. Rounds to converge are
-    O(log² n) even on pathological long-path graphs (plain hash-min label
-    propagation is O(diameter): the pre-upgrade probe took ~25 rounds on
-    a clique graph chained by random cross-links; this form takes ~5 —
+    O(log² n) even on pathological long-path graphs, where plain hash-min
+    label propagation pays O(diameter) rounds (A/B at 1.6M docs: 206s
+    hash-min vs 71s star contraction, identical components; a 200-node
+    path converges in ≤12 alternations vs ~200 propagation rounds —
     BENCH/notes_r6.md §9). Each round localCheckpoints the edge table so
     lineage stays O(1); convergence is detected by an (edge count,
     xor-hash) fingerprint — two tiny aggregations, no data to the
@@ -496,14 +497,18 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     singleton docs are absent (their component is trivially themselves —
     left-join and coalesce with the corpus when the full mapping is
     needed, see dedup_keep_canonical)."""
-    edges = (pairs.select(F.explode(F.array(
-                 F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                 F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
-             .alias("_e")).select("_e.a", "_e.b")
-             .filter(F.col("a") != F.col("b"))
+    endpoints = (pairs.select(F.explode(F.array(
+                     F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                     F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
+                 .alias("_e")).select("_e.a", "_e.b"))
+    # nodes derive from the RAW endpoints (before the self-loop filter):
+    # a degenerate self-pair (x, x) must still yield (x, x) in the
+    # output — the documented contract and what the recursive-CTE oracle
+    # returns — rather than silently vanishing
+    nodes = endpoints.select(F.col("a").alias("doc_id")).distinct() \
+                     .localCheckpoint(eager=True)
+    edges = (endpoints.filter(F.col("a") != F.col("b"))
              .distinct().localCheckpoint(eager=True))
-    nodes = edges.select(F.col("a").alias("doc_id")).distinct() \
-                 .localCheckpoint(eager=True)
 
     def fingerprint(e: DataFrame):
         # pmod bounds each summand to 2^31 so the ANSI-mode sum cannot
@@ -537,15 +542,23 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """The end of the dedup pipeline: keep ONE representative per
-    duplicate cluster (the min-id member), drop the rest. Docs in no pair
-    are their own cluster and are kept. One broadcast-or-shuffle join
-    against the (small) component mapping."""
+    duplicate cluster — the min-id member PRESENT IN ``df`` — and drop
+    the rest. Docs in no pair are their own cluster and are kept. The
+    representative is chosen among df's own rows (not the cluster's
+    global min id): when pairs reference ids absent from df (a stale or
+    broader candidate run), the cluster still keeps exactly one
+    surviving member instead of silently losing all of them. One join
+    against the (small) component mapping + one per-cluster min."""
     comp = (connected_components(pairs)
             .withColumnRenamed("doc_id", "_cc_id")      # avoid colliding
             .withColumnRenamed("component_id", "_cc_comp"))  # with id_col
-    return (df.join(comp, df[id_col] == comp["_cc_id"], "left")
-            .filter(F.coalesce(F.col("_cc_comp"), df[id_col]) == df[id_col])
-            .drop("_cc_id", "_cc_comp"))
+    joined = (df.join(comp, df[id_col] == comp["_cc_id"], "left")
+              .withColumn("_cc", F.coalesce(F.col("_cc_comp"), df[id_col]))
+              .drop("_cc_id", "_cc_comp"))
+    reps = joined.groupBy("_cc").agg(F.min(id_col).alias("_keep"))
+    return (joined.join(reps, "_cc")
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_cc", "_keep"))
 
 
 def components_sql(pairs_sql: str) -> str:

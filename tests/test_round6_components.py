@@ -1,5 +1,5 @@
-"""Round-6: connected components over dedup pair graphs — hash-min label
-propagation vs the recursive-CTE oracle, bridge-pair reconnection, and
+"""Round-6: connected components over dedup pair graphs — large-star/
+small-star contraction vs the recursive-CTE oracle, bridge-pair reconnection, and
 keep-canonical filtering."""
 
 import duckdb
@@ -78,3 +78,29 @@ def test_components_long_path_converges_fast(spark):
                _pairs_df(spark, [(i, i + 1) for i in range(200)]),
                max_iter=12).collect()}
     assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_self_pairs_degenerate_input(spark):
+    """A self-pair (x, x) keeps doc x in the output with its own
+    component — matching the recursive-CTE oracle on the same input."""
+    import pandas as pd
+    pairs = [(7, 7), (1, 2)]
+    got = {r.doc_id: r.component_id for r in
+           dedup.connected_components(_pairs_df(spark, pairs)).collect()}
+    assert got == {7: 7, 1: 1, 2: 1}
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    want = {int(r[0]): int(r[1]) for r in con.sql(
+        dedup.components_sql("SELECT id_a, id_b FROM p")).fetchall()}
+    assert got == want
+
+
+def test_keep_canonical_with_absent_cluster_min(spark):
+    """pairs referencing ids absent from df: the cluster keeps its
+    min-id member PRESENT in df (pre-fix the whole cluster vanished)."""
+    df = spark.createDataFrame([(3, "a"), (5, "b"), (9, "c")],
+                               "doc_id long, text string")
+    pairs = _pairs_df(spark, [(0, 3), (3, 5)])   # cluster {0,3,5}, 0 absent
+    kept = sorted(r.doc_id for r in
+                  dedup.dedup_keep_canonical(df, pairs).collect())
+    assert kept == [3, 9]                        # 3 kept as present min; 5 dropped
