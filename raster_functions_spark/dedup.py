@@ -547,18 +547,19 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     representative is chosen among df's own rows (not the cluster's
     global min id): when pairs reference ids absent from df (a stale or
     broader candidate run), the cluster still keeps exactly one
-    surviving member instead of silently losing all of them. One join
-    against the (small) component mapping + one per-cluster min."""
+    surviving member instead of silently losing all of them. The
+    representative election runs over an IDS-ONLY projection (8-byte
+    rows), so the wide corpus is never shuffled through the per-cluster
+    aggregation — it pays exactly one semi-join on the kept-id set."""
     comp = (connected_components(pairs)
             .withColumnRenamed("doc_id", "_cc_id")      # avoid colliding
             .withColumnRenamed("component_id", "_cc_comp"))  # with id_col
-    joined = (df.join(comp, df[id_col] == comp["_cc_id"], "left")
-              .withColumn("_cc", F.coalesce(F.col("_cc_comp"), df[id_col]))
-              .drop("_cc_id", "_cc_comp"))
-    reps = joined.groupBy("_cc").agg(F.min(id_col).alias("_keep"))
-    return (joined.join(reps, "_cc")
-            .filter(F.col(id_col) == F.col("_keep"))
-            .drop("_cc", "_keep"))
+    ids = df.select(F.col(id_col).alias("_id"))
+    labeled = (ids.join(comp, ids["_id"] == comp["_cc_id"], "left")
+               .select("_id", F.coalesce("_cc_comp", F.col("_id")).alias("_cc")))
+    keep = (labeled.groupBy("_cc").agg(F.min("_id").alias("_keep"))
+            .select("_keep"))
+    return df.join(keep, df[id_col] == keep["_keep"], "left_semi")
 
 
 def components_sql(pairs_sql: str) -> str:
