@@ -194,6 +194,41 @@ def main() -> int:
     checks.append(("ivf ANN scores in one mapInPandas, no candidate join", ok))
     out += ["\n## q_ann_ivf\n", p]
 
+    # 15. connected components (r6): each star round is equi-join +
+    # hash aggregation on the node id — no cartesian/nested-loop join
+    # anywhere in a full run's plans, and the per-round work is
+    # hash-partitioned (the contraction is shuffle-bounded, not
+    # compare-all-pairs)
+    pairs_df = (spark.range(0, 2000)
+                .select((F.col("id") % 997).alias("id_a"),
+                        ((F.col("id") * 7) % 997).alias("id_b"))
+                .filter(F.col("id_a") != F.col("id_b")))
+    star = dedup._star_edges(pairs_df.select(F.col("id_a").alias("a"),
+                                             F.col("id_b").alias("b")),
+                             large=True)
+    p = plan_of(star)
+    ok = ("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+          and "HashAggregate" in p)
+    checks.append(("components star round: hash equi-join + hash agg, no cross product", ok))
+    out += ["\n## components_star_round\n", p]
+
+    # 16. snapshot-backed IVF search (r6): the manifest-level
+    # partition_values pruning means the scan's input files are a strict
+    # subset of the index's live files when probing few lists
+    from raster_functions_spark import similarity as _sim
+    idx_dir = tempfile.mkdtemp(prefix="audit_ivf_")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _sim.ivf_build_snapshot(emb.filter(F.col("vec_id") >= 5),
+                            idx_dir + "/i", n_lists=8)
+    _st = SnapshotTable(spark, idx_dir + "/i")
+    all_live = {f["path"] for f in _st._manifest(_st.current_id)}
+    pruned = _st.read(partition_values=["0"])
+    scanned = {f.split("/i/", 1)[1] for f in pruned.inputFiles()}
+    ok = scanned < all_live and len(scanned) >= 1
+    checks.append(("snapshot IVF read prunes to probed lists' files", ok))
+    out += ["\n## snapshot_ivf_pruning\n",
+            f"live={len(all_live)} scanned={len(scanned)}\n"]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
