@@ -208,7 +208,10 @@ def lsh_multi_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     a corpus vector is a candidate when it shares a bucket with the query
     in ANY table (the classic OR-amplification — collision probability
     1 − (1 − p^b)^L, steeply better recall than single-table bit-flip
-    probing; measured table in BENCH/notes_r4.md).
+    probing). Measured recall@10 vs brute force: 0.909 at 6 bits × 16
+    tables on 200k×64 (BENCH/notes_r4.md) and 0.979 at the same
+    operating point on a 1M×64 clustered corpus (notes_r6.md §8) —
+    OR-amplification holds its recall as the corpus grows.
 
     Scale shape mirrors ivf_topk's round-4 rewrite: queries broadcast as a
     matrix + per-table bucket→query lookup; corpus batches stream through
@@ -378,7 +381,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     lowest-IDS sampling trains centroids on one corner of id-correlated
     corpora (ingest order ≈ source ≈ content cluster is the common case
     at scale), collapsing recall at low n_probe; hashing decorrelates
-    (recall A/B in BENCH/notes_r5.md)."""
+    (recall A/B in BENCH/notes_r5.md). Measured operating points vs
+    brute force (recall@10, clustered corpora): 200k×64 — 0.985 at
+    64 lists/n_probe=4; 1M×64 — 0.985 at 64/4, 0.999 at 64/16, 0.995
+    at 256 lists/n_probe=8 (BENCH/notes_r6.md §8); recall at fixed
+    n_probe does not degrade with corpus growth, and beyond ~10M
+    vectors denser list counts (256+) shrink per-query candidate
+    volume 4× at equal recall."""
     sample = _train_sample(corpus, id_col, vec_col, train_sample)
     C = _kmeans_fit(sample.astype(np.float64), n_lists)
     spark = corpus.sparkSession
