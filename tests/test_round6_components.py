@@ -104,3 +104,48 @@ def test_keep_canonical_with_absent_cluster_min(spark):
     kept = sorted(r.doc_id for r in
                   dedup.dedup_keep_canonical(df, pairs).collect())
     assert kept == [3, 9]                        # 3 kept as present min; 5 dropped
+
+
+def test_components_match_union_find_many_shapes(spark):
+    """Randomized anchor vs an independent union-find reference across
+    several graph shapes (sparse, dense, star-heavy, chain-heavy) —
+    seeded, one Spark session."""
+    import numpy as np
+
+    def union_find(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id canonical: path-compress fully then map to min of set
+        comps = {}
+        for n in nodes:
+            comps.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comps.values() for n in members}
+
+    shapes = [
+        ("sparse", lambda rng: rng.integers(0, 500, (200, 2))),
+        ("dense", lambda rng: rng.integers(0, 60, (400, 2))),
+        ("chains", lambda rng: np.stack([np.arange(0, 300, 1),
+                                         np.arange(0, 300, 1)
+                                         + rng.integers(1, 3, 300)], axis=1)),
+        ("stars", lambda rng: np.stack([rng.integers(0, 10, 300),
+                                        rng.integers(10, 400, 300)], axis=1)),
+    ]
+    for name, gen in shapes:
+        rng = np.random.default_rng(hash(name) % 2**31)
+        raw = gen(rng)
+        pairs = [(int(a), int(b)) for a, b in raw]
+        nodes = sorted({x for p in pairs for x in p})
+        want = union_find(pairs, nodes)
+        got = {r.doc_id: r.component_id for r in
+               dedup.connected_components(_pairs_df(spark, pairs)).collect()}
+        assert got == want, name
