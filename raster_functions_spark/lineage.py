@@ -116,10 +116,21 @@ def checkpointed_write(df: DataFrame, path: str, key_col: str,
                        n_buckets: int = 16, run_id: str | None = None) -> dict:
     """Write ``df`` bucketed by ``key_col``; skip buckets already in the
     manifest (resume). Returns the manifest. Deterministic input ⇒ the
-    union of any interleaving of runs equals the single-run output."""
+    union of any interleaving of runs equals the single-run output.
+    ``n_buckets`` is part of the checkpoint's identity: it is recorded on
+    first write and a resume with a different value REFUSES (re-bucketing
+    mod a new count would duplicate rows into both old and new buckets
+    and silently skip others)."""
     run_id = run_id or f"run-{int(time.time())}"
     spark = df.sparkSession
     manifest = _read_manifest(spark, path)
+    prior_n = manifest.get("n_buckets")
+    if prior_n is not None and prior_n != n_buckets:
+        raise ValueError(
+            f"checkpointed_write: n_buckets={n_buckets} does not match the "
+            f"checkpoint's n_buckets={prior_n} at {path} — resuming with a "
+            "different bucket count would corrupt the bucket↔row mapping")
+    manifest["n_buckets"] = n_buckets
     done = set(map(int, manifest["buckets"]))
     todo = [b for b in range(n_buckets) if b not in done]
     if not todo:
@@ -148,7 +159,8 @@ def checkpointed_write(df: DataFrame, path: str, key_col: str,
         # written-empty below
         metrics = []
     manifest = _read_manifest(spark, path)
-    for r in metrics:
+    manifest["n_buckets"] = n_buckets      # checkpoint identity (re-read
+    for r in metrics:                      # drops the pre-write copy)
         manifest["buckets"][str(r["bucket"])] = {
             "rows": r["rows"], "key_checksum": r["key_checksum"], "run_id": run_id}
     # buckets with ZERO rows produce no parquet partition and no metrics

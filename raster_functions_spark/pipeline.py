@@ -296,13 +296,16 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
                                expire_every: int | None = None,
                                keep_last: int = 64,
                                view_buckets: int = 16,
-                               query_name: str = "flagship-incremental"):
+                               query_name: str = "flagship-incremental",
+                               run_prefix: str = "batch"):
     """The flagship zonal query as a continuously-updatable materialized
     view: each image microbatch runs decode→cell→PIP once, reduces to
     the per-(aoi, cell) decomposable partials (_assigned_partials — ONE
     aggregation; n_cells is the group key, so no second dataset), and
-    commits ONE snapshot with run_id=batch-<id> — a retried batch is a
-    no-op (exactly-once). ``current_flagship`` merges at read time.
+    commits ONE snapshot with run_id=<run_prefix>-<id> — a retried batch
+    is a no-op (exactly-once; give each logical stream its own
+    run_prefix if the view table can outlive its checkpoint — see
+    SnapshotTable.streaming_sink on checkpoint identity). ``current_flagship`` merges at read time.
     Work per batch ∝ batch size; view freshness is one tiny aggregation.
 
     Per-batch FIXED cost (r6, measured in BENCH/notes_r6.md §5): one

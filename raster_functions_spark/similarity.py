@@ -594,10 +594,13 @@ def start_ivf_ingest(stream: DataFrame, snap_path: str, checkpoint: str,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      compact_every: int | None = None,
                      expire_every: int | None = None, keep_last: int = 64,
-                     query_name: str = "ivf-ingest"):
+                     query_name: str = "ivf-ingest",
+                     run_prefix: str = "ivf"):
     """Wire a vector stream into the snapshot-backed IVF index: one
-    ivf_append per microbatch (run_id=ivf-<batch_id> ⇒ exactly-once; a
-    retried batch cannot double-insert), with the shared maintain()
+    ivf_append per microbatch (run_id=<run_prefix>-<batch_id> ⇒
+    exactly-once; a retried batch cannot double-insert — give each
+    logical stream its own run_prefix if the index can outlive its
+    checkpoint), with the shared maintain()
     cadence for small-file compaction and log retention. The index must
     already exist (ivf_build_snapshot) — appends assign against its
     frozen centroids, so searches stay parity-exact with a full rebuild
@@ -607,7 +610,7 @@ def start_ivf_ingest(stream: DataFrame, snap_path: str, checkpoint: str,
     spark = stream.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        ivf_append(batch_df, snap_path, run_id=f"ivf-{batch_id}",
+        ivf_append(batch_df, snap_path, run_id=f"{run_prefix}-{batch_id}",
                    id_col=id_col, vec_col=vec_col)
         SnapshotTable(spark, snap_path).maintain(
             batch_id, compact_every=compact_every,

@@ -39,6 +39,7 @@ import json
 import re
 import time
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,9 +49,14 @@ from .lineage import _hadoop_fs, _read_manifest_path, _write_json_atomic
 ROOT = "metadata.json"
 
 # sequential run-id shape "<prefix>-<n>" used by every streaming sink
-# (batch-<n>, compact-<n>): expired ids fold into a per-prefix contiguous
-# watermark range instead of one tombstone each
+# (batch-<n>, compaction-<n>): expired ids fold into a per-prefix
+# contiguous watermark range instead of one tombstone each
 _SEQ_RUN_ID = re.compile(r"^(.*)-(\d+)$")
+# prefixes whose watermark may JUMP over gaps: treating a never-committed
+# id as replayed must be harmless (compaction ordinals skip a number when
+# a cadence hit finds nothing to compact; "replaying" such an ordinal
+# would only re-rewrite unchanged files)
+_GAP_SAFE_PREFIXES = {"compaction"}
 
 
 class SnapshotTable:
@@ -133,7 +139,12 @@ class SnapshotTable:
                 part = None
                 for seg in p.split("/"):
                     if seg.startswith("_p="):
-                        part = seg[3:]
+                        # Hive-escapes (%3A etc) are a PATH encoding —
+                        # the manifest stores the RAW value so every
+                        # comparison (overwrite values, partition_values
+                        # pruning, compact grouping) sees what str(v)
+                        # produces, not the escaped directory name
+                        part = unquote(seg[3:])
                 entry = {"path": f"{rel}/" + p.split(rel + "/", 1)[1],
                          "partition": part, "bytes": int(st.getLen())}
                 if sub is not None:
@@ -229,7 +240,11 @@ class SnapshotTable:
         next_id = (root["current"] or 0) + 1
         added: list[dict] = []
         for name in sorted(named):
-            if "/" in name or name.startswith("_p="):
+            # reject anything that could escape the snap dir ("..", path
+            # separators), collide with the partition-dir convention, or
+            # be misclassified by _table_of (trailing .parquet)
+            if (not name or "/" in name or "\\" in name or ".." in name
+                    or name.startswith("_p=") or name.endswith(".parquet")):
                 raise ValueError(f"bad dataset name {name!r}")
             added.extend(self._write_data(named[name][0], pcol, next_id,
                                           sub=name))
@@ -252,7 +267,11 @@ class SnapshotTable:
         if pcol is None:
             raise ValueError("overwrite_partitions on an empty table — append first")
         vals = {str(v) for v in values}
-        stray = (df.filter(~F.col(pcol).cast("string").isin(list(vals)))
+        # NULL pcol is always stray (it can never be a replaced value):
+        # ~isin() alone evaluates to NULL for NULL rows and would let
+        # them slip past the probe into __HIVE_DEFAULT_PARTITION__
+        stray = (df.filter(F.col(pcol).isNull()
+                           | ~F.col(pcol).cast("string").isin(list(vals)))
                  .limit(1).count())
         if stray:
             raise ValueError("overwrite df contains rows outside the replaced partitions")
@@ -329,13 +348,20 @@ class SnapshotTable:
                              if self._table_of(p) == table)
         if not files:
             # a legitimate empty range (e.g. the selected named dataset
-            # got nothing in these snapshots) must yield an EMPTY frame
-            # with the table's schema, not a zero-path read error — take
-            # the schema from the current snapshot's live files
+            # got nothing in these snapshots) yields an EMPTY frame with
+            # the table's schema, taken from the current snapshot's live
+            # files. When the dataset has never had a data file, there
+            # is no schema source — fail with a descriptive error rather
+            # than the opaque zero-path read (polling consumers should
+            # start only after the producer's first commit)
             live = [f["path"] for f in self._manifest(root["current"])
                     if f.get("table") == table] if root["current"] else []
             if live:
                 return self._read_files(live).limit(0)
+            raise ValueError(
+                f"read_incremental: dataset {table!r} has no data files "
+                "yet (no schema to shape an empty result); wait for the "
+                "producer's first commit")
         return self._read_files(files)
 
     # --------------------------------------------------------- streaming --
@@ -367,36 +393,51 @@ class SnapshotTable:
 
     def streaming_sink(self, partition_col: str,
                        expire_every: int | None = None,
-                       keep_last: int = 64):
+                       keep_last: int = 64,
+                       compact_every: int | None = None,
+                       run_prefix: str = "batch"):
         """foreachBatch sink: one snapshot commit per microbatch with
-        ``run_id = batch-<id>`` — a retried microbatch is a no-op commit,
-        so snapshot appends are exactly-once end to end (a mid-append
-        failure leaves only unreferenced files, reclaimed by
-        expire_snapshots; a post-commit retry short-circuits on run_id —
-        including replays of already-EXPIRED batches, via tombstones).
-        Downstream consumers use read_incremental to process exactly the
-        newly committed rows.
+        ``run_id = <run_prefix>-<id>`` — a retried microbatch is a no-op
+        commit, so snapshot appends are exactly-once end to end (a
+        mid-append failure leaves only unreferenced files, reclaimed by
+        expire_snapshots' orphan sweep; a post-commit retry
+        short-circuits on run_id — including replays of already-EXPIRED
+        batches, via the retention watermark). Downstream consumers use
+        read_incremental to process exactly the newly committed rows.
+
+        CHECKPOINT IDENTITY: batch ids come from the streaming
+        checkpoint. Starting a NEW query (fresh checkpoint dir) against a
+        table this sink already wrote resets ids to 0, and the replay
+        protection would then silently discard the new batches as
+        replays of the old ones. Give each logical stream its own
+        ``run_prefix`` (e.g. the query name) when a table can outlive
+        its checkpoint — distinct prefixes never collide.
 
         ``expire_every`` bounds the metadata: every N batches the log is
-        truncated to ``keep_last`` snapshots (run-id tombstones retained),
-        keeping the per-commit root rewrite O(keep_last) instead of
-        O(#commits) — the retention loop a long-lived streaming table
-        needs. Time travel / read_incremental reach back at most
-        keep_last commits once enabled; size keep_last to the slowest
-        downstream consumer's lag."""
+        truncated to ``keep_last`` snapshots (watermark + tombstones
+        retained), keeping the per-commit root rewrite O(keep_last)
+        instead of O(#commits). ``compact_every`` enables the small-file
+        compaction cadence (see maintain). Time travel /
+        read_incremental reach back at most keep_last commits once
+        enabled; size keep_last to the slowest downstream consumer's
+        lag."""
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            self.append(batch_df, partition_col, run_id=f"batch-{batch_id}")
-            self.maintain(batch_id, expire_every=expire_every,
-                          keep_last=keep_last)
+            self.append(batch_df, partition_col,
+                        run_id=f"{run_prefix}-{batch_id}")
+            self.maintain(batch_id, compact_every=compact_every,
+                          expire_every=expire_every, keep_last=keep_last)
         return sink
 
     def start_ingest(self, stream: DataFrame, partition_col: str,
                      checkpoint: str, query_name: str = "snapshot-ingest",
-                     expire_every: int | None = None, keep_last: int = 64):
+                     expire_every: int | None = None, keep_last: int = 64,
+                     compact_every: int | None = None,
+                     run_prefix: str = "batch"):
         """Wire a stream into this table (availableNow trigger)."""
         return (stream.writeStream
-                .foreachBatch(self.streaming_sink(partition_col,
-                                                  expire_every, keep_last))
+                .foreachBatch(self.streaming_sink(
+                    partition_col, expire_every, keep_last,
+                    compact_every=compact_every, run_prefix=run_prefix))
                 .option("checkpointLocation", checkpoint)
                 .queryName(query_name).trigger(availableNow=True).start())
 
@@ -479,11 +520,25 @@ class SnapshotTable:
         the watermark relies on the writer issuing prefix seqs
         monotonically, which is Structured Streaming's foreachBatch
         contract; arbitrary ad-hoc run_ids (no trailing -<n>) always take
-        the exact-tombstone path. Retention thereby bounds the heavy
-        per-snapshot entries too (file lists, summaries) that otherwise
-        make every commit an O(#commits) root rewrite (measured 1.4 MiB /
-        ~200 ms per op at 10k commits — BENCH/notes_r5.md; watermark probe
-        in notes_r6.md shows root size flat in total history)."""
+        the exact-tombstone path. The 'compaction' prefix is GAP-SAFE:
+        maintain()'s ordinal skips a number when a cadence hit finds
+        nothing to compact (compact() no-ops without committing), and
+        treating a never-committed compaction as "already done" merely
+        skips a rewrite of unchanged data — so its watermark jumps gaps
+        instead of degrading to per-id tombstones. Retention thereby
+        bounds the heavy per-snapshot entries too (file lists, summaries)
+        that otherwise make every commit an O(#commits) root rewrite
+        (measured 1.4 MiB / ~200 ms per op at 10k commits —
+        BENCH/notes_r5.md; watermark probe in notes_r6.md shows root size
+        flat in total history).
+
+        Uncommitted orphans are also swept: a crash between _write_data
+        and _commit leaves a data/snap-<id>-<token> dir referenced by no
+        manifest; any such dir whose embedded snapshot id is at or below
+        the newest EXPIRED id (so no in-flight writer can still be about
+        to commit it) and whose files appear in no kept manifest is
+        deleted — without this, retries after mid-append crashes grow
+        storage forever on a long-lived streaming table."""
         root = self._root()
         if len(root["snapshots"]) <= keep_last:
             return []
@@ -504,9 +559,10 @@ class SnapshotTable:
                 if m:
                     p, n = m.group(1), int(m.group(2))
                     w = wms.get(p)
+                    gap_safe = p in _GAP_SAFE_PREFIXES
                     if w is None:
                         wms[p] = {"lo": n, "hi": n, "hi_snap": s["id"]}
-                    elif n == w["hi"] + 1:
+                    elif n == w["hi"] + 1 or (gap_safe and n > w["hi"]):
                         w["hi"], w["hi_snap"] = n, s["id"]
                     elif w["lo"] <= n <= w["hi"]:
                         pass        # already covered
@@ -519,6 +575,21 @@ class SnapshotTable:
                     fs.delete(Path(f"{self.path}/{rel}"), False)
                     deleted.append(rel)
             fs.delete(Path(f"{self.path}/metadata/manifest-{s['id']}.json"), False)
+        # orphan sweep: snap dirs never committed by any snapshot. The
+        # safe set is the union of ALL kept manifests ("referenced") —
+        # a dir added long ago can still be live, and time travel within
+        # the kept window may reference dirs the newest manifest dropped
+        newest_expired = dropped[-1]["id"]
+        data_dir = Path(f"{self.path}/data")
+        if fs.exists(data_dir):
+            kept_dirs = {p.split("/")[1] for p in referenced}
+            for st in fs.listStatus(data_dir):
+                dname = st.getPath().getName()
+                m = re.match(r"^snap-(\d+)-", dname)
+                if (m and int(m.group(1)) <= newest_expired
+                        and dname not in kept_dirs):
+                    fs.delete(st.getPath(), True)
+                    deleted.append(f"data/{dname}")
         root["snapshots"] = kept
         root["expired_run_ids"] = tomb
         root["expired_seq_watermarks"] = wms

@@ -69,8 +69,12 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
         # drain ALL Arrow chunks first and sort ONCE: a key whose batch
         # spans several chunks (> arrow.maxRecordsPerBatch events) has no
         # intra-group ordering guarantee — per-chunk sorting would close
-        # sessions against out-of-order timestamps and emit wrong bounds
-        all_ts = sorted(_us(t) for pdf in pdf_iter for t in pdf[ts_col])
+        # sessions against out-of-order timestamps and emit wrong bounds.
+        # NULL timestamps are dropped: a NaT becomes INT64_MIN µs, which
+        # would sort first, seed a garbage session start and crash _ts()
+        # on emit — permanently failing the query on every batch retry
+        all_ts = sorted(_us(t) for pdf in pdf_iter for t in pdf[ts_col]
+                        if pd.notna(t))
         for ts in all_ts:
             if start_us is None:
                 start_us, last_us, n = ts, ts, 1
@@ -82,9 +86,10 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
             else:
                 last_us = max(last_us, ts)
                 n += 1
-        state.update((start_us, last_us, n))
-        if idle_timeout_sec is not None:
-            state.setTimeoutDuration(idle_timeout_sec * 1000)
+        if start_us is not None:     # all-NULL batch with no prior state:
+            state.update((start_us, last_us, n))  # nothing to remember
+            if idle_timeout_sec is not None:
+                state.setTimeoutDuration(idle_timeout_sec * 1000)
         if out:
             yield pd.DataFrame(out)
 
