@@ -2,7 +2,7 @@
 
 ``queries()`` registers one entry per implemented operator family from
 SURVEY.md §2 (keys prefixed with their SURVEY operator id); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for EVERY query — 69/69, no rows-only
+gives the DuckDB-equivalent SQL for EVERY query — all 102, no rows-only
 entries. Image-engine queries re-derive their pixels inside the oracle SQL
 from the closed-form fixtures (generate_series + arithmetic; see
 raster_functions_spark/oracles.py for the builders and the float-parity
@@ -321,8 +321,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     DuckDB oracle below, so engine/oracle parity holds by construction."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    return (dedup.minhash_lsh_candidates(docs, n_hashes=64, bands=16)
-            .orderBy("id_a", "id_b"))
+    pairs = dedup.minhash_lsh_candidates(docs, n_hashes=64, bands=16)
+    try:
+        # materialize BEFORE releasing the signature cache — the sweep
+        # runs 100+ queries in one session, and dedup.py's cache contract
+        # says unreleased signature tables accumulate in executor storage
+        return spark.createDataFrame(pairs.orderBy("id_a", "id_b").toPandas())
+    finally:
+        dedup.release_signature_cache(pairs)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -473,31 +479,45 @@ def q_stream_sessionize(spark, sf_dir):
     must stitch sessions across batch boundaries. Emits CLOSED sessions;
     the DuckDB oracle computes the same gap-partitioned sessions and drops
     each user's final (still-open) one."""
+    import glob
     import os
+    import shutil
     import tempfile
     from raster_functions_spark.streaming import stateful
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     td = tempfile.mkdtemp(prefix="sess_stream_")
-    src = os.path.join(td, "in")
-    # two files → two availableNow microbatches (maxFilesPerTrigger=1):
-    # sessions spanning the split exercise cross-batch state
-    ev.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.mode("append").parquet(src)
-    ev.filter(F.dayofmonth("ts") > 15).coalesce(1).write.mode("append").parquet(src)
-    stream = (spark.readStream.schema("user_id long, ts timestamp")
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    sessions = stateful.sessionize_stream(stream, gap_sec=1800,
-                                          idle_timeout_sec=None)
-    qname = "stream_sessionize_out"
-    q = (sessions.writeStream.outputMode("update").format("memory")
-         .queryName(qname).option("checkpointLocation", os.path.join(td, "ck"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return (spark.table(qname)
+    try:
+        src = os.path.join(td, "in")
+        # two files → two availableNow microbatches (maxFilesPerTrigger=1):
+        # sessions spanning the split exercise cross-batch state. The file
+        # source orders new files by MODIFICATION TIME — pin distinct
+        # mtimes explicitly (two writes usually land within the same
+        # second, and a tie would feed the sessionizer out-of-order)
+        ev.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.mode("append").parquet(src)
+        first = set(glob.glob(src + "/*.parquet"))
+        for f in first:
+            os.utime(f, (1_000_000, 1_000_000))
+        ev.filter(F.dayofmonth("ts") > 15).coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(src + "/*.parquet")) - first:
+            os.utime(f, (2_000_000, 2_000_000))
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sessions = stateful.sessionize_stream(stream, gap_sec=1800,
+                                              idle_timeout_sec=None)
+        qname = "stream_sessionize_out"
+        q = (sessions.writeStream.outputMode("update").format("memory")
+             .queryName(qname).option("checkpointLocation", os.path.join(td, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.createDataFrame(
+            spark.table(qname)
             .select("user_id",
                     F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
                     F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
                     "n_events")
-            .orderBy("user_id", "s_start"))
+            .orderBy("user_id", "s_start").toPandas())
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 def q_stream_windowed(spark, sf_dir):
@@ -702,7 +722,8 @@ def q_img_hexbin(spark, sf_dir):
            .withColumn("ymax", 45.0 - F.col("ty") * 0.032)
            .withColumn("cell_dy", F.lit(0.001)))
     hx = effects.hexagon_pixels(dem, size_deg=0.01)
-    return hx.select("hex_id", F.round("mean", 6).alias("mean"), "n_px")
+    return (hx.select("hex_id", F.round("mean", 6).alias("mean"), "n_px")
+            .orderBy("hex_id"))
 
 
 def q_img_pyramid(spark, sf_dir):
@@ -1209,21 +1230,27 @@ def q_snap_incremental(spark, sf_dir):
                 .withColumn("p_cell", pexpr)
                 .withColumn("v", (F.col("image_id") * 3).cast("long")))
 
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_q_") + "/t")
-    t.append(batch(0, 100, F.col("image_id") % 4), "p_cell")
-    t.append(batch(100, 150, F.col("image_id") % 4), "p_cell")
-    t.overwrite_partitions(batch(200, 220, F.lit(1)), values=[1])
+    import shutil
+    td = tempfile.mkdtemp(prefix="snap_q_")
+    try:
+        t = SnapshotTable(spark, td + "/t")
+        t.append(batch(0, 100, F.col("image_id") % 4), "p_cell")
+        t.append(batch(100, 150, F.col("image_id") % 4), "p_cell")
+        t.overwrite_partitions(batch(200, 220, F.lit(1)), values=[1])
 
-    def agg(df, src):
-        return (df.groupBy("p_cell")
-                .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
-                .withColumn("src", F.lit(src)))
+        def agg(df, src):
+            return (df.groupBy("p_cell")
+                    .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+                    .withColumn("src", F.lit(src)))
 
-    return (agg(t.read(), "current")
+        return spark.createDataFrame(      # materialize pre-cleanup
+            agg(t.read(), "current")
             .unionByName(agg(t.read_incremental(since_snapshot_id=1), "incremental"))
             .select("src", F.col("p_cell").cast("long").alias("p_cell"),
                     "n", "sum_v")
-            .orderBy("src", "p_cell"))
+            .orderBy("src", "p_cell").toPandas())
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 def q_s3_feature_envelope(spark, sf_dir):
@@ -1246,10 +1273,13 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     candidate pairs (never all-pairs)."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
-            .select("id_a", "id_b"))
-    return (dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
-            .orderBy("id_a", "id_b"))
+    cand_raw = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+    cand = cand_raw.select("id_a", "id_b")
+    out = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+    try:
+        return spark.createDataFrame(out.orderBy("id_a", "id_b").toPandas())
+    finally:
+        dedup.release_signature_cache(cand_raw)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1260,11 +1290,15 @@ def q_dedup_components(spark, sf_dir):
     same verified pair set."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
-            .select("id_a", "id_b"))
+    cand_raw = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+    cand = cand_raw.select("id_a", "id_b")
     verified = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
                                          candidates=cand)
-    return dedup.connected_components(verified).orderBy("doc_id")
+    try:
+        return spark.createDataFrame(
+            dedup.connected_components(verified).orderBy("doc_id").toPandas())
+    finally:
+        dedup.release_signature_cache(cand_raw)
 
 
 def q_dedup_corpus(spark, sf_dir):
@@ -1273,14 +1307,18 @@ def q_dedup_corpus(spark, sf_dir):
     what a training-data pipeline actually feeds the trainer."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
-            .select("id_a", "id_b"))
+    cand_raw = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+    cand = cand_raw.select("id_a", "id_b")
     verified = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
                                          candidates=cand)
-    return (dedup.dedup_keep_canonical(docs, verified)
+    try:
+        return spark.createDataFrame(
+            dedup.dedup_keep_canonical(docs, verified)
             .groupBy("lang").agg(F.count("*").alias("n_kept"),
                                  F.sum("doc_id").alias("sum_ids"))
-            .orderBy("lang"))
+            .orderBy("lang").toPandas())
+    finally:
+        dedup.release_signature_cache(cand_raw)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -1391,8 +1429,10 @@ def _ensure_shipped(spark: SparkSession) -> None:
     try:
         from raster_functions_spark.session import ship_package
         ship_package(spark)
-    except Exception:
-        pass
+    except Exception as e:  # keep queries usable, but say WHY shipping
+        import warnings      # failed — a silent pass turns this into a
+        warnings.warn(       # distant executor ModuleNotFoundError
+            f"ship_package failed ({e!r}); executors may lack the package")
 
 
 def q_mm_decode_video(spark, sf_dir):
@@ -1676,16 +1716,22 @@ def q_snap_retention(spark, sf_dir):
                 .withColumn("p_cell", F.col("image_id") % 3)
                 .withColumn("v", (F.col("image_id") * 7).cast("long")))
 
-    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_r_") + "/t")
-    sink = t.streaming_sink("p_cell", expire_every=4, keep_last=3)
-    for b in range(10):
-        sink(batch(b), b)
-    sink(batch(0), 0)          # replay of an EXPIRED batch: tombstone no-op
-    sink(batch(9), 9)          # replay of a LIVE batch: run_id no-op
-    return (t.read().groupBy("p_cell")
+    import shutil
+    td = tempfile.mkdtemp(prefix="snap_r_")
+    try:
+        t = SnapshotTable(spark, td + "/t")
+        sink = t.streaming_sink("p_cell", expire_every=4, keep_last=3)
+        for b in range(10):
+            sink(batch(b), b)
+        sink(batch(0), 0)      # replay of an EXPIRED batch: watermark no-op
+        sink(batch(9), 9)      # replay of a LIVE batch: run_id no-op
+        return spark.createDataFrame(      # materialize pre-cleanup
+            t.read().groupBy("p_cell")
             .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
             .select(F.col("p_cell").cast("long").alias("p_cell"), "n", "sum_v")
-            .orderBy("p_cell"))
+            .orderBy("p_cell").toPandas())
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 def q_m5_sarima_d2(spark, sf_dir):
@@ -1794,10 +1840,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_feature_envelope": q_s3_feature_envelope,
         "s6_latitude": q_s6_latitude,
         "s7_catalog": q_s7_catalog,
+        # ---- driver window boundary (50) — r5-green and the
+        # freshest-stale keys below (rotate into r7; w4_rank_median_px
+        # and dedup_ngram_jaccard slid past 50 when dedup_components +
+        # dedup_corpus were registered — both are r4-green) ----
         "w4_rank_median_px": q_w4_rank_median_px,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        # ---- driver window boundary (50) — r5-green and the
-        # freshest-stale keys below (rotate into r7) ----
         "m5_sarima_d2": q_m5_sarima_d2,
         "mm_decode_video": q_mm_decode_video,
         "stream_pixel_composite": q_stream_pixel_composite,
@@ -2260,7 +2308,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": """
           WITH g AS (
             SELECT user_id, ts,
-                   CASE WHEN epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
                           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events)
