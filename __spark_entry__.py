@@ -1321,6 +1321,72 @@ def q_dedup_corpus(spark, sf_dir):
         dedup.release_signature_cache(cand_raw)
 
 
+def q_dedup_crossmodal(spark, sf_dir):
+    """Cross-modal duplicate clusters over an image+caption table: exact
+    caption edges (star-form — linear in group size, never the O(group²)
+    pair join) UNION phash band-LSH+Hamming edges, ONE component pass
+    over the merged graph — the transitive caption↔visual matches that
+    running each modality's dedup separately provably misses. Captions
+    derive deterministically from the image index (i mod 150) so the
+    DuckDB oracle replays the identical edge set from the ids alone."""
+    from raster_functions_spark import dedup, fixtures
+    images = fixtures.images_df(spark, 400).select("image_id", "phash")
+    idx = F.substring("image_id", 4, 9).cast("long")
+    images = images.withColumn(
+        "caption", F.concat(F.lit("caption "), (idx % 150).cast("string")))
+    return dedup.crossmodal_dedup(images, max_hamming=10).orderBy("doc_id")
+
+
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic mixture-weight sampling for corpus curation: keep
+    100% of de, 25% of en, 60% of es, 0% of fr (explicit drop), and drop
+    zh by omission — a pure hash filter (md5-derived u60 per doc_id),
+    zero shuffle, re-run-stable (a grown corpus keeps every previously
+    kept row). The DuckDB oracle replays the identical thresholds."""
+    from raster_functions_spark import sampling
+    docs = _t(spark, sf_dir, "documents")
+    kept = sampling.sample_fraction(
+        docs, "doc_id", seed=42, strata_col="lang",
+        fractions={"de": 1.0, "en": 0.25, "es": 0.6, "fr": 0.0})
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("lang"))
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by disjoint u60 hash
+    ranges — membership is a pure function of (doc_id, seed), so corpus
+    refreshes never move a row between splits (eval-set contamination
+    guard). Zero shuffle before the audit aggregation."""
+    from raster_functions_spark import sampling
+    docs = _t(spark, sf_dir, "documents")
+    s = sampling.split_by_hash(docs, "doc_id", seed=7,
+                               weights={"train": 0.8, "val": 0.1,
+                                        "test": 0.1})
+    return (s.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_chars").alias("sum_chars"))
+            .orderBy("split"))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """EXACT n-per-stratum sample (lang × source, n=3, smallest (u60,
+    doc_id) wins): semantically a full-table window, executed as count
+    aggregate → broadcast per-stratum threshold prefilter → window over
+    the ~oversample·n survivors, with a deterministic re-window fallback
+    for undershot strata — the full-table window shuffle never runs at
+    scale. Oracle runs the equivalent full-table window in DuckDB."""
+    from raster_functions_spark import sampling
+    docs = _t(spark, sf_dir, "documents")
+    picked = sampling.sample_stratified_exact(
+        docs, ["lang", "source"], 3, "doc_id", seed=11)
+    return (picked.select("doc_id", "lang", "source")
+            .orderBy("lang", "source", "doc_id"))
+
+
 def q_ann_lsh(spark, sf_dir):
     """ANN via hyperplane-sign LSH buckets + multi-probe (integer ids;
     bucket bits bit-exact vs the oracle's unrolled dot products)."""
@@ -1791,6 +1857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cell-partials, zonal last-match-wins), then every key
         # whose last driver row predates round 5 ----
         "snap_retention": q_snap_retention,
+        "dedup_crossmodal": q_dedup_crossmodal,
+        "sample_mixture": q_sample_mixture,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
         "text_tokens_merged": q_text_tokens_merged,
         "ann_ivf_append": q_ann_ivf_append,
         "dedup_components": q_dedup_components,
@@ -1836,14 +1906,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_nearest_labels": q_j6_nearest_labels,
         "p3_mask_apply": q_p3_mask_apply,
         "p4_replace_nulls": q_p4_replace_nulls,
+        # ---- driver window boundary (50) — r5-green and the
+        # freshest-stale keys below (rotate into r7; p7_qa_clear,
+        # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
+        # the crossmodal + sampling queries were registered — all four
+        # are r2-r4 driver-green) ----
         "p7_qa_clear": q_p7_qa_clear,
         "s3_feature_envelope": q_s3_feature_envelope,
         "s6_latitude": q_s6_latitude,
         "s7_catalog": q_s7_catalog,
-        # ---- driver window boundary (50) — r5-green and the
-        # freshest-stale keys below (rotate into r7; w4_rank_median_px
-        # and dedup_ngram_jaccard slid past 50 when dedup_components +
-        # dedup_corpus were registered — both are r4-green) ----
         "w4_rank_median_px": q_w4_rank_median_px,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "m5_sarima_d2": q_m5_sarima_d2,
@@ -1903,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
     from raster_functions_spark import text as _text
     from raster_functions_spark import dedup as _dedup
     from raster_functions_spark import oracles as _orc
+    from raster_functions_spark import sampling as _sampling
 
     # legacy 8-hash / 2-band banding for the ngram-verification stage
     # (its Spark query keeps the anchored-family candidate generator)
@@ -2068,6 +2140,27 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           SELECT DISTINCT id_a, id_b FROM pairs""")) + " ORDER BY doc_id",
+        "dedup_crossmodal": _dedup.components_sql(
+            _orc.crossmodal_pairs_sql(400, 10, 150)) + " ORDER BY doc_id",
+        "sample_mixture": f"""
+          SELECT lang, COUNT(*) AS n_kept,
+                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents
+          WHERE {_sampling.fractions_sql('doc_id', 42, 'lang',
+                 {'de': 1.0, 'en': 0.25, 'es': 0.6, 'fr': 0.0})}
+          GROUP BY lang ORDER BY lang""",
+        "sample_split": f"""
+          SELECT {_sampling.split_sql('doc_id', 7,
+                 {'train': 0.8, 'val': 0.1, 'test': 0.1})} AS split,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+          FROM documents GROUP BY 1 ORDER BY 1""",
+        "sample_stratified": _sampling.stratified_sql(
+            "documents", ["lang", "source"], 3, "doc_id", 11,
+            select_cols="doc_id, lang, source")
+            + " ORDER BY lang, source, doc_id",
         "dedup_corpus": f"""
           WITH comp AS ({_dedup.components_sql(_orc.ngram_jaccard_sql(f'''
           WITH bands AS ({bands_union8}),

@@ -587,3 +587,54 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 8,
     buckets salt-split, never dropped."""
     d = images.select(F.col("image_id").alias("_id"), F.col("phash").alias("sh"))
     return _hash_band_near_dups(d, max_hamming, band_bits, max_bucket)
+
+
+# ------------------------------------------------- cross-modal dedup -------
+
+def caption_exact_pairs(images: DataFrame, caption_col: str = "caption",
+                        id_col: str = "image_id") -> DataFrame:
+    """Exact-duplicate caption edges in STAR form: one (group-min id,
+    member id) edge per extra member of each duplicated caption —
+    O(group size) edges where the naive pair join emits O(group²) (a
+    boilerplate caption shared by 10^5 crawl rows would otherwise
+    produce 10^10 pairs). Star edges carry exactly the connectivity the
+    downstream component pass needs. Group key is md5(caption) — a
+    fixed-width shuffle key instead of arbitrary-length text. Null
+    captions are excluded (absence of a caption is not a duplicate
+    signal)."""
+    d = (images.filter(F.col(caption_col).isNotNull())
+         .select(F.md5(F.col(caption_col)).alias("_ck"),
+                 F.col(id_col).alias("_id")))
+    mins = (d.groupBy("_ck")
+            .agg(F.min("_id").alias("id_a"), F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1))
+    return (d.join(mins.select("_ck", "id_a"), "_ck")
+            .filter(F.col("_id") != F.col("id_a"))
+            .select("id_a", F.col("_id").alias("id_b")))
+
+
+def crossmodal_dedup(images: DataFrame, caption_col: str = "caption",
+                     id_col: str = "image_id", phash_col: str = "phash",
+                     max_hamming: int = 10, band_bits: int = 16,
+                     max_bucket: int = 1000) -> DataFrame:
+    """Cross-modal duplicate clustering over an image+caption table: two
+    rows are duplicates when their captions are byte-equal OR their
+    perceptual hashes are within ``max_hamming`` bits. Both modalities'
+    edge sets union into ONE graph before the component pass, so a
+    caption chain can merge two visually-distinct clusters and a phash
+    chain can merge caption rewrites — the transitive matches that
+    running each modality's dedup separately provably misses. Returns
+    (doc_id, component_id) for every image in ≥1 edge (singletons are
+    their own cluster; see dedup_keep_canonical for the kept corpus).
+
+    Scale: caption edges are star-form (linear in group size), phash
+    edges are band-bucket LSH with salt-split hot buckets — no stage is
+    quadratic in a duplicate group, and the component pass is the
+    large-star/small-star contraction (O(log² n) rounds)."""
+    cap = caption_exact_pairs(images, caption_col, id_col)
+    ph = (phash_near_dups(
+            images.select(F.col(id_col).alias("image_id"),
+                          F.col(phash_col).alias("phash")),
+            max_hamming, band_bits, max_bucket)
+          .select("id_a", "id_b"))
+    return connected_components(cap.unionByName(ph))

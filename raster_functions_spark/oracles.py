@@ -731,6 +731,38 @@ WHERE ({share}) AND bit_count(xor(a.ph, b.ph)) <= {max_hamming}
 ORDER BY id_a, id_b"""
 
 
+def crossmodal_pairs_sql(n_images: int, max_hamming: int, cap_mod: int,
+                         band_bits: int = 16) -> str:
+    """Pair set for dedup_crossmodal (wrap with dedup.components_sql):
+    UNION of (a) exact-caption star edges — the contract query derives a
+    colliding caption key ``i % cap_mod`` from the image index, replayed
+    here from the same ids — and (b) the phash band-LSH + Hamming pairs
+    of phash_pairs_sql. Same embedded-phash rationale as there."""
+    from .dedup import band_masks
+    ph = _image_phashes(n_images)
+    values = ", ".join(f"('img{i:09d}', CAST({p} AS BIGINT))"
+                       for i, p in enumerate(ph))
+    masks = band_masks(max_hamming, band_bits)
+    share = " OR ".join(f"(a.ph & CAST({m} AS BIGINT)) = (b.ph & CAST({m} AS BIGINT))"
+                        for m in masks)
+    return f"""
+WITH imgs(id, ph) AS (VALUES {values}),
+cap AS (SELECT id, CAST(substr(id, 4, 9) AS BIGINT) % {cap_mod} AS ck FROM imgs),
+capm AS (SELECT ck, MIN(id) AS mn, COUNT(*) AS n FROM cap GROUP BY ck),
+allp AS (
+  -- the UNION lives INSIDE a CTE: a top-level set operation in a body
+  -- nested under WITH RECURSIVE trips DuckDB's base/recursive-term
+  -- split and the inner CTEs go out of scope
+  SELECT m.mn AS id_a, c.id AS id_b
+  FROM cap c JOIN capm m USING (ck)
+  WHERE m.n > 1 AND c.id <> m.mn
+  UNION ALL
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM imgs a JOIN imgs b ON a.id < b.id
+  WHERE ({share}) AND bit_count(xor(a.ph, b.ph)) <= {max_hamming})
+SELECT id_a, id_b FROM allp"""
+
+
 # ------------------------------------------------------------ flagship -----
 
 @lru_cache(maxsize=2)

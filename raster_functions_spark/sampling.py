@@ -1,0 +1,222 @@
+"""Deterministic sampling & splitting for training-data curation.
+
+A 100-TB curation pipeline needs reproducible subsetting: mixture-weight
+sampling per stratum (lang × source), train/val/test splits that never
+move a row between splits when the corpus is re-run, and exact per-stratum
+quotas. Everything here keys on a seeded md5-derived uniform — the SAME
+value is computable as a Spark ``Column``, Spark SQL text, and DuckDB SQL
+text, so the contract-query oracles replay the sampling decision exactly
+(the engine is never compared against a different RNG).
+
+The hash: ``u60(key, seed) = int(md5(str(key) || ':' || seed)[:15 hex], 16)``
+— a uniform draw in [0, 2^60). 15 hex chars keep the value inside a signed
+64-bit integer in every engine (DuckDB's ``CAST('0x…' AS BIGINT)`` and
+Spark's ``conv(…, 16, 10)`` both stay exact below 2^63).
+
+Scale design (the part that matters at 10^12 rows):
+
+- ``sample_fraction`` / ``split_by_hash`` are pure narrow filters — zero
+  shuffle, embarrassingly parallel, Catalyst pushes the md5+compare into
+  the scan stage.
+- ``sample_stratified_exact`` needs a global per-stratum top-n by hash; a
+  naive window over the full table shuffles EVERY row to its stratum's
+  reducer (one task per stratum = the skew wall). Instead: one cheap
+  count aggregate (map-side partial) sizes each stratum, a broadcast
+  threshold prefilter cuts the table to ~oversample·n rows per stratum
+  JVM-side, and only the survivors pay the window shuffle. A deterministic
+  fallback re-windows the (provably rare) strata where the prefilter
+  undershot, so the result is EXACT — identical to the full-table window
+  and to the DuckDB oracle — at any oversample setting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+U60 = 1 << 60
+
+
+# ------------------------------------------------------------ the hash -----
+
+def u60_col(key: Column, seed: int) -> Column:
+    """Seeded uniform in [0, 2^60) as a pure JVM Column (md5 + conv —
+    whole-stage-codegen'd, no Python)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def u60_sql(key_expr: str, seed: int, dialect: str = "duckdb") -> str:
+    """The identical draw as SQL text (oracle parity)."""
+    assert dialect in ("duckdb", "spark")
+    if dialect == "duckdb":
+        s = f"md5(CAST({key_expr} AS VARCHAR) || ':{seed}')"
+        return f"CAST(concat('0x', substr({s}, 1, 15)) AS BIGINT)"
+    s = f"md5(concat(CAST({key_expr} AS STRING), ':{seed}'))"
+    return f"CAST(conv(substr({s}, 1, 15), 16, 10) AS BIGINT)"
+
+
+# ------------------------------------------------- fraction / split --------
+
+def sample_fraction(df: DataFrame, key_col: str, seed: int,
+                    fraction: float | None = None,
+                    strata_col: str | None = None,
+                    fractions: dict | None = None) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with u60 < fraction·2^60.
+
+    Either one global ``fraction``, or per-stratum ``fractions`` keyed by
+    the values of ``strata_col`` (mixture weighting: "keep 100% of 'de',
+    10% of 'en'"; strata absent from the dict are DROPPED — an explicit
+    0.0 keeps the intent visible). Zero shuffle; re-running on a grown
+    corpus keeps every previously-kept row (hash-stable sampling)."""
+    u = u60_col(F.col(key_col), seed)
+    if fractions is not None:
+        if strata_col is None:
+            raise ValueError("fractions= requires strata_col=")
+        thr = None
+        for k, frac in sorted(fractions.items()):
+            cond = F.col(strata_col) == F.lit(k)
+            t = F.lit(min(int(frac * U60), U60))
+            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        thr = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
+        return df.filter(u < thr)  # unknown stratum → threshold 0 → drop
+    if fraction is None:
+        raise ValueError("pass fraction= or fractions=")
+    return df.filter(u < F.lit(min(int(fraction * U60), U60)))
+
+
+def fractions_sql(key_expr: str, seed: int, strata_expr: str,
+                  fractions: dict, dialect: str = "duckdb") -> str:
+    """WHERE predicate replaying sample_fraction's per-stratum keep
+    decision (identical integer thresholds; strata absent from the dict
+    fall to the ELSE 0 branch and are dropped, same as the engine)."""
+    u = u60_sql(key_expr, seed, dialect)
+    whens = " ".join(f"WHEN '{k}' THEN {min(int(frac * U60), U60)}"
+                     for k, frac in sorted(fractions.items()))
+    return f"{u} < (CASE {strata_expr} {whens} ELSE 0 END)"
+
+
+def split_by_hash(df: DataFrame, key_col: str, seed: int,
+                  weights: dict[str, float],
+                  split_col: str = "split") -> DataFrame:
+    """Assign every row to exactly one named split by disjoint u60 ranges
+    (insertion order of ``weights``; weights must sum to ≤ 1, any
+    remainder falls into the LAST split so no row is unassigned).
+    Train/val/test membership is a pure function of (key, seed): adding
+    rows later never reshuffles existing assignments — the property that
+    keeps eval sets uncontaminated across corpus refreshes."""
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    u = u60_col(F.col(key_col), seed)
+    names = list(weights)
+    edges, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        edges.append(int(acc * U60))
+    # ordered WHEN chain: edges are increasing, so "u < edge_i" fires for
+    # exactly the i-th range (earlier WHENs claimed everything below)
+    expr = None
+    for name, edge in zip(names[:-1], edges):
+        c = u < F.lit(edge)
+        expr = F.when(c, F.lit(name)) if expr is None else expr.when(c, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def split_sql(key_expr: str, seed: int, weights: dict[str, float],
+              dialect: str = "duckdb") -> str:
+    """CASE expression computing the identical split label (oracle side)."""
+    u = u60_sql(key_expr, seed, dialect)
+    names = list(weights)
+    parts, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        parts.append(f"WHEN {u} < {int(acc * U60)} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+# ------------------------------------------------- exact stratified --------
+
+def sample_stratified_exact(df: DataFrame, strata_cols: list[str],
+                            n_per_stratum: int, key_col: str, seed: int,
+                            oversample: float = 2.0) -> DataFrame:
+    """EXACT deterministic n-per-stratum sample: the n rows with the
+    smallest (u60, key) in each stratum — semantically identical to
+    ``row_number() OVER (PARTITION BY strata ORDER BY u60, key) <= n``
+    over the full table, which is what the DuckDB oracle runs.
+
+    Execution avoids the full-table window shuffle: a count aggregate
+    sizes each stratum (strata cardinality must be driver-small — it is a
+    dims-like quantity: lang × source, not a per-row key), a broadcast
+    per-stratum threshold keeps ~oversample·n candidate rows JVM-side,
+    and the window runs on survivors only. Strata where the uniform draw
+    undershot the threshold (P ≈ exp(-n·(oversample-1)²/(2·oversample)),
+    ~3·10⁻⁶ at n=50, oversample=2) are re-windowed from the full table —
+    the fallback makes the prefilter a pure optimization, never a
+    semantics change."""
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    u = u60_col(F.col(key_col), seed).alias("_u60")
+    work = df.withColumn("_u60", u)
+    counts = work.groupBy(*strata_cols).count().collect()
+
+    rows = []
+    for r in counts:
+        cnt = r["count"]
+        if cnt <= n_per_stratum:
+            thr = U60  # keep-all stratum: no row may be filtered out
+        else:
+            thr = min(int(U60 * oversample * n_per_stratum / cnt), U60)
+        rows.append(tuple(r[c] for c in strata_cols) + (thr,))
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        rows, schema=", ".join(f"{c} {dict(df.dtypes)[c]}" for c in strata_cols)
+        + ", _thr long")
+
+    cand = work.join(F.broadcast(thr_df), strata_cols).filter(
+        F.col("_u60") < F.col("_thr")).drop("_thr")
+    w = Window.partitionBy(*strata_cols).orderBy("_u60", key_col)
+    picked = (cand.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= n_per_stratum))
+
+    # exactness guard: a stratum whose candidate pool came up short of
+    # min(n, stratum_count) must be re-windowed without the prefilter
+    want = {tuple(r[c] for c in strata_cols): min(r["count"], n_per_stratum)
+            for r in counts}
+    got = {tuple(r[c] for c in strata_cols): r["count"]
+           for r in picked.groupBy(*strata_cols).count().collect()}
+    short = [k for k, v in want.items() if got.get(k, 0) < v]
+    if short:
+        cond = None
+        for k in short:
+            c = F.lit(True)
+            for col, v in zip(strata_cols, k):
+                c = c & (F.col(col) == F.lit(v))
+            cond = c if cond is None else cond | c
+        refill = (work.filter(cond)
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= n_per_stratum))
+        keepc = None
+        for k in short:
+            c = F.lit(True)
+            for col, v in zip(strata_cols, k):
+                c = c & (F.col(col) == F.lit(v))
+            keepc = c if keepc is None else keepc | c
+        picked = picked.filter(~keepc).unionByName(refill)
+    return picked.drop("_u60", "_rn")
+
+
+def stratified_sql(table: str, strata_cols: list[str], n_per_stratum: int,
+                   key_col: str, seed: int, select_cols: str = "*",
+                   dialect: str = "duckdb") -> str:
+    """The full-table window form of the same sample (oracle side)."""
+    u = u60_sql(key_col, seed, dialect)
+    part = ", ".join(strata_cols)
+    return f"""
+SELECT {select_cols} FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY {part} ORDER BY {u}, {key_col}) AS _rn
+  FROM {table}) t
+WHERE _rn <= {n_per_stratum}"""
