@@ -175,8 +175,15 @@ def sample_stratified_exact(df: DataFrame, strata_cols: list[str],
         rows, schema=", ".join(f"{c} {dict(df.dtypes)[c]}" for c in strata_cols)
         + ", _thr long")
 
-    cand = work.join(F.broadcast(thr_df), strata_cols).filter(
-        F.col("_u60") < F.col("_thr")).drop("_thr")
+    # null-safe join: a NULL stratum value is a legitimate group (e.g.
+    # docs with unknown lang) — a plain equi-join would silently drop it
+    jc = None
+    for c in strata_cols:
+        e = work[c].eqNullSafe(thr_df[c])
+        jc = e if jc is None else jc & e
+    cand = (work.join(F.broadcast(thr_df), jc)
+            .select(work["*"], thr_df["_thr"])
+            .filter(F.col("_u60") < F.col("_thr")).drop("_thr"))
     w = Window.partitionBy(*strata_cols).orderBy("_u60", key_col)
     picked = (cand.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= n_per_stratum))
@@ -189,22 +196,20 @@ def sample_stratified_exact(df: DataFrame, strata_cols: list[str],
            for r in picked.groupBy(*strata_cols).count().collect()}
     short = [k for k, v in want.items() if got.get(k, 0) < v]
     if short:
-        cond = None
-        for k in short:
+        def member(k):  # null-safe stratum membership predicate
             c = F.lit(True)
             for col, v in zip(strata_cols, k):
-                c = c & (F.col(col) == F.lit(v))
+                c = c & F.col(col).eqNullSafe(F.lit(v))
+            return c
+
+        cond = None
+        for k in short:
+            c = member(k)
             cond = c if cond is None else cond | c
         refill = (work.filter(cond)
                   .withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") <= n_per_stratum))
-        keepc = None
-        for k in short:
-            c = F.lit(True)
-            for col, v in zip(strata_cols, k):
-                c = c & (F.col(col) == F.lit(v))
-            keepc = c if keepc is None else keepc | c
-        picked = picked.filter(~keepc).unionByName(refill)
+        picked = picked.filter(~cond).unionByName(refill)
     return picked.drop("_u60", "_rn")
 
 

@@ -171,6 +171,22 @@ def test_stratified_validation(spark):
         sampling.sample_stratified_exact(df, [], 0, "k", 1)
 
 
+def test_stratified_null_stratum_kept(spark):
+    # NULL stratum value (unknown lang) is a legitimate group: the
+    # null-safe join/fallback must sample it, not silently drop it
+    pdf = pd.DataFrame({
+        "k": range(300),
+        "lang": ["en"] * 150 + [None] * 150,
+    })
+    got = sampling.sample_stratified_exact(
+        spark.createDataFrame(pdf), ["lang"], 10, "k", seed=8).toPandas()
+    n = {("∅" if pd.isna(k) else k): v
+         for k, v in got.groupby("lang", dropna=False).size().items()}
+    assert n == {"en": 10, "∅": 10}
+    ref = _window_reference(pdf, pdf["lang"].fillna("\0"), 10, "k", 8)
+    assert set(got["k"]) == set(ref["k"])
+
+
 def test_stratified_multi_col_strata(spark):
     pdf = pd.DataFrame({
         "k": range(400),
