@@ -1321,6 +1321,42 @@ def q_dedup_corpus(spark, sf_dir):
         dedup.release_signature_cache(cand_raw)
 
 
+def q_curated_corpus(spark, sf_dir):
+    """END-TO-END curation pipeline — the query a training-data team
+    actually ships: near-dedup (MinHash-LSH candidates → exact n-gram
+    Jaccard verify → connected components → keep min-id canonical) →
+    quality gate (n_tokens ≥ 40) → per-lang mixture weighting (50% en,
+    70% zh, 100% rest — hash-stable Bernoulli) → train/val/test hash
+    split → per-(lang, split) rollup. Every stage is one shuffle or
+    zero (the sampling/split/gate stages are pure narrow filters), so
+    the composition inherits each stage's 100-TB posture. The DuckDB
+    oracle replays the full pipeline in one SQL statement."""
+    from raster_functions_spark import dedup, sampling, text
+    docs = _t(spark, sf_dir, "documents")
+    cand_raw = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+    cand = cand_raw.select("id_a", "id_b")
+    verified = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                         candidates=cand)
+    try:
+        kept = dedup.dedup_keep_canonical(docs, verified)
+        q = text.quality_features(kept).filter(F.col("n_tokens") >= 40)
+        mixed = sampling.sample_fraction(
+            q, "doc_id", seed=101, strata_col="lang",
+            fractions={"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0,
+                       "zh": 0.7})
+        lab = sampling.split_by_hash(
+            mixed, "doc_id", seed=17,
+            weights={"train": 0.9, "val": 0.05, "test": 0.05})
+        res = (lab.groupBy("lang", "split")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("doc_id").alias("sum_ids"),
+                    F.sum("n_tokens").alias("sum_tokens"))
+               .orderBy("lang", "split"))
+        return spark.createDataFrame(res.toPandas())
+    finally:
+        dedup.release_signature_cache(cand_raw)
+
+
 def q_dedup_crossmodal(spark, sf_dir):
     """Cross-modal duplicate clusters over an image+caption table: exact
     caption edges (star-form — linear in group size, never the O(group²)
@@ -1857,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cell-partials, zonal last-match-wins), then every key
         # whose last driver row predates round 5 ----
         "snap_retention": q_snap_retention,
+        "curated_corpus": q_curated_corpus,
         "dedup_crossmodal": q_dedup_crossmodal,
         "sample_mixture": q_sample_mixture,
         "sample_split": q_sample_split,
@@ -1905,12 +1942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
         "j6_nearest_labels": q_j6_nearest_labels,
         "p3_mask_apply": q_p3_mask_apply,
-        "p4_replace_nulls": q_p4_replace_nulls,
         # ---- driver window boundary (50) — r5-green and the
-        # freshest-stale keys below (rotate into r7; p7_qa_clear,
-        # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
-        # the crossmodal + sampling queries were registered — all four
-        # are r2-r4 driver-green) ----
+        # freshest-stale keys below (rotate into r7; p4_replace_nulls,
+        # p7_qa_clear, s3_feature_envelope, s6_latitude, s7_catalog slid
+        # past 50 when the curated-corpus + crossmodal + sampling
+        # queries were registered — all five are r2-r4 driver-green) ----
+        "p4_replace_nulls": q_p4_replace_nulls,
         "p7_qa_clear": q_p7_qa_clear,
         "s3_feature_envelope": q_s3_feature_envelope,
         "s6_latitude": q_s6_latitude,
@@ -2140,6 +2177,33 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           SELECT DISTINCT id_a, id_b FROM pairs""")) + " ORDER BY doc_id",
+        "curated_corpus": f"""
+          WITH comp AS ({_dedup.components_sql(_orc.ngram_jaccard_sql(f'''
+          WITH bands AS ({bands_union8}),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+          SELECT DISTINCT id_a, id_b FROM pairs'''))}),
+          kept AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM comp
+                                 WHERE component_id <> doc_id)),
+          mixed AS (
+            SELECT * FROM kept WHERE n_tokens >= 40
+              AND {_sampling.fractions_sql('doc_id', 101, 'lang',
+                   {'en': 0.5, 'de': 1.0, 'es': 1.0, 'fr': 1.0,
+                    'zh': 0.7})}),
+          lab AS (
+            SELECT *, {_sampling.split_sql('doc_id', 17,
+                       {'train': 0.9, 'val': 0.05, 'test': 0.05})} AS split
+            FROM mixed)
+          SELECT lang, split, COUNT(*) AS n_docs,
+                 CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM lab GROUP BY lang, split ORDER BY lang, split""",
         "dedup_crossmodal": _dedup.components_sql(
             _orc.crossmodal_pairs_sql(400, 10, 150)) + " ORDER BY doc_id",
         "sample_mixture": f"""
