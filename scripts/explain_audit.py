@@ -229,6 +229,29 @@ def main() -> int:
     out += ["\n## snapshot_ivf_pruning\n",
             f"live={len(all_live)} scanned={len(scanned)}\n"]
 
+    # 17. sampling: the hash filters are narrow (no shuffle) and reach
+    # the scan stage — mixture sampling must add ZERO exchanges before
+    # its final rollup, and the md5 threshold compare stays codegen'd
+    from raster_functions_spark import sampling
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    samp = sampling.sample_fraction(docs, "doc_id", seed=42, fraction=0.3)
+    p = plan_of(samp)
+    ok = ("Exchange" not in p and "BatchEvalPython" not in p
+          and "codegen id" in p)
+    checks.append(("sample_fraction: narrow codegen filter, zero shuffle", ok))
+    out += ["\n## sample_fraction\n", p]
+
+    # 18. exact stratified sampling: the window runs over the
+    # broadcast-prefiltered candidates, never a full-table window shuffle
+    # as the only path (broadcast threshold join present)
+    picked = sampling.sample_stratified_exact(
+        docs, ["lang", "source"], 3, "doc_id", seed=11)
+    p = plan_of(picked)
+    ok = ("BroadcastHashJoin" in p or "BroadcastExchange" in p) \
+        and "Window" in p
+    checks.append(("stratified sample: broadcast threshold prefilter feeds the window", ok))
+    out += ["\n## sample_stratified_exact\n", p]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
