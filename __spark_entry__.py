@@ -1321,6 +1321,20 @@ def q_dedup_corpus(spark, sf_dir):
         dedup.release_signature_cache(cand_raw)
 
 
+def q_text_decontam(spark, sf_dir):
+    """Eval-set decontamination signal: distinct word-4-gram overlap
+    counts between the training partition (doc_id % 7 ≠ 0) and the eval
+    partition (doc_id % 7 = 0) — the GPT-3-style n-gram contamination
+    check. The eval gram set is distinct-reduced and broadcast; only
+    matching grams reach the per-doc count's shuffle, so no stage grows
+    with corpus size except the scan."""
+    from raster_functions_spark import text
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    return text.contamination_hits(tr, ev, k=4).orderBy("doc_id")
+
+
 def q_curated_corpus(spark, sf_dir):
     """END-TO-END curation pipeline — the query a training-data team
     actually ships: near-dedup (MinHash-LSH candidates → exact n-gram
@@ -1894,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose last driver row predates round 5 ----
         "snap_retention": q_snap_retention,
         "curated_corpus": q_curated_corpus,
+        "text_decontam": q_text_decontam,
         "dedup_crossmodal": q_dedup_crossmodal,
         "sample_mixture": q_sample_mixture,
         "sample_split": q_sample_split,
@@ -1941,12 +1956,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_percent_above_px": q_a7_percent_above_px,
         "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
         "j6_nearest_labels": q_j6_nearest_labels,
-        "p3_mask_apply": q_p3_mask_apply,
         # ---- driver window boundary (50) — r5-green and the
-        # freshest-stale keys below (rotate into r7; p4_replace_nulls,
-        # p7_qa_clear, s3_feature_envelope, s6_latitude, s7_catalog slid
-        # past 50 when the curated-corpus + crossmodal + sampling
-        # queries were registered — all five are r2-r4 driver-green) ----
+        # freshest-stale keys below (rotate into r7; p3_mask_apply,
+        # p4_replace_nulls, p7_qa_clear, s3_feature_envelope,
+        # s6_latitude, s7_catalog slid past 50 when the curation-layer
+        # queries were registered — all six are r2-r4 driver-green) ----
+        "p3_mask_apply": q_p3_mask_apply,
         "p4_replace_nulls": q_p4_replace_nulls,
         "p7_qa_clear": q_p7_qa_clear,
         "s3_feature_envelope": q_s3_feature_envelope,
@@ -2177,6 +2192,17 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           SELECT DISTINCT id_a, id_b FROM pairs""")) + " ORDER BY doc_id",
+        "text_decontam": f"""
+          WITH g AS (SELECT doc_id,
+                            {_text.word_ngrams_sql('text', 4)} AS grams
+                     FROM documents),
+          ev AS (SELECT DISTINCT unnest(grams) AS _gram FROM g
+                 WHERE doc_id % 7 = 0),
+          tr AS (SELECT doc_id, unnest(grams) AS _gram FROM g
+                 WHERE doc_id % 7 <> 0)
+          SELECT tr.doc_id, COUNT(*) AS n_hits
+          FROM tr JOIN ev USING (_gram)
+          GROUP BY tr.doc_id ORDER BY tr.doc_id""",
         "curated_corpus": f"""
           WITH comp AS ({_dedup.components_sql(_orc.ngram_jaccard_sql(f'''
           WITH bands AS ({bands_union8}),

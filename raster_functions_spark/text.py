@@ -313,3 +313,66 @@ def fingerprint(col: Column) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5(replace(lower({expr}), ' ', ''))"
+
+
+# ----------------------------------------------- eval decontamination ------
+
+def word_ngrams(text_col: str, k: int) -> Column:
+    """Distinct word k-grams (space tokenization) as an array column —
+    one linear pass per document. Documents shorter than k tokens yield
+    their single full-token gram (same clamping rule in the DuckDB
+    replay, so engines agree on degenerate rows)."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
+        f"  i -> concat_ws(' ', slice({toks}, i, {k}))))")
+
+
+def contamination_hits(docs: DataFrame, eval_df: DataFrame, k: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       eval_text_col: str = "text") -> DataFrame:
+    """Per-document count of DISTINCT word k-grams shared with an eval
+    corpus — the train/test-overlap signal every serious training-data
+    pipeline computes before shipping a corpus (a doc containing an eval
+    benchmark's prompts inflates scores; GPT-3-style n-gram
+    decontamination). Returns (id_col, n_hits) for contaminated docs
+    only.
+
+    Scale: the eval side is distinct-reduced and BROADCAST (eval sets
+    are small by nature — 10^4-10^6 grams); the corpus side streams
+    through explode → broadcast hash semi-join, so only MATCHING grams
+    ever reach the per-doc count's shuffle. Nothing in the plan grows
+    with corpus size except the embarrassingly-parallel scan; no
+    all-pairs stage exists. The gram build is an array HOF (interpreted)
+    but runs once per row inline with the scan — it is the map work, not
+    a join amplification."""
+    ev = (eval_df.select(F.explode(word_ngrams(eval_text_col, k))
+                         .alias("_gram")).distinct())
+    tr = docs.select(F.col(id_col),
+                     F.explode(word_ngrams(text_col, k)).alias("_gram"))
+    return (tr.join(F.broadcast(ev), "_gram")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits")))
+
+
+def decontaminate(docs: DataFrame, eval_df: DataFrame, k: int = 8,
+                  threshold: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  eval_text_col: str = "text") -> DataFrame:
+    """The decontaminated corpus: drop docs sharing ≥ ``threshold``
+    distinct word k-grams with the eval set; all other rows pass through
+    untouched (left-anti join on the contaminated id set, which is tiny
+    — the join is broadcast-able by AQE)."""
+    hits = contamination_hits(docs, eval_df, k, text_col, id_col,
+                              eval_text_col)
+    bad = hits.filter(F.col("n_hits") >= threshold).select(id_col)
+    return docs.join(bad, id_col, "left_anti")
+
+
+def word_ngrams_sql(text_expr: str, k: int) -> str:
+    """The identical distinct word-k-gram list in DuckDB (1-based
+    inclusive list slicing; same short-document clamp)."""
+    toks = f"string_split({text_expr}, ' ')"
+    return (f"list_distinct(list_transform("
+            f"range(1, greatest(len({toks}) - {k - 1}, 1) + 1),"
+            f" i -> array_to_string({toks}[i:i+{k - 1}], ' ')))")

@@ -268,3 +268,52 @@ def test_crossmodal_parallelism_invariance(spark):
         outs.append(dedup.crossmodal_dedup(images, max_hamming=10)
                     .orderBy("doc_id").toPandas())
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+# ------------------------------------------------- decontamination ---------
+
+def test_word_ngrams_and_short_docs(spark):
+    from raster_functions_spark import text
+    pdf = pd.DataFrame({"doc_id": [1, 2],
+                        "text": ["a b c d e", "x y"]})
+    out = (spark.createDataFrame(pdf)
+           .select("doc_id", text.word_ngrams("text", 3).alias("g"))
+           .orderBy("doc_id").collect())
+    assert out[0]["g"] == ["a b c", "b c d", "c d e"]
+    assert out[1]["g"] == ["x y"]  # short doc: single full-token gram
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    from raster_functions_spark import text
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "totally unrelated content with no overlap here at all",
+                 "the quick brown fox sat still"],
+    }))
+    ev = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["benchmark says the quick brown fox jumps high"],
+    }))
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in text.contamination_hits(train, ev, k=4).collect()}
+    # doc 1 shares 'the quick brown fox' + 'quick brown fox jumps';
+    # doc 3 shares only 'the quick brown fox'
+    assert hits == {1: 2, 3: 1}
+    kept1 = {r["doc_id"]
+             for r in text.decontaminate(train, ev, k=4, threshold=1).collect()}
+    assert kept1 == {2}
+    kept2 = {r["doc_id"]
+             for r in text.decontaminate(train, ev, k=4, threshold=2).collect()}
+    assert kept2 == {2, 3}
+
+
+def test_decontaminate_duplicate_grams_count_once(spark):
+    from raster_functions_spark import text
+    # a gram repeated inside one doc counts ONCE (distinct semantics)
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1], "text": ["p q r s p q r s p q r s"]}))
+    ev = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [9], "text": ["z p q r s z"]}))
+    hits = text.contamination_hits(train, ev, k=4).collect()
+    assert len(hits) == 1 and hits[0]["n_hits"] == 1
