@@ -1321,6 +1321,22 @@ def q_dedup_corpus(spark, sf_dir):
         dedup.release_signature_cache(cand_raw)
 
 
+def q_sample_budget(spark, sf_dir):
+    """Per-stratum BUDGET sample — "take ~6000 chars of each language",
+    the quota form real training mixes are specified in: walk each
+    lang's docs in (u60, doc_id) order, keep while the preceding
+    cumulative n_chars is under budget (boundary doc kept). Executed as
+    sum/count aggregate → broadcast threshold prefilter → running-sum
+    window over survivors + exactness fallback; the oracle runs the
+    equivalent full-table running-sum window."""
+    from raster_functions_spark import sampling
+    docs = _t(spark, sf_dir, "documents")
+    picked = sampling.sample_token_budget(
+        docs, ["lang"], 6000, "n_chars", "doc_id", seed=23)
+    return (picked.select("doc_id", "lang", "n_chars")
+            .orderBy("lang", "doc_id"))
+
+
 def q_text_decontam(spark, sf_dir):
     """Eval-set decontamination signal: distinct word-4-gram overlap
     counts between the training partition (doc_id % 7 ≠ 0) and the eval
@@ -1909,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_retention": q_snap_retention,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
+        "sample_budget": q_sample_budget,
         "dedup_crossmodal": q_dedup_crossmodal,
         "sample_mixture": q_sample_mixture,
         "sample_split": q_sample_split,
@@ -1955,12 +1972,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_month_synthesis": q_a6_month_synthesis,
         "a7_percent_above_px": q_a7_percent_above_px,
         "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
-        "j6_nearest_labels": q_j6_nearest_labels,
         # ---- driver window boundary (50) — r5-green and the
-        # freshest-stale keys below (rotate into r7; p3_mask_apply,
-        # p4_replace_nulls, p7_qa_clear, s3_feature_envelope,
-        # s6_latitude, s7_catalog slid past 50 when the curation-layer
-        # queries were registered — all six are r2-r4 driver-green) ----
+        # freshest-stale keys below (rotate into r7; j6_nearest_labels,
+        # p3_mask_apply, p4_replace_nulls, p7_qa_clear,
+        # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
+        # the curation-layer queries were registered — all seven are
+        # r2-r4 driver-green) ----
+        "j6_nearest_labels": q_j6_nearest_labels,
         "p3_mask_apply": q_p3_mask_apply,
         "p4_replace_nulls": q_p4_replace_nulls,
         "p7_qa_clear": q_p7_qa_clear,
@@ -2251,6 +2269,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["lang", "source"], 3, "doc_id", 11,
             select_cols="doc_id, lang, source")
             + " ORDER BY lang, source, doc_id",
+        "sample_budget": _sampling.token_budget_sql(
+            "documents", ["lang"], 6000, "n_chars", "doc_id", 23,
+            select_cols="doc_id, lang, n_chars")
+            + " ORDER BY lang, doc_id",
         "dedup_corpus": f"""
           WITH comp AS ({_dedup.components_sql(_orc.ngram_jaccard_sql(f'''
           WITH bands AS ({bands_union8}),

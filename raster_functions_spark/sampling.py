@@ -185,8 +185,13 @@ def sample_stratified_exact(df: DataFrame, strata_cols: list[str],
             .select(work["*"], thr_df["_thr"])
             .filter(F.col("_u60") < F.col("_thr")).drop("_thr"))
     w = Window.partitionBy(*strata_cols).orderBy("_u60", key_col)
+    # picked is tiny (≤ n per stratum × #strata): checkpoint it so the
+    # exactness validation below and the caller's read don't re-run the
+    # source scan + window — the big table is scanned exactly twice
+    # (count aggregate + candidate filter), never three times
     picked = (cand.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= n_per_stratum))
+              .filter(F.col("_rn") <= n_per_stratum)
+              .localCheckpoint(eager=True))
 
     # exactness guard: a stratum whose candidate pool came up short of
     # min(n, stratum_count) must be re-windowed without the prefilter
@@ -225,3 +230,108 @@ SELECT {select_cols} FROM (
       PARTITION BY {part} ORDER BY {u}, {key_col}) AS _rn
   FROM {table}) t
 WHERE _rn <= {n_per_stratum}"""
+
+
+# ------------------------------------------------- token-budget sample -----
+
+def sample_token_budget(df: DataFrame, strata_cols: list[str], budget: int,
+                        weight_col: str, key_col: str, seed: int,
+                        oversample: float = 2.0) -> DataFrame:
+    """Deterministic per-stratum BUDGET sample: walk each stratum's rows
+    in (u60, key) order and keep rows while the preceding cumulative
+    ``weight_col`` (tokens, chars, bytes) is still under ``budget`` —
+    "take ~1B tokens of each language", the quota form real training
+    mixes are specified in. The boundary row that crosses the budget is
+    KEPT (prefix-exclusive rule), so every stratum with any data gets at
+    least one row; a stratum whose total weight ≤ budget is kept whole.
+    Membership is a pure function of (key, seed, budget): re-runs and
+    corpus growth never evict a previously kept row below the boundary.
+
+    Execution mirrors sample_stratified_exact: a sum/count aggregate
+    (map-side partial) sizes each stratum, a broadcast u60-threshold
+    prefilter keeps ~oversample · budget/total-weight of each stratum,
+    and the running-sum window runs over survivors only. A stratum whose
+    candidate pool neither exhausts the stratum nor reaches the budget
+    is re-windowed from the full table — the prefilter is a pure
+    optimization, never a semantics change. Weights must be non-negative
+    and non-null."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    work = df.withColumn("_u60", u60_col(F.col(key_col), seed))
+    stats = (work.groupBy(*strata_cols)
+             .agg(F.sum(weight_col).alias("_tot"), F.count("*").alias("_cnt"))
+             .collect())
+
+    rows = []
+    for r in stats:
+        tot = r["_tot"] or 0
+        if tot <= budget:
+            thr = U60                 # whole stratum kept: no prefilter
+        else:
+            thr = min(int(U60 * oversample * budget / tot), U60)
+        rows.append(tuple(r[c] for c in strata_cols) + (thr,))
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        rows, schema=", ".join(f"{c} {dict(df.dtypes)[c]}" for c in strata_cols)
+        + ", _thr long")
+
+    jc = None
+    for c in strata_cols:
+        e = work[c].eqNullSafe(thr_df[c])
+        jc = e if jc is None else jc & e
+    cand = (work.join(F.broadcast(thr_df), jc)
+            .select(work["*"], thr_df["_thr"])
+            .filter(F.col("_u60") < F.col("_thr")).drop("_thr"))
+    w = Window.partitionBy(*strata_cols).orderBy("_u60", key_col)
+    pre = F.coalesce(
+        F.sum(weight_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+
+    def keep(c):
+        return (c.withColumn("_pre", pre)
+                .filter(F.col("_pre") < budget).drop("_pre"))
+
+    picked = keep(cand).localCheckpoint(eager=True)
+
+    # exactness guard: the budget boundary must lie INSIDE the candidate
+    # pool — i.e. per stratum, candidates either exhaust the stratum or
+    # carry ≥ budget total weight; otherwise re-window without prefilter
+    cnt_by = {tuple(r[c] for c in strata_cols): r["_cnt"] for r in stats}
+    cstats = (cand.groupBy(*strata_cols)
+              .agg(F.sum(weight_col).alias("_ct"), F.count("*").alias("_cn"))
+              .collect())
+    cand_by = {tuple(r[c] for c in strata_cols): (r["_ct"] or 0, r["_cn"])
+               for r in cstats}
+    short = [k for k, n in cnt_by.items()
+             if cand_by.get(k, (0, 0))[1] < n
+             and cand_by.get(k, (0, 0))[0] < budget]
+    if short:
+        def member(k):
+            c = F.lit(True)
+            for col, v in zip(strata_cols, k):
+                c = c & F.col(col).eqNullSafe(F.lit(v))
+            return c
+
+        cond = None
+        for k in short:
+            c = member(k)
+            cond = c if cond is None else cond | c
+        picked = (picked.filter(~cond)
+                  .unionByName(keep(work.filter(cond))))
+    return picked.drop("_u60")
+
+
+def token_budget_sql(table: str, strata_cols: list[str], budget: int,
+                     weight_expr: str, key_col: str, seed: int,
+                     select_cols: str = "*",
+                     dialect: str = "duckdb") -> str:
+    """The full-table running-sum form of the same sample (oracle)."""
+    u = u60_sql(key_col, seed, dialect)
+    part = ", ".join(strata_cols)
+    return f"""
+SELECT {select_cols} FROM (
+  SELECT *, COALESCE(SUM({weight_expr}) OVER (
+      PARTITION BY {part} ORDER BY {u}, {key_col}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _pre
+  FROM {table}) t
+WHERE _pre < {budget}"""

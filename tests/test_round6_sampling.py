@@ -317,3 +317,66 @@ def test_decontaminate_duplicate_grams_count_once(spark):
         "doc_id": [9], "text": ["z p q r s z"]}))
     hits = text.contamination_hits(train, ev, k=4).collect()
     assert len(hits) == 1 and hits[0]["n_hits"] == 1
+
+
+# -------------------------------------------------- token budget -----------
+
+def _budget_reference(pdf, strata, budget, weight, key, seed):
+    pdf = pdf.copy()
+    pdf["_u"] = [_u60_py(k, seed) for k in pdf[key]]
+    pdf = pdf.sort_values(["_u", key])
+    out = []
+    for _, g in pdf.groupby(strata):
+        pre = 0
+        for _, r in g.iterrows():
+            if pre < budget:
+                out.append(r)
+            pre += r[weight]
+    return pd.DataFrame(out).drop(columns="_u")
+
+
+def _budget_case(spark, oversample):
+    pdf = pd.DataFrame({
+        "k": range(500),
+        "lang": ["en"] * 300 + ["de"] * 150 + ["zh"] * 50,
+        "w": [(i * 37) % 90 + 10 for i in range(500)],
+    })
+    got = sampling.sample_token_budget(
+        spark.createDataFrame(pdf), ["lang"], 800, "w", "k", seed=21,
+        oversample=oversample).toPandas()
+    ref = _budget_reference(pdf, ["lang"], 800, "w", "k", 21)
+    a = got.sort_values(["lang", "k"]).reset_index(drop=True)
+    b = ref.sort_values(["lang", "k"]).reset_index(drop=True)[a.columns]
+    b = b.astype(a.dtypes.to_dict())
+    pd.testing.assert_frame_equal(a, b)
+    # each stratum's kept weight reaches the budget (boundary doc kept)
+    for lang, g in a.groupby("lang"):
+        assert g["w"].sum() >= 800
+        # dropping the boundary doc (last in u60 order) goes under budget
+        order = sorted(g["k"], key=lambda k: (_u60_py(k, 21), k))
+        assert g["w"].sum() - int(g.set_index("k").loc[order[-1], "w"]) < 800
+
+
+def test_budget_matches_running_sum_reference(spark):
+    _budget_case(spark, oversample=2.0)
+
+
+def test_budget_fallback_path(spark):
+    # oversample=1.0: the candidate pool regularly carries < budget total
+    # weight → the re-window fallback must fire and stay exact
+    _budget_case(spark, oversample=1.0)
+
+
+def test_budget_keeps_small_strata_whole(spark):
+    pdf = pd.DataFrame({"k": range(20), "lang": ["tiny"] * 20,
+                        "w": [5] * 20})
+    got = sampling.sample_token_budget(
+        spark.createDataFrame(pdf), ["lang"], 1000, "w", "k",
+        seed=3).toPandas()
+    assert len(got) == 20  # total weight 100 <= budget: whole stratum
+
+
+def test_budget_validation(spark):
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        sampling.sample_token_budget(df, ["k"], 0, "k", "k", 1)
