@@ -1321,6 +1321,16 @@ def q_dedup_corpus(spark, sf_dir):
         dedup.release_signature_cache(cand_raw)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals: most-frequent
+    word-2-gram token fraction + duplicated word-5-gram token fraction,
+    per document — one explode → (doc, gram) hash count (map-side
+    combine absorbs the repetition itself) → per-doc max/sum."""
+    from raster_functions_spark import text
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_features(docs).orderBy("doc_id")
+
+
 def q_sample_budget(spark, sf_dir):
     """Per-stratum BUDGET sample — "take ~6000 chars of each language",
     the quota form real training mixes are specified in: walk each
@@ -1925,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_retention": q_snap_retention,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
+        "text_repetition": q_text_repetition,
         "sample_budget": q_sample_budget,
         "dedup_crossmodal": q_dedup_crossmodal,
         "sample_mixture": q_sample_mixture,
@@ -1971,13 +1982,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_arith_div": q_f3_arith_div,
         "a6_month_synthesis": q_a6_month_synthesis,
         "a7_percent_above_px": q_a7_percent_above_px,
-        "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
         # ---- driver window boundary (50) — r5-green and the
-        # freshest-stale keys below (rotate into r7; j6_nearest_labels,
+        # freshest-stale keys below (rotate into r7; a10_fuzzy_mssmall,
+        # j6_nearest_labels,
         # p3_mask_apply, p4_replace_nulls, p7_qa_clear,
         # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
         # the curation-layer queries were registered — all seven are
         # r2-r4 driver-green) ----
+        "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
         "j6_nearest_labels": q_j6_nearest_labels,
         "p3_mask_apply": q_p3_mask_apply,
         "p4_replace_nulls": q_p4_replace_nulls,
@@ -2210,6 +2222,8 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           SELECT DISTINCT id_a, id_b FROM pairs""")) + " ORDER BY doc_id",
+        "text_repetition": _text.repetition_sql("documents")
+            + " ORDER BY doc_id",
         "text_decontam": f"""
           WITH g AS (SELECT doc_id,
                             {_text.word_ngrams_sql('text', 4)} AS grams

@@ -317,16 +317,18 @@ def fingerprint_sql(expr: str) -> str:
 
 # ----------------------------------------------- eval decontamination ------
 
-def word_ngrams(text_col: str, k: int) -> Column:
-    """Distinct word k-grams (space tokenization) as an array column —
-    one linear pass per document. Documents shorter than k tokens yield
-    their single full-token gram (same clamping rule in the DuckDB
-    replay, so engines agree on degenerate rows)."""
+def word_ngrams(text_col: str, k: int, distinct: bool = True) -> Column:
+    """Word k-grams (space tokenization) as an array column — one linear
+    pass per document; ``distinct=True`` dedups within the doc (overlap
+    counting wants all occurrences, set semantics wants distinct).
+    Documents shorter than k tokens yield their single full-token gram
+    (same clamping rule in the DuckDB replay, so engines agree on
+    degenerate rows)."""
     toks = f"split({text_col}, ' ')"
-    return F.expr(
-        f"array_distinct(transform("
-        f"  sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
-        f"  i -> concat_ws(' ', slice({toks}, i, {k}))))")
+    grams = (f"transform("
+             f"  sequence(1, greatest(size({toks}) - {k - 1}, 1)),"
+             f"  i -> concat_ws(' ', slice({toks}, i, {k})))")
+    return F.expr(f"array_distinct({grams})" if distinct else grams)
 
 
 def contamination_hits(docs: DataFrame, eval_df: DataFrame, k: int = 8,
@@ -369,10 +371,84 @@ def decontaminate(docs: DataFrame, eval_df: DataFrame, k: int = 8,
     return docs.join(bad, id_col, "left_anti")
 
 
-def word_ngrams_sql(text_expr: str, k: int) -> str:
-    """The identical distinct word-k-gram list in DuckDB (1-based
-    inclusive list slicing; same short-document clamp)."""
+def word_ngrams_sql(text_expr: str, k: int, distinct: bool = True) -> str:
+    """The identical word-k-gram list in DuckDB (1-based inclusive list
+    slicing; same short-document clamp)."""
     toks = f"string_split({text_expr}, ' ')"
-    return (f"list_distinct(list_transform("
-            f"range(1, greatest(len({toks}) - {k - 1}, 1) + 1),"
-            f" i -> array_to_string({toks}[i:i+{k - 1}], ' ')))")
+    grams = (f"list_transform("
+             f"range(1, greatest(len({toks}) - {k - 1}, 1) + 1),"
+             f" i -> array_to_string({toks}[i:i+{k - 1}], ' '))")
+    return f"list_distinct({grams})" if distinct else grams
+
+
+# ------------------------------------------------ repetition signals -------
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", top_k: int = 2,
+                        dup_k: int = 5) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 quality rules — public): per doc,
+
+    - ``top{top_k}_frac``: occurrences of the MOST FREQUENT word
+      top_k-gram × top_k / n_tokens — boilerplate menus/headers repeat
+      one phrase many times;
+    - ``dup{dup_k}_frac``: Σ over word dup_k-grams occurring ≥ 2× of
+      (occurrences × dup_k) / n_tokens — templated spam repeats many
+      distinct long phrases.
+
+    Token-weighted (overlapping occurrences counted as-is) — a
+    deterministic heuristic identical in the DuckDB replay; only the max
+    COUNT matters for the top gram, so there is no tie-break hazard.
+
+    Scale: one explode → (doc, gram) hash count (map-side partial
+    combine absorbs the within-doc repetition that triggered the signal)
+    → per-doc max/sum → broadcast-able join back on the doc id. Linear
+    in corpus size, no stage keyed on anything wider than (doc, gram)."""
+    n_toks = F.size(F.split(F.col(text_col), " ")).alias("_nt")
+    base = df.select(F.col(id_col), n_toks,
+                     word_ngrams(text_col, top_k, distinct=False).alias("_gt"),
+                     word_ngrams(text_col, dup_k, distinct=False).alias("_gd"))
+
+    ct = (base.select(id_col, F.explode("_gt").alias("_g"))
+          .groupBy(id_col, "_g").count()
+          .groupBy(id_col).agg(F.max("count").alias("_topn")))
+    cd = (base.select(id_col, F.explode("_gd").alias("_g"))
+          .groupBy(id_col, "_g").count()
+          .filter(F.col("count") >= 2)
+          .groupBy(id_col).agg(F.sum("count").alias("_dupn")))
+
+    return (base.select(id_col, "_nt")
+            .join(ct, id_col, "left").join(cd, id_col, "left")
+            .select(F.col(id_col),
+                    F.round(F.coalesce(F.col("_topn"), F.lit(0))
+                            * top_k / F.col("_nt"), 6)
+                    .alias(f"top{top_k}_frac"),
+                    F.round(F.coalesce(F.col("_dupn"), F.lit(0))
+                            * dup_k / F.col("_nt"), 6)
+                    .alias(f"dup{dup_k}_frac")))
+
+
+def repetition_sql(table: str, text_expr: str = "text",
+                   id_col: str = "doc_id", top_k: int = 2,
+                   dup_k: int = 5) -> str:
+    """DuckDB replay of :func:`repetition_features` (same clamp, same
+    token weighting)."""
+    gt = word_ngrams_sql(text_expr, top_k, distinct=False)
+    gd = word_ngrams_sql(text_expr, dup_k, distinct=False)
+    return f"""
+WITH base AS (SELECT {id_col}, len(string_split({text_expr}, ' ')) AS nt,
+                     {gt} AS gt, {gd} AS gd FROM {table}),
+ct AS (SELECT {id_col}, MAX(n) AS topn FROM (
+         SELECT {id_col}, g, COUNT(*) AS n FROM (
+           SELECT {id_col}, unnest(gt) AS g FROM base) GROUP BY 1, 2)
+       GROUP BY 1),
+cd AS (SELECT {id_col}, SUM(n) AS dupn FROM (
+         SELECT {id_col}, g, COUNT(*) AS n FROM (
+           SELECT {id_col}, unnest(gd) AS g FROM base) GROUP BY 1, 2)
+       WHERE n >= 2 GROUP BY 1)
+SELECT b.{id_col},
+       ROUND(COALESCE(ct.topn, 0) * {top_k} * 1.0 / b.nt, 6)
+         AS top{top_k}_frac,
+       ROUND(COALESCE(cd.dupn, 0) * {dup_k} * 1.0 / b.nt, 6)
+         AS dup{dup_k}_frac
+FROM base b LEFT JOIN ct USING ({id_col}) LEFT JOIN cd USING ({id_col})"""

@@ -380,3 +380,26 @@ def test_budget_validation(spark):
     df = spark.range(3).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         sampling.sample_token_budget(df, ["k"], 0, "k", "k", 1)
+
+
+# ---------------------------------------------------- repetition -----------
+
+def test_repetition_features_hand_computed(spark):
+    from raster_functions_spark import text
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        # doc 1: 'a b' occurs 3x (overlapping tokens counted as-is);
+        #        8 tokens; no 5-gram repeats
+        # doc 2: all-distinct bigrams; 'v w x y z' 5-gram occurs 2x (10
+        #        tokens of dup mass)
+        "text": ["a b c a b c a b",
+                 "v w x y z q v w x y z"],
+    })
+    out = (text.repetition_features(spark.createDataFrame(pdf))
+           .orderBy("doc_id").collect())
+    # doc1: bigrams = ab bc ca ab bc ca ab -> max 3; top2 = 3*2/8
+    assert out[0]["top2_frac"] == round(3 * 2 / 8, 6)
+    assert out[0]["dup5_frac"] == round(2 * 5 / 8, 6)  # 'a b c a b' occurs 2x
+    # doc2: 11 tokens; 'v w' 'w x' 'x y' 'y z' each occur 2x -> max 2
+    assert out[1]["top2_frac"] == round(2 * 2 / 11, 6)
+    assert out[1]["dup5_frac"] == round(2 * 5 / 11, 6)
