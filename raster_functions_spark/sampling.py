@@ -70,10 +70,16 @@ def sample_fraction(df: DataFrame, key_col: str, seed: int,
     10% of 'en'"; strata absent from the dict are DROPPED — an explicit
     0.0 keeps the intent visible). Zero shuffle; re-running on a grown
     corpus keeps every previously-kept row (hash-stable sampling)."""
+    def check(fr):
+        if not 0.0 <= fr <= 1.0:
+            raise ValueError(f"fraction {fr} outside [0, 1]")
+
     u = u60_col(F.col(key_col), seed)
     if fractions is not None:
         if strata_col is None:
             raise ValueError("fractions= requires strata_col=")
+        for fr in fractions.values():
+            check(fr)
         thr = None
         for k, frac in sorted(fractions.items()):
             cond = F.col(strata_col) == F.lit(k)
@@ -83,6 +89,7 @@ def sample_fraction(df: DataFrame, key_col: str, seed: int,
         return df.filter(u < thr)  # unknown stratum → threshold 0 → drop
     if fraction is None:
         raise ValueError("pass fraction= or fractions=")
+    check(fraction)
     return df.filter(u < F.lit(min(int(fraction * U60), U60)))
 
 
@@ -92,9 +99,14 @@ def fractions_sql(key_expr: str, seed: int, strata_expr: str,
     decision (identical integer thresholds; strata absent from the dict
     fall to the ELSE 0 branch and are dropped, same as the engine)."""
     u = u60_sql(key_expr, seed, dialect)
-    whens = " ".join(f"WHEN '{k}' THEN {min(int(frac * U60), U60)}"
+    whens = " ".join(f"WHEN '{_q(k)}' THEN {min(int(frac * U60), U60)}"
                      for k, frac in sorted(fractions.items()))
     return f"{u} < (CASE {strata_expr} {whens} ELSE 0 END)"
+
+
+def _q(s) -> str:
+    """SQL string-literal escape (single quotes doubled)."""
+    return str(s).replace("'", "''")
 
 
 def split_by_hash(df: DataFrame, key_col: str, seed: int,
@@ -106,6 +118,10 @@ def split_by_hash(df: DataFrame, key_col: str, seed: int,
     Train/val/test membership is a pure function of (key, seed): adding
     rows later never reshuffles existing assignments — the property that
     keeps eval sets uncontaminated across corpus refreshes."""
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(v < 0 for v in weights.values()):
+        raise ValueError("split weights must be non-negative")
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"weights sum to {total} > 1")
@@ -133,8 +149,8 @@ def split_sql(key_expr: str, seed: int, weights: dict[str, float],
     parts, acc = [], 0.0
     for name in names[:-1]:
         acc += weights[name]
-        parts.append(f"WHEN {u} < {int(acc * U60)} THEN '{name}'")
-    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+        parts.append(f"WHEN {u} < {int(acc * U60)} THEN '{_q(name)}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{_q(names[-1])}' END"
 
 
 # ------------------------------------------------- exact stratified --------
