@@ -343,6 +343,65 @@ def q_dedup_simhash(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """Dedup (Bloom prefilter): dedupe the incoming src0 batch against the
+    rest-of-corpus WITHOUT shuffling the corpus — a Bloom filter built
+    from the batch's bag-of-words fingerprints (m=2^16 bits, k=5,
+    md5-backed u60 Kirsch-Mitzenmacher hashing) runs as a map-only filter
+    inside the corpus scan; only the passing rows (true matches + the
+    deterministic false-positive sliver) reach the exact verification
+    join. Output: every surviving corpus row with its exact-match verdict.
+    The DuckDB oracle replays every bit position, so even the false
+    positives match by construction. At production scale the batch-built
+    filter broadcasts (10^7 keys → m=2^30 ≈ 128 MiB) while the 10^12-row
+    corpus never shuffles."""
+    from raster_functions_spark import dedup
+    docs = _t(spark, sf_dir, "documents")
+    key = dedup.bow_fingerprint_col("text").alias("k")
+    batch = docs.filter(F.col("source") == "src0").select(key)
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", key)
+    words = dedup.bloom_build(batch, "k", 1 << 16, 5)
+    surv = (dedup.bloom_might_contain(corpus, "k", words, 5)
+            .filter(F.col("bloom_hit")))
+    bk = batch.distinct().withColumn("_m", F.lit(True))
+    return (surv.join(bk, "k", "left")
+            .select("doc_id",
+                    F.coalesce("_m", F.lit(False)).alias("is_true_match"))
+            .orderBy("doc_id"))
+
+
+def q_text_pii(spark, sf_dir):
+    """Text: PII scrubbing — emails/SSNs/IPv4s/phone numbers are injected
+    deterministically from doc_id (the synthetic corpus carries none),
+    then counted and replaced by the JVM regexp chain (text.pii_scrub,
+    patterns in the Java-regex ∩ RE2 common subset, applied over the
+    progressively-scrubbed text). The oracle applies the identical
+    pattern list under RE2; per-row md5 of the scrubbed text value-checks
+    every replaced span."""
+    from raster_functions_spark import text
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.when(c % 3 == 0, F.concat(
+            F.lit(" mail user"), c.cast("string"),
+            F.lit("@ex-ample.org now"))).otherwise(F.lit("")),
+        F.when(c % 5 == 1, F.concat(
+            F.lit(" call 415-555-"),
+            F.lpad((c % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(c % 7 == 2, F.concat(
+            F.lit(" host 10.0."), (c % 256).cast("string"),
+            F.lit(".17 up"))).otherwise(F.lit("")),
+        F.when(c % 11 == 3, F.concat(
+            F.lit(" ssn 078-05-"),
+            F.lpad((c % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+    ).alias("itext")
+    return (text.pii_scrub(docs.select("doc_id", inj), "itext")
+            .select("doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone",
+                    F.md5("scrubbed").alias("scrub_md5"))
+            .orderBy("doc_id"))
+
+
 def q_text_langid(spark, sf_dir):
     """Text: heuristic language-ID vs labeled lang."""
     from raster_functions_spark import text
@@ -1933,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cell-partials, zonal last-match-wins), then every key
         # whose last driver row predates round 5 ----
         "snap_retention": q_snap_retention,
+        "dedup_bloom": q_dedup_bloom,
+        "text_pii": q_text_pii,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
         "text_repetition": q_text_repetition,
@@ -1980,15 +2041,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f15_cubism": q_f15_cubism,
         "f15_chuck_close": q_f15_chuck_close,
         "f3_arith_div": q_f3_arith_div,
-        "a6_month_synthesis": q_a6_month_synthesis,
-        "a7_percent_above_px": q_a7_percent_above_px,
         # ---- driver window boundary (50) — r5-green and the
         # freshest-stale keys below (rotate into r7; a10_fuzzy_mssmall,
         # j6_nearest_labels,
         # p3_mask_apply, p4_replace_nulls, p7_qa_clear,
         # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
-        # the curation-layer queries were registered — all seven are
-        # r2-r4 driver-green) ----
+        # the curation-layer queries were registered, and
+        # a6_month_synthesis + a7_percent_above_px when dedup_bloom +
+        # text_pii landed — all r2-r4 driver-green) ----
+        "a6_month_synthesis": q_a6_month_synthesis,
+        "a7_percent_above_px": q_a7_percent_above_px,
         "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
         "j6_nearest_labels": q_j6_nearest_labels,
         "p3_mask_apply": q_p3_mask_apply,
@@ -2458,6 +2520,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text))
           WHERE n_dups > 1 ORDER BY canonical_id""",
+        "dedup_bloom": f"""
+          WITH corpus AS (
+            SELECT doc_id, {_dedup.bow_fingerprint_sql('text')} AS k
+            FROM documents WHERE source <> 'src0'),
+          batch AS (
+            SELECT {_dedup.bow_fingerprint_sql('text')} AS k
+            FROM documents WHERE source = 'src0'),
+          setbits AS (
+            SELECT DISTINCT p FROM batch,
+              unnest([{', '.join(_dedup.bloom_positions_sql('k', 1 << 16, 5))}]) t(p)),
+          cp AS (
+            SELECT doc_id, k, p FROM corpus,
+              unnest([{', '.join(_dedup.bloom_positions_sql('k', 1 << 16, 5))}]) t(p)),
+          surv AS (
+            SELECT doc_id, k FROM cp LEFT JOIN setbits ON cp.p = setbits.p
+            GROUP BY doc_id, k
+            HAVING COUNT(*) FILTER (setbits.p IS NOT NULL) = 5)
+          SELECT doc_id,
+                 EXISTS (SELECT 1 FROM batch b WHERE b.k = surv.k)
+                   AS is_true_match
+          FROM surv ORDER BY doc_id""",
         "dedup_minhash_lsh": f"""
           WITH sigs AS ({sig_cte}),
           bands AS ({bands_union}),
@@ -2506,6 +2589,26 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM({_text.token_count_merged_sql('text')}) AS BIGINT) AS sum_merged,
                  CAST(SUM({_text.token_count_bpe_sql('text')}) AS BIGINT) AS sum_pre
           FROM documents GROUP BY lang ORDER BY lang""",
+        "text_pii": f"""
+          WITH inj AS (
+            SELECT doc_id, (text ||
+              CASE WHEN doc_id % 3 = 0 THEN ' mail user'
+                || CAST(doc_id AS VARCHAR) || '@ex-ample.org now'
+                ELSE '' END ||
+              CASE WHEN doc_id % 5 = 1 THEN ' call 415-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END ||
+              CASE WHEN doc_id % 7 = 2 THEN ' host 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.17 up'
+                ELSE '' END ||
+              CASE WHEN doc_id % 11 = 3 THEN ' ssn 078-05-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END) AS itext
+            FROM documents),
+          s AS (SELECT doc_id, {', '.join(_text.pii_sql('itext'))} FROM inj)
+          SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone,
+                 md5(scrubbed) AS scrub_md5
+          FROM s ORDER BY doc_id""",
         "text_quality": f"""
           WITH q AS (SELECT source, {_text.quality_sql('text')} FROM documents)
           SELECT source, COUNT(*) AS n,

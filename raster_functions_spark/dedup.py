@@ -638,3 +638,137 @@ def crossmodal_dedup(images: DataFrame, caption_col: str = "caption",
             max_hamming, band_bits, max_bucket)
           .select("id_a", "id_b"))
     return connected_components(cap.unionByName(ph))
+
+
+# -------------------------------------- Bloom batch-vs-corpus prefilter ----
+#
+# Production shape for "dedupe today's crawl batch against the committed
+# 10^12-doc corpus": the CORPUS must never shuffle. Build a Bloom filter
+# from the (small) incoming batch's keys, broadcast it, and evaluate it as
+# a narrow map-only filter inside the corpus scan — only the corpus rows
+# that MIGHT collide (true matches + a tunable false-positive sliver)
+# survive to the exact verification join, which is then broadcast-sized.
+# This is the same direction Spark's own runtime row-level bloom join
+# pushes (small side builds, big side filters); here it is explicit so the
+# filter bits are engine-replayable: positions come from the md5-backed
+# u60 draw (sampling.u60_col / u60_sql — bit-identical in Spark and
+# DuckDB) via Kirsch-Mitzenmacher double hashing, so an oracle can replay
+# every set bit, INCLUDING the false positives, by construction.
+
+BLOOM_SEED = 41
+
+
+def _bloom_h12(m_bits: int, seed: int):
+    from .sampling import u60_col
+
+    def h12(key):
+        h1 = u60_col(key, seed) % F.lit(m_bits)
+        # step must be non-zero mod m: draw in [1, m-1]
+        h2 = u60_col(key, seed + 1) % F.lit(m_bits - 1) + F.lit(1)
+        return h1, h2
+    return h12
+
+
+def bloom_positions_col(key, m_bits: int, k_hashes: int,
+                        seed: int = BLOOM_SEED) -> list:
+    """The k bit positions of ``key`` as JVM Columns (md5 + conv + exact
+    BIGINT arithmetic — whole-stage-codegen'd, no Python). Position i is
+    (h1 + i·h2) mod m with h2 ∈ [1, m-1] (Kirsch-Mitzenmacher); all
+    intermediates stay < k·2^32 « 2^63 for m ≤ 2^32."""
+    if m_bits % 64 or m_bits <= 0 or m_bits > (1 << 32):
+        raise ValueError("m_bits must be a positive multiple of 64 ≤ 2^32")
+    h1, h2 = _bloom_h12(m_bits, seed)(key)
+    return [(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k_hashes)]
+
+
+def bloom_positions_sql(key_expr: str, m_bits: int, k_hashes: int,
+                        seed: int = BLOOM_SEED,
+                        dialect: str = "duckdb") -> list[str]:
+    """The identical k positions as SQL text (oracle parity)."""
+    from .sampling import u60_sql
+    h1 = f"({u60_sql(key_expr, seed, dialect)} % {m_bits})"
+    h2 = f"(({u60_sql(key_expr, seed + 1, dialect)} % {m_bits - 1}) + 1)"
+    return [f"(({h1} + {i} * {h2}) % {m_bits})" for i in range(k_hashes)]
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
+                k_hashes: int = 5, seed: int = BLOOM_SEED) -> np.ndarray:
+    """Build the filter from ``df[key_col]`` and return it as an int64
+    word array of length m_bits/64 (bit p lives at word p>>6, bit p&63).
+
+    Distributed build: explode each key to its k positions, aggregate
+    ``bit_or`` of the per-position masks grouped by word index — ONE
+    shuffle bounded by m/64 keys (not by corpus size), then a driver
+    scatter of the ≤ m/64 sparse (word, value) rows. At the production
+    batch size (10^7 keys, m = 2^30 ≈ 128 MiB) both the shuffle and the
+    broadcast stay executor-friendly."""
+    pos = df.select(F.explode(F.array(
+        *bloom_positions_col(F.col(key_col), m_bits, k_hashes, seed)
+    )).alias("p"))
+    rows = (pos
+            .select(F.shiftright("p", 6).alias("w"),
+                    F.expr("shiftleft(1L, cast(p % 64 AS INT))").alias("m"))
+            .groupBy("w").agg(F.expr("bit_or(m)").alias("v"))
+            .collect())
+    words = np.zeros(m_bits >> 6, dtype=np.int64)
+    for r in rows:
+        words[r["w"]] = r["v"]
+    return words
+
+
+def bloom_might_contain(df: DataFrame, key_col: str, words: np.ndarray,
+                        k_hashes: int = 5, seed: int = BLOOM_SEED,
+                        out_col: str = "bloom_hit") -> DataFrame:
+    """Append boolean ``out_col``: True iff every one of the key's k bits
+    is set in ``words``. The positions are computed JVM-side; Python only
+    does the broadcast-bitmap gather (one vectorized Arrow batch kernel —
+    numpy shift/AND over an (n, k) int64 matrix, no per-row work)."""
+    m_bits = int(words.shape[0]) << 6
+    bc = df.sparkSession.sparkContext.broadcast(words)
+
+    @F.pandas_udf("boolean")
+    def _hit(pos: pd.Series) -> pd.Series:
+        w = bc.value
+        if len(pos) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        mat = np.array(pos.tolist(), dtype=np.int64)
+        bits = (w[mat >> 6] >> (mat & 63)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    return (df.withColumn("_bpos", F.array(
+                *bloom_positions_col(F.col(key_col), m_bits, k_hashes, seed)))
+            .withColumn(out_col, _hit("_bpos"))
+            .drop("_bpos"))
+
+
+def bloom_dedup_batch(batch: DataFrame, corpus: DataFrame, key_col: str,
+                      m_bits: int = 1 << 16, k_hashes: int = 5,
+                      seed: int = BLOOM_SEED,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Batch rows annotated ``is_dup`` (its key already in the corpus),
+    computed without ever shuffling the corpus: bloom(batch) filters the
+    corpus scan map-side, the survivors (true matches + FP sliver) feed a
+    plain equi-join that AQE broadcast-sizes. Exact — false positives are
+    eliminated by the verification join, false negatives are impossible."""
+    words = bloom_build(batch.select(key_col), key_col, m_bits,
+                        k_hashes, seed)
+    surv = (bloom_might_contain(corpus.select(key_col), key_col, words,
+                                k_hashes, seed)
+            .filter(F.col("bloom_hit")).select(key_col).distinct())
+    return (batch.join(surv.withColumn("_in_corpus", F.lit(True)),
+                       key_col, "left")
+            .withColumn("is_dup", F.coalesce("_in_corpus", F.lit(False)))
+            .drop("_in_corpus"))
+
+
+def bow_fingerprint_col(text_col: str):
+    """Bag-of-words fingerprint: sorted distinct space-tokens rejoined —
+    the normalization key the bloom contract query dedupes on (robust to
+    token reordering/repetition, the dominant near-dup mode in crawls)."""
+    return F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " ")
+
+
+def bow_fingerprint_sql(text_expr: str) -> str:
+    return (f"array_to_string(list_sort(list_distinct("
+            f"string_split({text_expr}, ' '))), ' ')")

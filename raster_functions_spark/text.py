@@ -452,3 +452,55 @@ SELECT b.{id_col},
        ROUND(COALESCE(cd.dupn, 0) * {dup_k} * 1.0 / b.nt, 6)
          AS dup{dup_k}_frac
 FROM base b LEFT JOIN ct USING ({id_col}) LEFT JOIN cd USING ({id_col})"""
+
+
+# ------------------------------------------------------- PII scrubbing -----
+#
+# Training-data curation must strip contact PII before anything ships to a
+# tokenizer. Patterns are written in the Java-regex ∩ RE2 common subset
+# (character classes, bounded repetition, \b word boundaries — NO
+# lookaround, NO backreferences) so the Spark engine (java.util.regex) and
+# the DuckDB oracle (RE2) match the same spans; both sides apply the same
+# patterns in the same order over the progressively-scrubbed text, so a
+# span consumed by an earlier pattern can never double-count under a later
+# one. The list order matters: emails first (their local part would
+# otherwise feed digit runs to the phone pattern), then the most-specific
+# digit shapes (SSN 3-2-4 before phone 3-3-4; IPv4's 3-dot shape is
+# disjoint from both).
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "scrubbed") -> DataFrame:
+    """Append ``n_<type>`` match counts and the scrubbed text. Pure JVM
+    regexp expressions (regexp_replace / regexp_extract_all) — zero
+    Python, codegen'd, embarrassingly parallel at any scale."""
+    cur = F.col(text_col)
+    cols = []
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+                    .cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *cols, cur.alias(out_col))
+
+
+def pii_sql(text_expr: str) -> list[str]:
+    """DuckDB SELECT expressions mirroring :func:`pii_scrub`: the four
+    ``n_<type>`` counts plus the scrubbed text, applied in the same
+    pattern order over the same progressively-scrubbed input."""
+    cur = text_expr
+    out = []
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        out.append(f"CAST(len(regexp_extract_all({cur}, '{p}')) AS BIGINT)"
+                   f" AS n_{name}")
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    out.append(f"{cur} AS scrubbed")
+    return out

@@ -1,0 +1,164 @@
+"""Round-6: Bloom batch-vs-corpus prefilter (engine/oracle bit parity,
+no-false-negative guarantee, exactness of the verified join) and PII
+scrubbing (Java-regex/RE2 span agreement, pattern-order semantics)."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raster_functions_spark import dedup, text
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- bloom -------
+
+def _u60_py(key, seed: int) -> int:
+    return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:15], 16)
+
+
+def _positions_py(key, m: int, k: int, seed: int = dedup.BLOOM_SEED):
+    h1 = _u60_py(key, seed) % m
+    h2 = _u60_py(key, seed + 1) % (m - 1) + 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def test_bloom_positions_match_python_replay(spark):
+    keys = ["", "a", "hello world", "ünïcode ☃", "x" * 500]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    got = df.select(F.array(
+        *dedup.bloom_positions_col(F.col("k"), 1 << 12, 4)).alias("p")) \
+        .collect()
+    by_row = {tuple(r["p"]) for r in got}
+    want = {tuple(_positions_py(k, 1 << 12, 4)) for k in keys}
+    assert by_row == want
+
+
+def test_bloom_positions_match_duckdb(spark):
+    keys = ["alpha", "beta", "gamma delta", ""]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    eng = sorted(tuple(r["p"]) for r in df.select(F.array(
+        *dedup.bloom_positions_col(F.col("k"), 1 << 10, 5)).alias("p"))
+        .collect())
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"k": keys}))
+    pos = ", ".join(dedup.bloom_positions_sql("k", 1 << 10, 5))
+    ora = sorted(tuple(r[0]) for r in
+                 con.sql(f"SELECT [{pos}] FROM t").fetchall())
+    assert eng == ora
+
+
+def test_bloom_build_no_false_negatives_and_replayable_bits(spark):
+    keys = [f"key-{i}" for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    m, kh = 1 << 10, 4
+    words = dedup.bloom_build(df, "k", m, kh)
+    assert words.shape == (m >> 6,) and words.dtype == np.int64
+    # bit-exact vs a python-built filter
+    want = np.zeros(m >> 6, dtype=np.int64)
+    for key in keys:
+        for p in _positions_py(key, m, kh):
+            want[p >> 6] |= np.int64(np.uint64(1 << (p & 63)))
+    assert (words == want).all()
+    # membership: every inserted key hits; a disjoint probe set behaves
+    # exactly as the python replay predicts (FPs included)
+    probes = keys + [f"probe-{i}" for i in range(200)]
+    pdf = spark.createDataFrame(pd.DataFrame({"k": probes}))
+    got = {r["k"]: r["bloom_hit"] for r in
+           dedup.bloom_might_contain(pdf, "k", words, kh).collect()}
+    for key in keys:
+        assert got[key] is True
+    for p in probes:
+        pred = all(want[q >> 6] >> (q & 63) & 1
+                   for q in _positions_py(p, m, kh))
+        assert got[p] == pred
+
+
+def test_bloom_dedup_batch_exact_despite_false_positives(spark):
+    # tiny m forces a dense filter — exactness must survive heavy FPs
+    batch = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6),
+                      "k": ["a", "b", "c", "d", "e", "a"]}))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100, 104),
+                      "k": ["c", "e", "zz", "qq"]}))
+    out = dedup.bloom_dedup_batch(batch, corpus, "k", m_bits=64, k_hashes=3)
+    got = {r["doc_id"]: r["is_dup"] for r in out.collect()}
+    assert got == {0: False, 1: False, 2: True, 3: False, 4: True, 5: False}
+
+
+def test_bloom_validation_and_empty(spark):
+    with pytest.raises(ValueError):
+        dedup.bloom_positions_col(F.col("k"), 100, 3)  # not a mult of 64
+    empty = spark.createDataFrame([], "k string")
+    words = dedup.bloom_build(empty, "k", 1 << 8, 3)
+    assert (words == 0).all()
+    out = dedup.bloom_might_contain(
+        spark.createDataFrame(pd.DataFrame({"k": ["x"]})), "k", words, 3)
+    assert out.collect()[0]["bloom_hit"] is False
+
+
+# --------------------------------------------------------------- pii -------
+
+def _scrub_expect(rows, spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": rows}))
+    return text.pii_scrub(df, "text").toPandas()
+
+
+def test_pii_scrub_basic_types(spark):
+    out = _scrub_expect([
+        "reach me at jo.ann+x@sub.ex-ample.org today",
+        "ssn 123-45-6789 leaked",
+        "server 192.168.0.1 up, also 10.0.0.255.",
+        "call 415-555-0123 or 415.555.0124",
+        "no pii here at all",
+    ], spark)
+    assert out["n_email"].tolist() == [1, 0, 0, 0, 0]
+    assert out["n_ssn"].tolist() == [0, 1, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 0, 2, 0, 0]
+    assert out["n_phone"].tolist() == [0, 0, 0, 2, 0]
+    assert out["scrubbed"].tolist() == [
+        "reach me at <EMAIL> today",
+        "ssn <SSN> leaked",
+        "server <IP> up, also <IP>.",
+        "call <PHONE> or <PHONE>",
+        "no pii here at all",
+    ]
+
+
+def test_pii_scrub_order_and_lookalikes(spark):
+    out = _scrub_expect([
+        # email local part has a phone-shaped digit run — email wins (its
+        # pattern runs first and consumes the span)
+        "415-555-0123@ex.com",
+        # 3-2-4 is SSN, 3-3-4 is phone; neither matches the other's shape
+        "123-45-6789 and 123-456-7890",
+        # incomplete shapes stay untouched
+        "1.2.3 or 12-34-5678 or user@nodot",
+    ], spark)
+    assert out["scrubbed"].tolist() == [
+        "<EMAIL>",
+        "<SSN> and <PHONE>",
+        "1.2.3 or 12-34-5678 or user@nodot",
+    ]
+    assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_phone"] == 0
+
+
+def test_pii_sql_matches_engine(spark):
+    rows = [
+        "a@b.co then 078-05-1120, host 8.8.8.8 call 212.555.9999 x",
+        "double a@b.co c@d.org and ips 1.1.1.1 2.2.2.2",
+        "",
+        "edge: trailing dot email user@ex.org.",
+    ]
+    eng = _scrub_expect(rows, spark)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": rows}))
+    cols = ", ".join(text.pii_sql("text"))
+    ora = con.sql(f"SELECT {cols} FROM t").df()
+    for c in ["n_email", "n_ssn", "n_ipv4", "n_phone", "scrubbed"]:
+        assert eng[c].tolist() == ora[c].tolist(), c
