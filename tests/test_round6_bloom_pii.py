@@ -17,13 +17,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # ------------------------------------------------------------- bloom -------
 
-def _u60_py(key, seed: int) -> int:
-    return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:15], 16)
-
-
 def _positions_py(key, m: int, k: int, seed: int = dedup.BLOOM_SEED):
-    h1 = _u60_py(key, seed) % m
-    h2 = _u60_py(key, seed + 1) % (m - 1) + 1
+    d = hashlib.md5(f"{key}:{seed}".encode()).hexdigest()
+    h1 = int(d[0:15], 16) % m
+    h2 = int(d[16:31], 16) % (m - 1) + 1
     return [(h1 + i * h2) % m for i in range(k)]
 
 
@@ -76,6 +73,30 @@ def test_bloom_build_no_false_negatives_and_replayable_bits(spark):
         pred = all(want[q >> 6] >> (q & 63) & 1
                    for q in _positions_py(p, m, kh))
         assert got[p] == pred
+
+
+def test_bloom_xxhash64_mode_no_false_negatives(spark):
+    # the production hash mode has no python replay — verify the filter
+    # CONTRACT instead: zero false negatives, and the FP rate on a
+    # disjoint probe set is sane for the sizing
+    keys = [f"k{i}" for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    m, kh = 1 << 14, 5
+    words = dedup.bloom_build(df, "k", m, kh, hashes="xxhash64")
+    probes = keys + [f"p{i}" for i in range(2000)]
+    pdf = spark.createDataFrame(pd.DataFrame({"k": probes}))
+    got = {r["k"]: r["bloom_hit"] for r in dedup.bloom_might_contain(
+        pdf, "k", words, kh, hashes="xxhash64").collect()}
+    assert all(got[k] for k in keys)
+    fp = sum(got[p] for p in probes[300:])
+    # fill ≈ 300·5/16384 ≈ 0.088 → FP ≈ 0.088^5 ≈ 5e-6; 50/2000 would
+    # mean the hash family is broken, not unlucky
+    assert fp < 50
+    # determinism across rebuilds
+    assert (words == dedup.bloom_build(df, "k", m, kh,
+                                       hashes="xxhash64")).all()
+    with pytest.raises(ValueError):
+        dedup.bloom_build(df, "k", m, kh, hashes="sha9000")
 
 
 def test_bloom_dedup_batch_exact_despite_false_positives(spark):
