@@ -157,7 +157,8 @@ def split_sql(key_expr: str, seed: int, weights: dict[str, float],
 
 def sample_stratified_exact(df: DataFrame, strata_cols: list[str],
                             n_per_stratum: int, key_col: str, seed: int,
-                            oversample: float = 2.0) -> DataFrame:
+                            oversample: float = 2.0,
+                            checkpoint: bool = True) -> DataFrame:
     """EXACT deterministic n-per-stratum sample: the n rows with the
     smallest (u60, key) in each stratum — semantically identical to
     ``row_number() OVER (PARTITION BY strata ORDER BY u60, key) <= n``
@@ -204,10 +205,13 @@ def sample_stratified_exact(df: DataFrame, strata_cols: list[str],
     # picked is tiny (≤ n per stratum × #strata): checkpoint it so the
     # exactness validation below and the caller's read don't re-run the
     # source scan + window — the big table is scanned exactly twice
-    # (count aggregate + candidate filter), never three times
+    # (count aggregate + candidate filter), never three times.
+    # checkpoint=False keeps the full lineage visible (plan audits /
+    # callers who compose further and prefer lazy realization).
     picked = (cand.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") <= n_per_stratum)
-              .localCheckpoint(eager=True))
+              .filter(F.col("_rn") <= n_per_stratum))
+    if checkpoint:
+        picked = picked.localCheckpoint(eager=True)
 
     # exactness guard: a stratum whose candidate pool came up short of
     # min(n, stratum_count) must be re-windowed without the prefilter

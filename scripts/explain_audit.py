@@ -243,14 +243,34 @@ def main() -> int:
 
     # 18. exact stratified sampling: the window runs over the
     # broadcast-prefiltered candidates, never a full-table window shuffle
-    # as the only path (broadcast threshold join present)
+    # as the only path (broadcast threshold join present).
+    # checkpoint=False keeps the candidate lineage visible — the default
+    # eager localCheckpoint would truncate the plan to an RDD scan
     picked = sampling.sample_stratified_exact(
-        docs, ["lang", "source"], 3, "doc_id", seed=11)
+        docs, ["lang", "source"], 3, "doc_id", seed=11, checkpoint=False)
     p = plan_of(picked)
     ok = ("BroadcastHashJoin" in p or "BroadcastExchange" in p) \
         and "Window" in p
     checks.append(("stratified sample: broadcast threshold prefilter feeds the window", ok))
     out += ["\n## sample_stratified_exact\n", p]
+
+    # 19. bloom corpus-side probe is a NARROW map-only pipeline: base
+    # hashes in codegen, membership as one vectorized Arrow eval, no
+    # exchange, no row-at-a-time python — the property that lets the
+    # 10^12-row corpus side run without shuffling
+    from raster_functions_spark import dedup as _dedup
+    words = _dedup.bloom_build(
+        docs.filter(F.col("source") == "src0")
+            .select(_dedup.bow_fingerprint_col("text").alias("k")),
+        "k", 1 << 16, 5)
+    probe = (_dedup.bloom_might_contain(
+        docs.select("doc_id", _dedup.bow_fingerprint_col("text").alias("k")),
+        "k", words, 5).filter(F.col("bloom_hit")))
+    p = plan_of(probe)
+    ok = ("Exchange" not in p and "BatchEvalPython" not in p
+          and "ArrowEvalPython" in p and "codegen id" in p)
+    checks.append(("bloom corpus probe: narrow codegen + one Arrow eval, zero shuffle", ok))
+    out += ["\n## bloom_might_contain\n", p]
 
     out.append("\n# Assertions\n")
     failed = 0
