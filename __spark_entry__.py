@@ -402,6 +402,35 @@ def q_text_pii(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_text_chunks(spark, sf_dir):
+    """Text: context-window chunking — every document split into ≤32-token
+    chunks with an 8-token overlap (the pre-tokenization step that turns
+    a curated corpus into trainable sequences). Pure SQL explode inline
+    with the scan (zero UDF, zero shuffle); remainder chunks kept, short
+    docs yield themselves. The oracle replays the identical slicing in
+    DuckDB list semantics."""
+    from raster_functions_spark import text
+    docs = _t(spark, sf_dir, "documents")
+    return (text.chunk_tokens(docs, max_tokens=32, overlap=8)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def q_text_pack(spark, sf_dir):
+    """Text: GPT-style sequence packing as an assignment — each doc gets
+    (bucket, bin, offset) for fixed-capacity 4096-char training bins,
+    rows ordered by a seeded hash draw, packed within 4 independent
+    hash-salted streams (production packs per output shard — a single
+    global prefix sum would funnel the corpus through one reducer).
+    Integer-exact prefix math (DIV, not float). Oracle replays draw,
+    bucket, prefix sum, and boundary rule."""
+    from raster_functions_spark import sampling
+    docs = _t(spark, sf_dir, "documents")
+    return (sampling.pack_sequences(docs, "n_chars", 4096, "doc_id",
+                                    seed=31, n_buckets=4)
+            .select("doc_id", "pack_bucket", "pack_bin", "pack_offset")
+            .orderBy("doc_id"))
+
+
 def q_text_langid(spark, sf_dir):
     """Text: heuristic language-ID vs labeled lang."""
     from raster_functions_spark import text
@@ -1994,6 +2023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snap_retention": q_snap_retention,
         "dedup_bloom": q_dedup_bloom,
         "text_pii": q_text_pii,
+        "text_chunks": q_text_chunks,
+        "text_pack": q_text_pack,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
         "text_repetition": q_text_repetition,
@@ -2039,16 +2070,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f14_remap": q_f14_remap,
         "f14_vector_field": q_f14_vector_field,
         "f15_cubism": q_f15_cubism,
-        "f15_chuck_close": q_f15_chuck_close,
-        "f3_arith_div": q_f3_arith_div,
         # ---- driver window boundary (50) — r5-green and the
         # freshest-stale keys below (rotate into r7; a10_fuzzy_mssmall,
         # j6_nearest_labels,
         # p3_mask_apply, p4_replace_nulls, p7_qa_clear,
         # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
-        # the curation-layer queries were registered, and
+        # the curation-layer queries were registered;
         # a6_month_synthesis + a7_percent_above_px when dedup_bloom +
-        # text_pii landed — all r2-r4 driver-green) ----
+        # text_pii landed; f15_chuck_close + f3_arith_div when
+        # text_chunks + text_pack landed — all r2-r4 driver-green) ----
+        "f15_chuck_close": q_f15_chuck_close,
+        "f3_arith_div": q_f3_arith_div,
         "a6_month_synthesis": q_a6_month_synthesis,
         "a7_percent_above_px": q_a7_percent_above_px,
         "a10_fuzzy_mssmall": q_a10_fuzzy_mssmall,
@@ -2609,6 +2641,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone,
                  md5(scrubbed) AS scrub_md5
           FROM s ORDER BY doc_id""",
+        "text_chunks": (
+            _text.chunk_tokens_sql("documents", max_tokens=32, overlap=8)
+            + " ORDER BY doc_id, chunk_idx"),
+        "text_pack": (
+            _sampling.pack_sql("documents", "n_chars", 4096, "doc_id", 31,
+                               "doc_id", n_buckets=4)
+            + " ORDER BY doc_id"),
         "text_quality": f"""
           WITH q AS (SELECT source, {_text.quality_sql('text')} FROM documents)
           SELECT source, COUNT(*) AS n,

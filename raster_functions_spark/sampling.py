@@ -355,3 +355,73 @@ SELECT {select_cols} FROM (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _pre
   FROM {table}) t
 WHERE _pre < {budget}"""
+
+
+# ---------------------------------------------------- sequence packing -----
+
+def pack_sequences(df: DataFrame, weight_col: str, capacity: int,
+                   key_col: str, seed: int, n_buckets: int = 1,
+                   bucket_col: str = "pack_bucket",
+                   bin_col: str = "pack_bin",
+                   offset_col: str = "pack_offset") -> DataFrame:
+    """Assign every row (document) to a fixed-capacity training bin —
+    GPT-style "concatenate then split" sequence packing, expressed as an
+    assignment instead of a materialized concat so the result stays
+    columnar: bin = floor(exclusive-prefix-weight / capacity), offset =
+    prefix − bin·capacity, rows ordered by the seeded (u60, key) draw.
+    A document whose weight straddles a boundary belongs to the bin its
+    FIRST token lands in (the trainer splits it across sequences, as
+    packing pipelines do); membership is a pure function of (key, seed),
+    so corpus re-runs are byte-stable.
+
+    Scale: the prefix sum is a window — a single global window would
+    funnel the corpus through one reducer, so rows are first hash-salted
+    into ``n_buckets`` independent packing streams (u60(key, seed+1) mod
+    n_buckets) and the window runs per bucket. Size n_buckets ≈
+    corpus/weight-per-task; each bucket packs independently, which is
+    exactly how production packing shards (pack within output shard,
+    never globally)."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    work = (df
+            .withColumn("_u60", u60_col(F.col(key_col), seed))
+            .withColumn(bucket_col,
+                        (u60_col(F.col(key_col), seed + 1)
+                         % F.lit(n_buckets)).cast("int")))
+    w = Window.partitionBy(bucket_col).orderBy("_u60", key_col)
+    pre = F.coalesce(
+        F.sum(weight_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    # integer div, not float: double division loses exactness once the
+    # running prefix passes 2^53 tokens (a real corpus does)
+    return (work.withColumn("_pre", pre)
+            .withColumn(bin_col, F.expr(f"_pre DIV {capacity}"))
+            .withColumn(offset_col,
+                        F.col("_pre") - F.col(bin_col) * capacity)
+            .drop("_u60", "_pre"))
+
+
+def pack_sql(table: str, weight_expr: str, capacity: int, key_col: str,
+             seed: int, select_cols: str, n_buckets: int = 1,
+             dialect: str = "duckdb") -> str:
+    """DuckDB replay of :func:`pack_sequences` (identical draw, bucket,
+    prefix sum, and boundary rule). ``select_cols`` must name the
+    pass-through columns explicitly ('*' would leak the helper
+    columns)."""
+    u = u60_sql(key_col, seed, dialect)
+    ub = u60_sql(key_col, seed + 1, dialect)
+    return f"""
+SELECT {select_cols},
+       CAST(_pb AS INT) AS pack_bucket,
+       CAST(_pre // {capacity} AS BIGINT) AS pack_bin,
+       CAST(_pre - (_pre // {capacity}) * {capacity} AS BIGINT)
+         AS pack_offset
+FROM (
+  SELECT *, ({ub} % {n_buckets}) AS _pb,
+         COALESCE(SUM({weight_expr}) OVER (
+             PARTITION BY ({ub} % {n_buckets})
+             ORDER BY {u}, {key_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _pre
+  FROM {table}) t"""

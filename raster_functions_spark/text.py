@@ -504,3 +504,59 @@ def pii_sql(text_expr: str) -> list[str]:
         cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
     out.append(f"{cur} AS scrubbed")
     return out
+
+
+# -------------------------------------- chunking for context windows -------
+
+def chunk_tokens(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", max_tokens: int = 64,
+                 overlap: int = 0) -> DataFrame:
+    """Split every document into context-window chunks of at most
+    ``max_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens — the standard pre-tokenization step that turns a
+    curated corpus into trainable sequences. Returns one row per chunk:
+    (id_col, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Pure SQL expressions (split / sequence / slice / explode — identical
+    list semantics in DuckDB), zero UDF, embarrassingly parallel: the
+    explode fans out inline with the scan, no shuffle. A document shorter
+    than ``max_tokens`` yields exactly one chunk (itself); the final
+    chunk is the remainder (never padded, never dropped)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = f"split({text_col}, ' ')"
+    nch = (f"greatest(CAST((size({toks}) - {overlap} + {step} - 1) "
+           f"DIV {step} AS INT), 1)")
+    return (df
+            .select(F.col(id_col),
+                    F.expr(f"explode(sequence(0, {nch} - 1))")
+                    .alias("chunk_idx"),
+                    F.col(text_col))
+            .select(id_col, "chunk_idx",
+                    F.expr(f"concat_ws(' ', slice({toks}, "
+                           f"chunk_idx * {step} + 1, {max_tokens}))")
+                    .alias("chunk_text"))
+            .withColumn("n_chunk_tokens",
+                        F.size(F.split(F.col("chunk_text"), " "))))
+
+
+def chunk_tokens_sql(table: str, text_expr: str = "text",
+                     id_col: str = "doc_id", max_tokens: int = 64,
+                     overlap: int = 0) -> str:
+    """DuckDB replay of :func:`chunk_tokens` (1-based inclusive list
+    slicing, same remainder/short-doc rules)."""
+    step = max_tokens - overlap
+    toks = f"string_split({text_expr}, ' ')"
+    nch = f"greatest((len({toks}) - {overlap} + {step} - 1) // {step}, 1)"
+    return f"""
+WITH c AS (
+  SELECT {id_col}, unnest(range(0, {nch})) AS chunk_idx, {text_expr} AS _t
+  FROM {table})
+SELECT {id_col}, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(string_split(_t, ' ')[chunk_idx * {step} + 1 :
+           chunk_idx * {step} + {max_tokens}], ' ') AS chunk_text,
+       CAST(len(string_split(array_to_string(string_split(_t, ' ')
+           [chunk_idx * {step} + 1 : chunk_idx * {step} + {max_tokens}],
+           ' '), ' ')) AS INT) AS n_chunk_tokens
+FROM c"""

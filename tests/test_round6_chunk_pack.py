@@ -1,0 +1,127 @@
+"""Round-6: context-window chunking (chunk_tokens) and sequence packing
+(pack_sequences) — edge rules, invariants, and DuckDB replay parity."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raster_functions_spark import sampling, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(rows)), "text": rows}))
+
+
+def test_chunk_tokens_edges(spark):
+    docs = _docs(spark, [
+        " ".join(f"t{i}" for i in range(10)),   # 10 toks → 3 chunks @4/1
+        "solo",                                  # 1 tok  → 1 chunk
+        "",                                      # empty  → 1 chunk of ''
+        " ".join(f"t{i}" for i in range(4)),     # exactly max_tokens
+    ])
+    out = (text.chunk_tokens(docs, max_tokens=4, overlap=1)
+           .orderBy("doc_id", "chunk_idx").collect())
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"]))
+    # step = 3: chunks start at tokens 0, 3, 6, 9
+    assert by[0] == [(0, "t0 t1 t2 t3", 4), (1, "t3 t4 t5 t6", 4),
+                     (2, "t6 t7 t8 t9", 4)]
+    assert by[1] == [(0, "solo", 1)]
+    assert by[2] == [(0, "", 1)]
+    # exactly max_tokens: ONE chunk — a second chunk would hold only the
+    # overlap tail, which the ceil((n-overlap)/step) count excludes
+    assert by[3] == [(0, "t0 t1 t2 t3", 4)]
+    with pytest.raises(ValueError):
+        text.chunk_tokens(docs, max_tokens=4, overlap=4)
+
+
+def test_chunk_tokens_coverage_property(spark):
+    # every token of every doc appears in ≥1 chunk at the right place:
+    # reassembling non-overlap parts reproduces the document
+    rows = [" ".join(f"w{j}" for j in range(n)) for n in (1, 5, 7, 24, 25)]
+    docs = _docs(spark, rows)
+    out = (text.chunk_tokens(docs, max_tokens=8, overlap=3)
+           .orderBy("doc_id", "chunk_idx").collect())
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r["chunk_text"].split(" "))
+    for i, rtext in enumerate(rows):
+        toks = rtext.split(" ")
+        rebuilt = list(by[i][0])
+        for ch in by[i][1:]:
+            assert rebuilt[-3:] == ch[:3]       # overlap agrees
+            rebuilt.extend(ch[3:])
+        assert rebuilt == toks
+
+
+def test_chunk_sql_parity_unicode(spark):
+    rows = ["ünï ☃ tok " * 5, "a  b", "x"]
+    docs = _docs(spark, rows)
+    eng = (text.chunk_tokens(docs, max_tokens=3, overlap=1)
+           .orderBy("doc_id", "chunk_idx").toPandas())
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(rows)),
+                                            "text": rows}))
+    ora = con.sql(text.chunk_tokens_sql("documents", max_tokens=3, overlap=1)
+                  + " ORDER BY doc_id, chunk_idx").df()
+    assert eng.reset_index(drop=True).equals(ora.reset_index(drop=True))
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(200), "w": [(i * 37) % 90 + 10 for i in range(200)]}))
+    out = (sampling.pack_sequences(df, "w", 128, "doc_id", seed=5,
+                                   n_buckets=3)
+           .select("doc_id", "w", "pack_bucket", "pack_bin", "pack_offset")
+           .collect())
+    assert len(out) == 200
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    assert set(by_bucket) <= {0, 1, 2}
+    for b, rows in by_bucket.items():
+        # replay the prefix walk: offset = prefix mod capacity,
+        # bin = prefix div capacity, in (u60, key) order
+        import hashlib
+        def u60(k, s):
+            return int(hashlib.md5(f"{k}:{s}".encode()).hexdigest()[:15], 16)
+        rows.sort(key=lambda r: (u60(r["doc_id"], 5), r["doc_id"]))
+        pre = 0
+        for r in rows:
+            assert r["pack_bin"] == pre // 128
+            assert r["pack_offset"] == pre % 128
+            pre += r["w"]
+        bins = [r["pack_bin"] for r in rows]
+        assert bins == sorted(bins)              # non-decreasing
+        assert bins[0] == 0                      # bins start at 0
+    with pytest.raises(ValueError):
+        sampling.pack_sequences(df, "w", 0, "doc_id", seed=5)
+    with pytest.raises(ValueError):
+        sampling.pack_sequences(df, "w", 128, "doc_id", seed=5, n_buckets=0)
+
+
+def test_pack_growth_stability(spark):
+    # adding new docs must never move an existing doc to a DIFFERENT
+    # relative position in its bucket stream (hash order is stable), so
+    # a doc's bin can only stay or grow as the corpus grows — and docs
+    # whose prefix was unaffected keep their exact (bin, offset)
+    base = pd.DataFrame({"doc_id": range(100),
+                         "w": [10 + (i % 7) for i in range(100)]})
+    grown = pd.concat([base, pd.DataFrame(
+        {"doc_id": range(100, 140),
+         "w": [10 + (i % 7) for i in range(100, 140)]})])
+    a = {r["doc_id"]: (r["pack_bucket"], r["pack_bin"], r["pack_offset"])
+         for r in sampling.pack_sequences(
+             spark.createDataFrame(base), "w", 64, "doc_id", seed=9,
+             n_buckets=2).collect()}
+    b = {r["doc_id"]: (r["pack_bucket"], r["pack_bin"], r["pack_offset"])
+         for r in sampling.pack_sequences(
+             spark.createDataFrame(grown), "w", 64, "doc_id", seed=9,
+             n_buckets=2).collect()}
+    moved_bucket = [k for k in a if a[k][0] != b[k][0]]
+    assert moved_bucket == []                    # bucket never changes
+    assert all(b[k][1] >= a[k][1] for k in a)    # bin monotone under growth
