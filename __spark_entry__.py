@@ -508,6 +508,28 @@ def q_sim_near_dup_pairs(spark, sf_dir):
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 
+def q_semdedup_corpus(spark, sf_dir):
+    """SemDeDup-style embedding-level corpus pruning (Abbas et al. 2023,
+    public): cosine near-dup pairs (≥0.4) over the 300 lowest vec_ids →
+    connected components (large-star/small-star) → keep the min-id
+    representative per semantic cluster → per-label rollup of the kept
+    corpus. The oracle replays the n² cosine join, the component pass as
+    a recursive CTE, and the keep-canonical election in one statement.
+    At scale the pair stage is the LSH-bucketed path (n_bits>0) — the
+    brute pairs here exist so the oracle is exhaustive."""
+    from raster_functions_spark import dedup, similarity
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = emb.orderBy("vec_id").limit(300)
+    pairs = (similarity.cosine_near_dup_pairs(emb, threshold=0.4,
+                                              limit_ids=300)
+             .select("id_a", "id_b"))
+    kept = dedup.dedup_keep_canonical(sub, pairs, id_col="vec_id")
+    return (kept.groupBy("label")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("vec_id").alias("sum_ids"))
+            .orderBy("label"))
+
+
 def q_m5_sarima(spark, sf_dir):
     """A11/M5 SeasonalARIMA: per-group CSS-fit SARIMA (1,0,0)×(1,0,0,24)+c
     over hourly event counts, 24-step forecast. The DuckDB oracle replays
@@ -2025,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_chunks": q_text_chunks,
         "text_pack": q_text_pack,
+        "semdedup_corpus": q_semdedup_corpus,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
         "text_repetition": q_text_repetition,
@@ -2069,7 +2092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_calculator": q_f13_calculator,
         "f14_remap": q_f14_remap,
         "f14_vector_field": q_f14_vector_field,
-        "f15_cubism": q_f15_cubism,
         # ---- driver window boundary (50) — r5-green and the
         # freshest-stale keys below (rotate into r7; a10_fuzzy_mssmall,
         # j6_nearest_labels,
@@ -2077,8 +2099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
         # the curation-layer queries were registered;
         # a6_month_synthesis + a7_percent_above_px when dedup_bloom +
-        # text_pii landed; f15_chuck_close + f3_arith_div when
-        # text_chunks + text_pack landed — all r2-r4 driver-green) ----
+        # text_pii landed; f15_cubism, f15_chuck_close + f3_arith_div
+        # when text_chunks/text_pack/semdedup_corpus landed — all r2-r4
+        # driver-green) ----
+        "f15_cubism": q_f15_cubism,
         "f15_chuck_close": q_f15_chuck_close,
         "f3_arith_div": q_f3_arith_div,
         "a6_month_synthesis": q_a6_month_synthesis,
@@ -2660,6 +2684,25 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n
             FROM documents GROUP BY 1)
           WHERE n > 1 ORDER BY canonical_id""",
+        "semdedup_corpus": f"""
+          WITH comp AS ({_dedup.components_sql('''
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 300) a
+            JOIN (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT 300) b
+              ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.4''')}),
+          e AS (SELECT vec_id, label FROM embeddings
+                ORDER BY vec_id LIMIT 300),
+          lab AS (SELECT e.vec_id, e.label,
+                         COALESCE(c.component_id, e.vec_id) AS cc
+                  FROM e LEFT JOIN comp c ON c.doc_id = e.vec_id),
+          keep AS (SELECT cc, MIN(vec_id) AS k FROM lab GROUP BY cc)
+          SELECT label, COUNT(*) AS n_kept, SUM(vec_id) AS sum_ids
+          FROM lab JOIN keep ON lab.vec_id = keep.k
+          GROUP BY label ORDER BY label""",
         "sim_near_dup_pairs": """
           WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
