@@ -732,9 +732,13 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 1 << 16,
     scatter of the ≤ m/64 sparse (word, value) rows. At the production
     batch size (10^7 keys, m = 2^30 ≈ 128 MiB) both the shuffle and the
     broadcast stay executor-friendly."""
-    pos = df.select(F.explode(F.array(
-        *bloom_positions_col(F.col(key_col), m_bits, k_hashes, seed, hashes)
-    )).alias("p"))
+    # NULL keys carry no membership information: drop them here (a NULL
+    # would otherwise become a NULL word index and kill the scatter) and
+    # bloom_might_contain reports them as non-members symmetrically
+    pos = (df.filter(F.col(key_col).isNotNull())
+           .select(F.explode(F.array(
+               *bloom_positions_col(F.col(key_col), m_bits, k_hashes,
+                                    seed, hashes))).alias("p")))
     # Arrow transfer + vectorized scatter: at production sizing the sparse
     # word set is millions of rows (m=2^29, 6M keys → ~7M nonzero words) —
     # row-at-a-time collect() costs ~30s there, toPandas ~1s
@@ -784,8 +788,13 @@ def bloom_might_contain(df: DataFrame, key_col: str, words: np.ndarray,
             acc &= ((w[p >> 6] >> (p & 63)) & 1).astype(bool)
         return pd.Series(acc)
 
-    return (df.withColumn("_bh1", h1).withColumn("_bh2", h2)
-            .withColumn(out_col, _hit("_bh1", "_bh2"))
+    # NULL keys are non-members by definition (mirrors bloom_build's
+    # null drop); coalescing the bases keeps the Arrow kernel all-int64
+    return (df.withColumn("_bh1", F.coalesce(h1, F.lit(0)))
+            .withColumn("_bh2", F.coalesce(h2, F.lit(1)))
+            .withColumn(out_col,
+                        F.when(F.col(key_col).isNull(), F.lit(False))
+                        .otherwise(_hit("_bh1", "_bh2")))
             .drop("_bh1", "_bh2"))
 
 

@@ -112,6 +112,25 @@ def test_bloom_dedup_batch_exact_despite_false_positives(spark):
     assert got == {0: False, 1: False, 2: True, 3: False, 4: True, 5: False}
 
 
+def test_bloom_null_keys(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    m, kh = 1 << 8, 3
+    words = dedup.bloom_build(df, "k", m, kh)       # nulls dropped
+    want = dedup.bloom_build(
+        spark.createDataFrame([("a",), ("b",)], "k string"), "k", m, kh)
+    assert (words == want).all()
+    got = {r["k"]: r["bloom_hit"] for r in
+           dedup.bloom_might_contain(df, "k", words, kh).collect()}
+    assert got["a"] is True and got["b"] is True and got[None] is False
+    out = dedup.bloom_dedup_batch(
+        spark.createDataFrame([(1, "a"), (2, None)], "doc_id long, k string"),
+        spark.createDataFrame([(9, "a"), (8, None)], "doc_id long, k string"),
+        "k", m_bits=m, k_hashes=kh)
+    got = {r["doc_id"]: r["is_dup"] for r in out.collect()}
+    # null keys never match anything, including other nulls
+    assert got == {1: True, 2: False}
+
+
 def test_bloom_validation_and_empty(spark):
     with pytest.raises(ValueError):
         dedup.bloom_positions_col(F.col("k"), 100, 3)  # not a mult of 64
