@@ -125,3 +125,83 @@ def test_pack_growth_stability(spark):
     moved_bucket = [k for k in a if a[k][0] != b[k][0]]
     assert moved_bucket == []                    # bucket never changes
     assert all(b[k][1] >= a[k][1] for k in a)    # bin monotone under growth
+
+
+# ------------------------------ hypothesis anchors (DuckDB vs python) ------
+# the Spark↔DuckDB parity is covered by the contract queries above; these
+# anchor the SHARED spec against an independent pure-python reference so
+# both engines can't be wrong together (same pattern as the union-find
+# anchor for connected components)
+
+import duckdb as _dd
+import hashlib as _hl
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abΩ☃x0", min_size=1, max_size=4)
+
+
+def _ref_chunks(tokens, max_tokens, overlap):
+    step = max_tokens - overlap
+    n = len(tokens)
+    out = []
+    i = 0
+    while True:
+        out.append(tokens[i * step:i * step + max_tokens])
+        if i * step + max_tokens >= n:
+            break
+        i += 1
+    # the formula keeps a trailing overlap-only chunk out; emulate by the
+    # same count rule
+    n_chunks = max(-(-(n - overlap) // step), 1)
+    return out[:n_chunks]
+
+
+@given(st.lists(st.lists(_WORD, min_size=1, max_size=30), min_size=1,
+                max_size=8),
+       st.integers(2, 9), st.integers(0, 3))
+@settings(max_examples=40, deadline=None)
+def test_chunk_sql_matches_python_reference(docs, max_tokens, overlap):
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    con = _dd.connect()
+    import pandas as pd
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": [" ".join(d) for d in docs]}))
+    got = con.sql(text.chunk_tokens_sql(
+        "documents", max_tokens=max_tokens, overlap=overlap)
+        + " ORDER BY doc_id, chunk_idx").fetchall()
+    want = []
+    for i, d in enumerate(docs):
+        for ci, ch in enumerate(_ref_chunks(d, max_tokens, overlap)):
+            want.append((i, ci, " ".join(ch), len(ch)))
+    assert got == want
+
+
+def _u60(k, s):
+    return int(_hl.md5(f"{k}:{s}".encode()).hexdigest()[:15], 16)
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=60, unique=True),
+       st.integers(1, 40), st.integers(1, 4), st.integers(0, 9))
+@settings(max_examples=40, deadline=None)
+def test_pack_sql_matches_python_reference(ids, capacity, n_buckets, seed):
+    import pandas as pd
+    ws = {k: (k * 13) % 29 + 1 for k in ids}
+    con = _dd.connect()
+    con.register("t", pd.DataFrame(
+        {"doc_id": ids, "w": [ws[k] for k in ids]}))
+    got = {r[0]: r[1:] for r in con.sql(sampling.pack_sql(
+        "t", "w", capacity, "doc_id", seed, "doc_id",
+        n_buckets=n_buckets)).fetchall()}
+    # python reference: bucket, then (u60, key) walk per bucket
+    want = {}
+    for b in range(n_buckets):
+        stream = sorted((k for k in ids
+                         if _u60(k, seed + 1) % n_buckets == b),
+                        key=lambda k: (_u60(k, seed), k))
+        pre = 0
+        for k in stream:
+            want[k] = (b, pre // capacity, pre % capacity)
+            pre += ws[k]
+    assert got == want
