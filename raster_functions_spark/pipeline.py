@@ -334,7 +334,7 @@ def start_flagship_incremental(stream_images: DataFrame, aoi: DataFrame,
         partials = _assigned_partials(assigned)
         vt.append_tables(
             {"partials": (partials.withColumn("_vb", vb).coalesce(1), "_vb")},
-            run_id=f"batch-{batch_id}")
+            run_id=f"{run_prefix}-{batch_id}")
         vt.maintain(batch_id, compact_every=compact_every,
                     expire_every=expire_every, keep_last=keep_last)
 

@@ -133,3 +133,23 @@ def test_sessionize_stream_drops_null_timestamps(spark, tmp_path):
     # by gap; user 2 (all-NULL) contributes nothing and nothing crashed
     assert [(r.user_id, r.n_events, r.closed_by) for r in rows] == \
         [(1, 1, "gap")]
+
+
+def test_flagship_incremental_honors_run_prefix(spark, tmp_path):
+    """start_flagship_incremental accepted run_prefix but hardcoded
+    'batch-<id>' run ids — two logical streams sharing a view table
+    would silently no-op each other's commits (the exact checkpoint
+    identity hazard the parameter exists to prevent)."""
+    from raster_functions_spark import fixtures, pipeline
+
+    images = fixtures.images_df(spark, 40)
+    aoi = fixtures.aoi_df(spark, 4)
+    src = str(tmp_path / "imgs")
+    images.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(images.schema).parquet(src)
+    vp = str(tmp_path / "view")
+    q = pipeline.start_flagship_incremental(
+        stream, aoi, vp, str(tmp_path / "ck"), run_prefix="streamA")
+    q.awaitTermination(120)
+    ids = [s["run_id"] for s in SnapshotTable(spark, vp).snapshots()]
+    assert ids == ["streamA-0"]
