@@ -93,14 +93,17 @@ def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
                             compact_every: int | None = None,
                             expire_every: int | None = None,
                             keep_last: int = 64,
-                            query_name: str = "pixel-composite-ingest"):
+                            query_name: str = "pixel-composite-ingest",
+                            run_prefix: str = "batch"):
     """Live per-PIXEL running mean composite (round 4): each microbatch of
     incoming acquisitions reduces to per-position [Σ, count] PARTIAL TILES
     (stack.mean_partial_tiles — the same map-side-combine algebra as the
     batch path) and commits them to a snapshot table with
-    run_id=batch-<id>, so a retried microbatch is a no-op and the partials
-    table is exactly-once. The composite is never rewritten; freshness =
-    one merge over the partials at read time (current_pixel_composite).
+    run_id=<run_prefix>-<id>, so a retried microbatch is a no-op and the
+    partials table is exactly-once (give each logical stream its own
+    run_prefix when the table can outlive its checkpoint). The
+    composite is never rewritten; freshness = one merge over the
+    partials at read time (current_pixel_composite).
     Scale shape: ingest work ∝ batch size, merge work ∝ positions — the
     raw acquisitions are never re-read. ``compact_every`` folds snapshot
     small-file compaction into the sink every N batches (exactly-once via
@@ -113,7 +116,7 @@ def start_pixel_mean_ingest(stream: DataFrame, table_path: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         partials = mean_partial_tiles(batch_df, group_cols, value_band,
                                       qa_band, clear_values)
-        table.append(partials, group_cols[0], run_id=f"batch-{batch_id}")
+        table.append(partials, group_cols[0], run_id=f"{run_prefix}-{batch_id}")
         # bounded small-file growth: every N batches, rewrite each value's
         # accreted file sets into one (op='compact' — skipped by
         # incremental readers, idempotent under retry via its own run_id)
