@@ -508,6 +508,30 @@ def q_sim_near_dup_pairs(spark, sf_dir):
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 
+def q_dedup_ingest(spark, sf_dir):
+    """Incremental corpus ingestion with dedup — the production
+    training-data loop: three crawl batches (source mod 3) ingest in
+    order into a snapshot corpus; each batch keeps only rows whose
+    normalized content key (md5 of the bag-of-words fingerprint) is
+    unseen — within-batch keep-first by doc_id, cross-batch
+    first-batch-wins, exactly-once commits, candidates verified against
+    ONLY their buckets of the persisted hash index under a Bloom
+    prefilter (the committed corpus is never re-read per batch). The
+    oracle replays the winner election as one window: min (batch_idx,
+    doc_id) per content key."""
+    import tempfile
+    from raster_functions_spark import dedup
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(dedup.bow_fingerprint_col("text"))
+    root = tempfile.mkdtemp(prefix="dedup_ingest_")
+    ing = dedup.DedupIngest(spark, root + "/corpus", key=key,
+                            m_bits=1 << 18, n_buckets=8)
+    bidx = F.substring("source", 4, 10).cast("int") % 3
+    for i in range(3):
+        ing.ingest(docs.filter(bidx == i), run_id=f"batch-{i}")
+    return ing.corpus().select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_semdedup_corpus(spark, sf_dir):
     """SemDeDup-style embedding-level corpus pruning (Abbas et al. 2023,
     public): cosine near-dup pairs (≥0.4) over the 300 lowest vec_ids →
@@ -2047,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_chunks": q_text_chunks,
         "text_pack": q_text_pack,
+        "dedup_ingest": q_dedup_ingest,
         "semdedup_corpus": q_semdedup_corpus,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
@@ -2684,6 +2709,17 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n
             FROM documents GROUP BY 1)
           WHERE n > 1 ORDER BY canonical_id""",
+        "dedup_ingest": f"""
+          WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(substr(source, 4) AS INT) % 3 AS bidx,
+                   md5({_dedup.bow_fingerprint_sql('text')}) AS h
+            FROM documents),
+          r AS (
+            SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY h ORDER BY bidx, doc_id) AS rn
+            FROM d)
+          SELECT doc_id, lang FROM r WHERE rn = 1 ORDER BY doc_id""",
         "semdedup_corpus": f"""
           WITH comp AS ({_dedup.components_sql('''
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -830,3 +830,122 @@ def bow_fingerprint_col(text_col: str):
 def bow_fingerprint_sql(text_expr: str) -> str:
     return (f"array_to_string(list_sort(list_distinct("
             f"string_split({text_expr}, ' '))), ' ')")
+
+
+# ------------------------------------------- incremental corpus ingest -----
+#
+# The production training-data loop: crawl batches arrive continuously,
+# only NOVEL documents (content key unseen in the committed corpus) may
+# land, retries must be no-ops, and the committed corpus must never be
+# re-read per batch. Design:
+#
+#   corpus snapshot table (exactly-once, time-travel)
+#   ├── docs   — the deduplicated corpus rows, bucket-partitioned
+#   └── hashes — (content_hash, bucket) index, SAME buckets
+#   + an in-memory Bloom cache of the committed hashes (pure cache:
+#     rebuilt from the index at stream start, OR-folded per batch)
+#
+# Per batch: within-batch keep-first → Bloom probe (map-only) splits the
+# batch into definitely-novel rows and candidates → candidates verify by
+# anti-join against ONLY their buckets of the hash index (manifest-level
+# partition pruning — the index scan is ∝ candidate buckets, the corpus
+# itself is never touched) → one ATOMIC commit of (docs, hashes). A
+# replayed batch no-ops twice over: run_id dedup at the commit layer,
+# and every row already being in the index. Bloom staleness in either
+# direction is harmless — false positives fall to the exact verify,
+# false negatives cannot exist for committed rows after the start-up
+# rebuild, and an uncommitted-row bit (crash between bloom fold and a
+# failed commit) only produces extra candidates.
+
+class DedupIngest:
+    """Incremental exactly-once dedup ingestion into a snapshot corpus.
+
+    ``key`` is the content identity (default md5 of ``text_col``; pass a
+    normalized key Column — e.g. md5(bow_fingerprint) — for near-exact
+    ingestion). ``n_buckets`` sets the hash-index partition fan-out: the
+    verify join reads only candidate buckets, but every commit writes up
+    to n_buckets files per dataset, so size it to corpus scale (64-1024
+    in production), not to batch scale."""
+
+    def __init__(self, spark, corpus_path: str, text_col: str = "text",
+                 id_col: str = "doc_id", key=None,
+                 m_bits: int = 1 << 22, k_hashes: int = 5,
+                 n_buckets: int = 16, seed: int = BLOOM_SEED):
+        from .snapshots import SnapshotTable
+        self.spark, self.text_col, self.id_col = spark, text_col, id_col
+        self.key = key if key is not None else F.md5(F.col(text_col))
+        self.m_bits, self.k_hashes, self.seed = m_bits, k_hashes, seed
+        self.n_buckets = n_buckets
+        self.table = SnapshotTable(spark, corpus_path)
+        if self.table.current_id is not None:
+            self.words = bloom_build(
+                self.table.read(table="hashes").select("content_hash"),
+                "content_hash", m_bits, k_hashes, seed)
+        else:
+            self.words = np.zeros(m_bits >> 6, dtype=np.int64)
+
+    def _bucket(self, c):
+        return F.pmod(F.xxhash64(c), F.lit(self.n_buckets)).cast("long")
+
+    def ingest(self, batch_df: DataFrame, run_id: str) -> dict:
+        """Commit the batch's novel rows; returns counters. Deterministic
+        given (committed state, batch, run_id) — the streaming sink and
+        batch backfills share this exact path."""
+        b = (batch_df
+             .withColumn("content_hash", self.key)
+             .withColumn("_bkt", self._bucket(F.col("content_hash"))))
+        w = Window.partitionBy("content_hash").orderBy(self.id_col)
+        b = (b.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+        probed = bloom_might_contain(b, "content_hash", self.words,
+                                     self.k_hashes, self.seed)
+        cand = probed.filter(F.col("bloom_hit")).drop("bloom_hit")
+        fresh = probed.filter(~F.col("bloom_hit")).drop("bloom_hit")
+        if self.table.current_id is not None:
+            buckets = [r["_bkt"] for r in
+                       cand.select("_bkt").distinct().collect()]
+            if buckets:
+                idx = self.table.read(
+                    table="hashes",
+                    partition_values=[str(x) for x in buckets]
+                ).select("content_hash")
+                cand = cand.join(idx, "content_hash", "left_anti")
+        novel = fresh.unionByName(cand).localCheckpoint(eager=True)
+        n_novel = novel.count()
+        self.table.append_tables(
+            {"docs": (novel, "_bkt"),
+             "hashes": (novel.select("content_hash", "_bkt"), "_bkt")},
+            run_id=run_id)
+        # fold into the cache AFTER the commit (idempotent OR; a crash in
+        # between leaves only harmless extra candidates on replay)
+        self.words |= bloom_build(novel.select("content_hash"),
+                                  "content_hash", self.m_bits,
+                                  self.k_hashes, self.seed)
+        return {"batch_rows": batch_df.count(), "novel": n_novel}
+
+    def corpus(self) -> DataFrame:
+        """The deduplicated corpus as committed (current snapshot)."""
+        return self.table.read(table="docs").drop("_bkt")
+
+
+def start_dedup_ingest(stream: DataFrame, corpus_path: str, checkpoint: str,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       key=None, m_bits: int = 1 << 22, k_hashes: int = 5,
+                       n_buckets: int = 16,
+                       compact_every: int | None = None,
+                       expire_every: int | None = None, keep_last: int = 64,
+                       query_name: str = "dedup-ingest",
+                       run_prefix: str = "batch"):
+    """Streaming wrapper over :class:`DedupIngest`: one exactly-once
+    commit per microbatch (run_id=<run_prefix>-<id>), novel rows only."""
+    ing = DedupIngest(stream.sparkSession, corpus_path, text_col, id_col,
+                      key, m_bits, k_hashes, n_buckets)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ing.ingest(batch_df, run_id=f"{run_prefix}-{batch_id}")
+        ing.table.maintain(batch_id, compact_every=compact_every,
+                           expire_every=expire_every, keep_last=keep_last)
+
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name).trigger(availableNow=True).start())
