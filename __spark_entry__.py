@@ -2116,7 +2116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_unmixing": q_f11_unmixing,
         "f13_calculator": q_f13_calculator,
         "f14_remap": q_f14_remap,
-        "f14_vector_field": q_f14_vector_field,
         # ---- driver window boundary (50) — r5-green and the
         # freshest-stale keys below (rotate into r7; a10_fuzzy_mssmall,
         # j6_nearest_labels,
@@ -2124,9 +2123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
         # the curation-layer queries were registered;
         # a6_month_synthesis + a7_percent_above_px when dedup_bloom +
-        # text_pii landed; f15_cubism, f15_chuck_close + f3_arith_div
-        # when text_chunks/text_pack/semdedup_corpus landed — all r2-r4
-        # driver-green) ----
+        # text_pii landed; f14_vector_field..f3_arith_div when
+        # text_chunks/text_pack/semdedup_corpus/dedup_ingest landed —
+        # all r2-r4 driver-green) ----
+        "f14_vector_field": q_f14_vector_field,
         "f15_cubism": q_f15_cubism,
         "f15_chuck_close": q_f15_chuck_close,
         "f3_arith_div": q_f3_arith_div,
