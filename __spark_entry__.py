@@ -431,6 +431,18 @@ def q_text_pack(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_text_unigram_ppl(spark, sf_dir):
+    """Text: CCNet-style LM quality proxy — per-doc mean negative
+    log-likelihood under the corpus's OWN unigram distribution (rare/
+    garbled tokens rank high, fluent boilerplate low). Pure relational:
+    explode → corpus-wide (tok, count) aggregate → join back → per-doc
+    mean; two shuffles, zero UDF. Self-trained, so scores are relative
+    ranks — exactly how the filter is applied in curation."""
+    from raster_functions_spark import text
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_nll(docs).orderBy("doc_id")
+
+
 def q_text_langid(spark, sf_dir):
     """Text: heuristic language-ID vs labeled lang."""
     from raster_functions_spark import text
@@ -2073,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": q_text_pack,
         "dedup_ingest": q_dedup_ingest,
         "semdedup_corpus": q_semdedup_corpus,
+        "text_unigram_ppl": q_text_unigram_ppl,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
         "text_repetition": q_text_repetition,
@@ -2115,7 +2128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f8_vineyard": q_f8_vineyard,
         "f11_unmixing": q_f11_unmixing,
         "f13_calculator": q_f13_calculator,
-        "f14_remap": q_f14_remap,
         # ---- driver window boundary (50) — r5-green and the
         # freshest-stale keys below (rotate into r7; a10_fuzzy_mssmall,
         # j6_nearest_labels,
@@ -2123,9 +2135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
         # the curation-layer queries were registered;
         # a6_month_synthesis + a7_percent_above_px when dedup_bloom +
-        # text_pii landed; f14_vector_field..f3_arith_div when
-        # text_chunks/text_pack/semdedup_corpus/dedup_ingest landed —
-        # all r2-r4 driver-green) ----
+        # text_pii landed; f14_remap..f3_arith_div when the r6-session-2
+        # curation queries (text_chunks/text_pack/semdedup_corpus/
+        # dedup_ingest/text_unigram_ppl) landed — all r2-r4
+        # driver-green) ----
+        "f14_remap": q_f14_remap,
         "f14_vector_field": q_f14_vector_field,
         "f15_cubism": q_f15_cubism,
         "f15_chuck_close": q_f15_chuck_close,
@@ -2697,6 +2711,8 @@ def oracle_sql() -> dict[str, str]:
             _sampling.pack_sql("documents", "n_chars", 4096, "doc_id", 31,
                                "doc_id", n_buckets=4)
             + " ORDER BY doc_id"),
+        "text_unigram_ppl": (
+            _text.unigram_nll_sql("documents") + " ORDER BY doc_id"),
         "text_quality": f"""
           WITH q AS (SELECT source, {_text.quality_sql('text')} FROM documents)
           SELECT source, COUNT(*) AS n,

@@ -560,3 +560,47 @@ SELECT {id_col}, CAST(chunk_idx AS INT) AS chunk_idx,
            [chunk_idx * {step} + 1 : chunk_idx * {step} + {max_tokens}],
            ' '), ' ')) AS INT) AS n_chunk_tokens
 FROM c"""
+
+
+# --------------------------------------- unigram LM quality (CCNet-ish) ----
+
+def unigram_nll(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram distribution — the relational proxy for CCNet-style LM
+    quality filtering (documents full of rare/garbled tokens score
+    high, fluent boilerplate scores low; threshold or stratify on it).
+    Returns (id_col, n_tokens, nll): nll = mean over token occurrences
+    of −ln(count(tok)/total_tokens), rounded to 6 places.
+
+    Pure relational plan: one explode → corpus-wide (tok, count)
+    aggregate → join back on tok → per-doc mean. Two shuffles (tok,
+    then doc id), zero UDF; the unigram table shuffles rather than
+    broadcasting because at crawl scale the vocabulary is 10^8+ rows.
+    Self-trained: scores are RELATIVE ranks within this corpus, which
+    is how the filter is used."""
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+    vocab = toks.groupBy("_tok").agg(F.count("*").alias("_c"))
+    total = toks.count()
+    return (toks.join(vocab, "_tok")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg(-F.log(F.col("_c") / F.lit(float(total)))), 6)
+                 .alias("nll")))
+
+
+def unigram_nll_sql(table: str, text_expr: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """DuckDB replay of :func:`unigram_nll` (same tokenization, same
+    corpus-trained unigram distribution)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split({text_expr}, ' ')) AS tok
+  FROM {table}),
+vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT {id_col}, COUNT(*) AS n_tokens,
+       ROUND(AVG(-ln(c * 1.0 / tot.n)), 6) AS nll
+FROM toks JOIN vocab USING (tok), tot
+GROUP BY {id_col}, tot.n"""
