@@ -801,7 +801,6 @@ def bloom_might_contain(df: DataFrame, key_col: str, words: np.ndarray,
 def bloom_dedup_batch(batch: DataFrame, corpus: DataFrame, key_col: str,
                       m_bits: int = 1 << 16, k_hashes: int = 5,
                       seed: int = BLOOM_SEED,
-                      id_col: str = "doc_id",
                       hashes: str = "md5") -> DataFrame:
     """Batch rows annotated ``is_dup`` (its key already in the corpus),
     computed without ever shuffling the corpus: bloom(batch) filters the

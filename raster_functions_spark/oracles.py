@@ -866,7 +866,7 @@ SELECT CAST(x // {tile} AS INT) AS tx, CAST(y // {tile} AS INT) AS ty,
 FROM m GROUP BY 1, 2 ORDER BY tx, ty"""
 
 
-def calculator_sql(n_images: int, expr: str = None) -> str:
+def calculator_sql(n_images: int) -> str:
     """f13_calculator oracle: the RasterCalculator expression
     Sin(a)·Cos(b) + Sqrt(Abs(a−b)) over [red, nir]."""
     return f"""
