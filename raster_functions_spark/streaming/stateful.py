@@ -52,7 +52,15 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
     abandoned session would sit in state forever.
 
     Matches the batch ``sessionize`` contract semantics: a session's
-    events are those with inter-event gaps ≤ gap_sec."""
+    events are those with inter-event gaps ≤ gap_sec.
+
+    Late-data contract: a late event within ``gap_sec`` of the open
+    session merges (session bounds expand to include it); a late event
+    that should have belonged to an ALREADY-CLOSED session cannot
+    re-open history — there is one open session per key in state, which
+    is the standard streaming trade-off. When exact late-data semantics
+    matter, run the batch ``sessionize`` as a backfill over the full
+    event log (same formula, same output schema)."""
     gap_us = gap_sec * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
@@ -84,7 +92,12 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
                             "closed_by": "gap"})
                 start_us, last_us, n = ts, ts, 1
             else:
+                # a late event may predate the open session (cross-batch
+                # arrival order is not guaranteed): bounds expand to
+                # include it rather than leaving session_start after an
+                # event the session counted
                 last_us = max(last_us, ts)
+                start_us = min(start_us, ts)
                 n += 1
         if start_us is not None:     # all-NULL batch with no prior state:
             state.update((start_us, last_us, n))  # nothing to remember

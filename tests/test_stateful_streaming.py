@@ -168,3 +168,37 @@ def test_streaming_composite_auto_compaction(spark, tmp_path):
     assert all(len(fs) == 1 for fs in by_val.values())
     out = composites.current_pixel_composite(spark, tpath).collect()
     assert out[0]["n_rasters"] == 6
+
+
+def test_sessionize_stream_backward_late_event_expands_bounds(spark, tmp_path):
+    """A late event that predates the OPEN session (but within gap of its
+    last event) must expand session_start backward, not leave the start
+    after a counted event."""
+    src = tmp_path / "ev_late"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    b1 = pd.DataFrame({"user_id": [7], "ts": [base + 10 * m]})
+    # arrives later but happened EARLIER (10 min before the open start)
+    b2 = pd.DataFrame({"user_id": [7, 7],
+                       "ts": [base, base + 60 * m]})   # 60m > 30m gap? no:
+    # gap is measured against last seen (10m): base is 10m earlier (merge),
+    # base+60m is 50m after 10m -> closes the session
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sessions = stateful.sessionize_stream(stream, gap_sec=1800,
+                                          idle_timeout_sec=None)
+    q = (sessions.writeStream.outputMode("update").format("memory")
+         .queryName("late_out")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("late_out").toPandas()
+    closed = out[out.closed_by == "gap"]
+    assert len(closed) == 1
+    r = closed.iloc[0]
+    assert r["session_start"] == base          # expanded backward
+    assert r["session_end"] == base + 10 * m
+    assert r["n_events"] == 2
