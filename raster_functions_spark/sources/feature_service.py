@@ -39,6 +39,11 @@ def zones_from_json(spark: SparkSession, src: str) -> DataFrame:
             zmin, zmax, zval = (list(iv) + [None, None, None])[:3]
             rows.append({"zone_id": int(zone_id), "zmin": zmin,
                          "zmax": zmax, "zval": zval})
+    if not rows:
+        # an empty zone map is a legal payload ("{}") — schema explicit,
+        # since pandas-inference on an empty frame raises
+        return spark.createDataFrame(
+            [], "zone_id long, zmin double, zmax double, zval double")
     pdf = pd.DataFrame(rows, columns=["zone_id", "zmin", "zmax", "zval"])
     return spark.createDataFrame(pdf.astype({"zmin": "float64", "zmax": "float64",
                                              "zval": "float64"}))
@@ -81,6 +86,26 @@ def features_from_service_json(spark: SparkSession, payload: str | dict,
             row["xmin"] = min(xs); row["xmax"] = max(xs)
             row["ymin"] = min(ys); row["ymax"] = max(ys)
         rows.append(row)
+    if not rows:
+        # a zero-feature response is a routine service answer (a where=
+        # that matched nothing): build the schema from the response's own
+        # "fields" metadata instead of crashing pandas inference
+        fields = doc.get("fields") or []
+        if not fields:
+            raise ValueError(
+                "feature response has no features and no fields metadata "
+                "— cannot derive a schema for the empty result")
+        _T = {"esriFieldTypeOID": "long", "esriFieldTypeInteger": "long",
+              "esriFieldTypeSmallInteger": "long",
+              "esriFieldTypeDouble": "double", "esriFieldTypeSingle": "double",
+              "esriFieldTypeString": "string", "esriFieldTypeDate": "long"}
+        schema = ", ".join(
+            f"{f_['name']} {_T.get(f_.get('type'), 'string')}"
+            for f_ in fields)
+        df = spark.createDataFrame([], schema)
+        if where:
+            df = df.where(where)
+        return df
     # normalize the column set across geometry types BEFORE pandas fills
     # gaps with NaN: a float NaN in a ring-array column makes Spark's
     # schema merge fail (Double vs Array) — None infers as null instead,
@@ -113,6 +138,10 @@ def envelope_filter(df: DataFrame, xmin: float, ymin: float,
         return df.where(F.when(F.col("xmin").isNotNull(), poly).otherwise(pt))
     if poly is not None:
         return df.where(poly)
+    if pt is None:
+        raise ValueError(
+            "envelope_filter needs point (x, y) or bbox "
+            "(xmin/ymin/xmax/ymax) columns; the frame has neither")
     return df.where(pt)
 
 

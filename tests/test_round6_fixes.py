@@ -254,3 +254,29 @@ def test_zonal_remap_col_explicit_ordinal_survives_shuffle(spark):
     out = spatial.zonal_remap_col(df, zones, "v", ordinal_col="ord").toPandas()
     got = {(int(r.zone_id), r.v): r.v_remap for r in out.itertuples()}
     assert got == {(1, 5.0): 300.0, (1, 7.0): 200.0, (2, 5.0): 255.0}
+
+
+def test_feature_service_empty_edges(spark):
+    """Zero-feature responses and empty zone maps are routine service
+    answers — they must yield typed empty frames, not pandas-inference
+    crashes."""
+    import json
+    import pytest
+    from raster_functions_spark.sources import feature_service as fs
+
+    z = fs.zones_from_json(spark, "{}")
+    assert z.count() == 0
+    assert [f.name for f in z.schema.fields] == ["zone_id", "zmin",
+                                                 "zmax", "zval"]
+    doc = {"fields": [{"name": "OBJECTID", "type": "esriFieldTypeOID"},
+                      {"name": "name", "type": "esriFieldTypeString"},
+                      {"name": "area", "type": "esriFieldTypeDouble"}],
+           "features": []}
+    df = fs.features_from_service_json(spark, doc, where="area > 0")
+    assert df.count() == 0
+    assert dict(df.dtypes) == {"OBJECTID": "bigint", "name": "string",
+                               "area": "double"}
+    with pytest.raises(ValueError, match="fields metadata"):
+        fs.features_from_service_json(spark, {"features": []})
+    with pytest.raises(ValueError, match="neither"):
+        fs.envelope_filter(spark.range(3), 0, 0, 1, 1)
