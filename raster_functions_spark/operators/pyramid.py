@@ -87,8 +87,10 @@ def build_pyramid(df: DataFrame, tile: int, levels: int,
 def select_level(levels: list[DataFrame], request_cellsize: float,
                  base_cellsize: float) -> DataFrame:
     """Pick the pyramid level for a request resolution — the engine-side
-    analog of SelectByPixelSize (J8, SelectByPixelSize.py:50-95): finest
-    level whose cellsize ≥ request (else level 0)."""
+    analog of SelectByPixelSize (J8, SelectByPixelSize.py:50-95): the
+    COARSEST level still at least as fine as the request (cellsize =
+    base·2^lvl ≤ request_cellsize via floor(log2)), level 0 when the
+    request is finer than the base."""
     import math
     if request_cellsize <= base_cellsize:
         return levels[0]
