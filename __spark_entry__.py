@@ -1293,6 +1293,21 @@ def q_mm_resize(spark, sf_dir):
             .orderBy("tx", "ty"))
 
 
+def q_mm_augment(spark, sf_dir):
+    """Multimodal augmentation: seeded deterministic random-crop (32→16)
+    + h/v flips per tile, every decision one md5-u60 draw the DuckDB
+    oracle replays — no RNG to disagree on, re-runs reproduce old
+    augmentations exactly (training-data reproducibility). One fused
+    mapInPandas, map-only."""
+    from raster_functions_spark import fixtures, multimodal
+    from raster_functions_spark.raster import tile_stats
+    dem = fixtures.dem_scene_df(spark, "sceneAug", 2, 2, 32, dtype="f8")
+    aug = multimodal.augment_tiles(dem, 16, 16, fmt_out="raw")
+    out = tile_stats(aug, [], {"sum_v": _px_sum}, keep_cols=["tx", "ty"])
+    return (out.select("tx", "ty", F.round("sum_v", 5).alias("sum_v"))
+            .orderBy("tx", "ty"))
+
+
 def q_mm_decode_png(spark, sf_dir):
     """Multimodal PNG ingest: a binary column of real PNG payloads (filter
     types 0-4 cycling) decoded by the from-scratch decoder (formats.py:
@@ -2086,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ingest": q_dedup_ingest,
         "semdedup_corpus": q_semdedup_corpus,
         "text_unigram_ppl": q_text_unigram_ppl,
+        "mm_augment": q_mm_augment,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
         "text_repetition": q_text_repetition,
@@ -2127,7 +2143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
         "f8_vineyard": q_f8_vineyard,
         "f11_unmixing": q_f11_unmixing,
-        "f13_calculator": q_f13_calculator,
         # ---- driver window boundary (50) — r5-green and the
         # freshest-stale keys below (rotate into r7; a10_fuzzy_mssmall,
         # j6_nearest_labels,
@@ -2135,10 +2150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s3_feature_envelope, s6_latitude, s7_catalog slid past 50 when
         # the curation-layer queries were registered;
         # a6_month_synthesis + a7_percent_above_px when dedup_bloom +
-        # text_pii landed; f14_remap..f3_arith_div when the r6-session-2
+        # text_pii landed; f13_calculator..f3_arith_div when the r6-session-2
         # curation queries (text_chunks/text_pack/semdedup_corpus/
-        # dedup_ingest/text_unigram_ppl) landed — all r2-r4
+        # dedup_ingest/text_unigram_ppl/mm_augment) landed — all r2-r4
         # driver-green) ----
+        "f13_calculator": q_f13_calculator,
         "f14_remap": q_f14_remap,
         "f14_vector_field": q_f14_vector_field,
         "f15_cubism": q_f15_cubism,
@@ -2326,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
         "s7_catalog": _orc.catalog_sql(400),
         "p7_qa_clear": _orc.qa_clear_sql(400),
         "mm_resize": _orc.resize_sql(2, 2, 32, 8, 8),
+        "mm_augment": _orc.augment_sql(2, 2, 32, 16, 16),
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),
         "mm_quarantine": _orc.mm_quarantine_sql(84, 7),

@@ -334,3 +334,71 @@ def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def augment_tiles(df: DataFrame, crop_h: int, crop_w: int,
+                  bytes_col: str = "bytes", seed: int = 7,
+                  id_cols: tuple[str, str] = ("tx", "ty"),
+                  fmt_out: str = "zlib") -> DataFrame:
+    """Deterministic per-image augmentation for vision training pipelines:
+    seeded random crop to (crop_h, crop_w) plus horizontal/vertical flip,
+    all decisions derived from ONE md5-u60 draw over the image identity —
+    the same draw is computable in DuckDB, so the oracle re-derives every
+    output pixel (no RNG to disagree on), and re-running the pipeline on
+    a grown corpus reproduces old augmentations exactly. Decision layout
+    (exact integer ops, replayable):
+
+      u      = u60(id, seed)
+      hflip  = u % 2,  vflip = (u // 2) % 2
+      oy     = (u // 4) % (h − crop_h + 1)
+      ox     = (u // 4096) % (w − crop_w + 1)
+      out[r, c] = px[oy + (vflip ? crop_h−1−r : r),
+                     ox + (hflip ? crop_w−1−c : c)]
+
+    One fused mapInPandas (decode → crop/flip → encode), map-only."""
+    from .sampling import u60_col
+    keep = [c for c in df.columns if c not in (bytes_col, "w", "h")]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField("bytes", T.BinaryType()),
+           T.StructField("w", T.IntegerType()),
+           T.StructField("h", T.IntegerType()),
+           T.StructField("hflip", T.BooleanType()),
+           T.StructField("vflip", T.BooleanType()),
+           T.StructField("oy", T.IntegerType()),
+           T.StructField("ox", T.IntegerType())])
+    key = F.concat_ws(",", *[F.col(c).cast("string") for c in id_cols])
+    work = df.withColumn("_aug_u", u60_col(key, seed))
+
+    def run(batches):
+        for pdf in batches:
+            bufs, hfs, vfs, oys, oxs = [], [], [], [], []
+            for b, u in zip(pdf[bytes_col], pdf["_aug_u"]):
+                px = codec.decode(bytes(b))
+                bands, h, w = px.shape
+                if crop_h > h or crop_w > w:
+                    raise ValueError(
+                        f"crop {crop_h}x{crop_w} exceeds tile {h}x{w}")
+                u = int(u)
+                hf, vf = bool(u % 2), bool((u // 2) % 2)
+                oy = (u // 4) % (h - crop_h + 1)
+                ox = (u // 4096) % (w - crop_w + 1)
+                out = px[:, oy:oy + crop_h, ox:ox + crop_w]
+                if vf:
+                    out = out[:, ::-1, :]
+                if hf:
+                    out = out[:, :, ::-1]
+                bufs.append(codec.encode(
+                    np.ascontiguousarray(out.astype(np.float32)), fmt_out))
+                hfs.append(hf); vfs.append(vf); oys.append(oy); oxs.append(ox)
+            o = pdf[keep].copy()
+            o["bytes"] = bufs
+            o["w"] = np.int32(crop_w)
+            o["h"] = np.int32(crop_h)
+            o["hflip"] = hfs
+            o["vflip"] = vfs
+            o["oy"] = np.int32(oys)
+            o["ox"] = np.int32(oxs)
+            yield o
+
+    return work.mapInPandas(run, schema=out_schema)

@@ -1800,3 +1800,41 @@ WITH imgs AS (
 SELECT 'Landsat-8' AS sensor, 'WGS84' AS datum,
        0.48 AS band0_wavelength, fmt, COUNT(*) AS n
 FROM imgs GROUP BY fmt ORDER BY fmt"""
+
+
+def augment_sql(tiles_x: int, tiles_y: int, tile: int,
+                crop_h: int, crop_w: int, seed: int = 7) -> str:
+    """mm_augment oracle: re-derive every augmented pixel of the f8 DEM
+    fixture — the seeded decision draw (multimodal.augment_tiles layout:
+    hflip = u%2, vflip = (u//2)%2, oy = (u//4)%(h−ch+1),
+    ox = (u//4096)%(w−cw+1)) replays through the same md5-u60 the engine
+    computes, then the source-pixel index math inverts the crop+flips.
+    f32 storage (CAST to FLOAT then DOUBLE) matches the engine encode."""
+    from .sampling import u60_sql
+    key = f"(CAST(tx AS VARCHAR) || ',' || CAST(ty AS VARCHAR))"
+    u = u60_sql(key, seed)
+    return f"""
+WITH tiles AS (
+  SELECT t1.tx AS tx, t2.ty AS ty, {u} AS u
+  FROM generate_series(0, {tiles_x - 1}) t1(tx),
+       generate_series(0, {tiles_y - 1}) t2(ty)),
+d AS (
+  SELECT tx, ty,
+         u % 2 AS hf, (u // 2) % 2 AS vf,
+         (u // 4) % ({tile} - {crop_h} + 1) AS oy,
+         (u // 4096) % ({tile} - {crop_w} + 1) AS ox
+  FROM tiles),
+og AS (
+  SELECT d.*, r.r AS r, c.c AS c
+  FROM d, generate_series(0, {crop_h - 1}) r(r),
+       generate_series(0, {crop_w - 1}) c(c)),
+px AS (
+  SELECT tx, ty,
+         CAST({dem_z_sql(
+             f"tx * {tile} + ox + CASE WHEN hf = 1 THEN {crop_w} - 1 - c ELSE c END",
+             f"ty * {tile} + oy + CASE WHEN vf = 1 THEN {crop_h} - 1 - r ELSE r END")}
+              AS FLOAT) AS v
+  FROM og)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       ROUND(SUM(CAST(v AS DOUBLE)), 5) AS sum_v
+FROM px GROUP BY 1, 2 ORDER BY tx, ty"""

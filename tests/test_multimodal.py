@@ -58,3 +58,38 @@ def test_frame_sample(spark):
     assert (out.bands == 3).all()
     px = codec.decode(bytes(out.iloc[0]["bytes"]))
     assert px.shape[0] == 3
+
+
+def test_augment_tiles_matches_python_replay(spark):
+    import hashlib
+    import numpy as np
+    from raster_functions_spark import codec, fixtures, multimodal
+
+    dem = fixtures.dem_scene_df(spark, "sceneT", 2, 2, 32, dtype="f8")
+    orig = {(r["tx"], r["ty"]): codec.decode(bytes(r["bytes"]))
+            for r in dem.collect()}
+    out = multimodal.augment_tiles(dem, 16, 12, seed=7,
+                                   fmt_out="raw").collect()
+    assert len(out) == 4
+    for r in out:
+        u = int(hashlib.md5(
+            f"{r['tx']},{r['ty']}:7".encode()).hexdigest()[:15], 16)
+        hf, vf = bool(u % 2), bool((u // 2) % 2)
+        oy, ox = (u // 4) % (32 - 16 + 1), (u // 4096) % (32 - 12 + 1)
+        assert (r["hflip"], r["vflip"], r["oy"], r["ox"]) == (hf, vf, oy, ox)
+        want = orig[(r["tx"], r["ty"])][:, oy:oy + 16, ox:ox + 12]
+        if vf:
+            want = want[:, ::-1, :]
+        if hf:
+            want = want[:, :, ::-1]
+        got = codec.decode(bytes(r["bytes"]))
+        assert got.shape == want.shape == (1, 16, 12)
+        assert np.allclose(got, want.astype(np.float32))
+    # determinism: same seed → identical bytes; different seed → different
+    a = {(r["tx"], r["ty"]): bytes(r["bytes"]) for r in out}
+    b = {(r["tx"], r["ty"]): bytes(r["bytes"]) for r in
+         multimodal.augment_tiles(dem, 16, 12, seed=7, fmt_out="raw").collect()}
+    assert a == b
+    import pytest
+    with pytest.raises(Exception):
+        multimodal.augment_tiles(dem, 64, 64).collect()
