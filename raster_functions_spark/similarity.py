@@ -488,11 +488,16 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
 # ----------------------------------------------- persistent IVF index ------
 
 def _assign_lists(corpus: DataFrame, C: np.ndarray,
-                  id_col: str, vec_col: str) -> DataFrame:
+                  id_col: str, vec_col: str, bC=None) -> DataFrame:
     """Coarse-quantize: each vector to its nearest centroid's list, one
-    broadcast + one GEMM per Arrow batch (shared by build and append)."""
-    bC = corpus.sparkSession.sparkContext.broadcast(
-        np.asarray(C, dtype=np.float64))
+    broadcast + one GEMM per Arrow batch (shared by build and append).
+    ``bC`` lets a long-lived caller (the streaming sink) reuse ONE
+    centroid broadcast across microbatches instead of registering a new
+    one per batch (the per-batch-broadcast leak prepare_aoi fixed for
+    the flagship sink)."""
+    if bC is None:
+        bC = corpus.sparkSession.sparkContext.broadcast(
+            np.asarray(C, dtype=np.float64))
 
     @F.pandas_udf("long")
     def nearest_list(v):
@@ -577,16 +582,20 @@ def ivf_load_centroids(spark, snap_path: str) -> np.ndarray:
 
 
 def ivf_append(new_rows: DataFrame, snap_path: str, run_id: str,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids=None, _bc=None) -> int:
     """Incremental index maintenance: assign ``new_rows`` to the index's
     EXISTING centroids and commit one snapshot (exactly-once via run_id —
     wire ``run_id=f"ivf-{batch_id}"`` from a foreachBatch sink). Work is
-    O(new rows), never a rebuild. Returns the new snapshot id."""
+    O(new rows), never a rebuild. Returns the new snapshot id.
+    ``centroids``/``_bc`` let a streaming sink load + broadcast the
+    frozen quantizer once for the stream's lifetime."""
     from .snapshots import SnapshotTable
     spark = new_rows.sparkSession
-    C = ivf_load_centroids(spark, snap_path)
+    C = centroids if centroids is not None \
+        else ivf_load_centroids(spark, snap_path)
     table = SnapshotTable(spark, snap_path)
-    return table.append(_assign_lists(new_rows, C, id_col, vec_col),
+    return table.append(_assign_lists(new_rows, C, id_col, vec_col, _bc),
                         "list_id", run_id=run_id)
 
 
@@ -608,10 +617,15 @@ def start_ivf_ingest(stream: DataFrame, snap_path: str, checkpoint: str,
     from .snapshots import SnapshotTable
 
     spark = stream.sparkSession
+    # frozen quantizer: load + broadcast ONCE for the stream's lifetime
+    # (per-batch reload re-read the sidecar and registered a fresh
+    # broadcast every microbatch)
+    C = ivf_load_centroids(spark, snap_path)
+    bC = spark.sparkContext.broadcast(C)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ivf_append(batch_df, snap_path, run_id=f"{run_prefix}-{batch_id}",
-                   id_col=id_col, vec_col=vec_col)
+                   id_col=id_col, vec_col=vec_col, centroids=C, _bc=bC)
         SnapshotTable(spark, snap_path).maintain(
             batch_id, compact_every=compact_every,
             expire_every=expire_every, keep_last=keep_last)
