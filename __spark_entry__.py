@@ -1443,6 +1443,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         dedup.release_signature_cache(cand_raw)
 
 
+def q_dedup_spans(spark, sf_dir):
+    """ExactSubstr span-level dedup (Lee et al. 2022): maximal token spans
+    whose 8-gram occurs ≥2× corpus-wide (positional occurrences — other
+    docs AND other positions of the same doc), merged at touch-or-overlap.
+    One shuffle on the md5 gram hash (window count keeps the positional
+    rows), one shuffle on doc_id for the lag+cumsum interval merge."""
+    from raster_functions_spark import dedup
+    docs = _t(spark, sf_dir, "documents")
+    return (dedup.duplicate_spans(docs, k=8, min_count=2)
+            .orderBy("doc_id", "span_start"))
+
+
 def q_dedup_components(spark, sf_dir):
     """Dedup pipeline END: LSH candidates → exact n-gram-Jaccard verify →
     connected components (large-star/small-star contraction, the
@@ -2102,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_corpus": q_semdedup_corpus,
         "text_unigram_ppl": q_text_unigram_ppl,
         "mm_augment": q_mm_augment,
+        "dedup_spans": q_dedup_spans,
         "curated_corpus": q_curated_corpus,
         "text_decontam": q_text_decontam,
         "text_repetition": q_text_repetition,
@@ -2396,6 +2409,8 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
           SELECT DISTINCT id_a, id_b FROM pairs""")) + " ORDER BY doc_id",
+        "dedup_spans": _dedup.duplicate_spans_sql("documents", k=8)
+            + " ORDER BY doc_id, span_start",
         "text_repetition": _text.repetition_sql("documents")
             + " ORDER BY doc_id",
         "text_decontam": f"""

@@ -437,6 +437,106 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "jaccard"))
 
 
+# --------------------------------- exact-substring (span-level) dedup ------
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    span-level companion to whole-document dedup): find every maximal
+    token span that appears at least ``min_count`` times ANYWHERE in the
+    corpus (another document, or another position of the same document)
+    at k-token granularity. Returns one row per maximal span:
+    (id_col, span_start, span_end, n_grams) with token offsets 0-based,
+    end exclusive — the spans a span-remover would cut (boilerplate
+    headers, licence blocks, templated footers).
+
+    Semantics: a position p of a document is covered when the word
+    k-gram starting at p occurs ≥ min_count times corpus-wide
+    (occurrences counted positionally, NOT distinct-per-doc, so
+    within-document repetition is duplication too — same rule as the
+    reference algorithm's suffix-array occurrence count). Overlapping or
+    touching covered intervals [p, p+k) merge into maximal spans.
+    Documents shorter than k tokens yield no rows (no k-gram exists;
+    the guard matters because Spark's ``sequence(1, n)`` DESCENDS when
+    n < 1 rather than returning empty).
+
+    Scale plan (no suffix array needed — the relational form): one
+    projection builds positional md5(k-gram) keys inline with the scan;
+    ONE shuffle on the 32-hex gram hash computes the corpus-wide
+    occurrence count as a window aggregate (keeping the positional rows,
+    so the count never needs a second join-back shuffle of the gram
+    stream); ONE shuffle on the doc id merges covered positions into
+    maximal spans (lag + running-sum interval merge — the sessionize
+    kernel). Hot grams (crawl boilerplate occurring 10^6×) land one
+    window partition each; WindowExec buffers through the spillable
+    external sorter, so they degrade to disk streaming, not OOM — and
+    the payload rows are only (doc_id, pos). Grouping on md5 keeps the
+    shuffle key fixed-width (vs shuffling raw k-gram strings) and is
+    what DuckDB replays by construction.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 marks everything)")
+    base = (df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_t"))
+            .filter(F.size("_t") >= k))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(_t) - {k - 1}),"
+            f" i -> md5(concat_ws(' ', slice(_t, i, {k}))))"))
+        .alias("pos", "_g"))
+    counted = grams.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("_g")))
+    covered = counted.filter(F.col("_c") >= min_count).select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0)
+    spans = (covered.withColumn("_sid",
+                                F.sum(brk).over(w.rowsBetween(
+                                    Window.unboundedPreceding, 0)))
+             .groupBy(id_col, "_sid")
+             .agg(F.min("pos").cast("long").alias("span_start"),
+                  (F.max("pos") + k).cast("long").alias("span_end"),
+                  F.count("*").alias("n_grams"))
+             .drop("_sid"))
+    return spans
+
+
+def duplicate_spans_sql(table: str, text_expr: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        min_count: int = 2) -> str:
+    """DuckDB replay of :func:`duplicate_spans` — identical tokenization
+    (space split), identical md5 gram keys, identical interval-merge rule
+    (new span when pos > prev_pos + k)."""
+    toks = f"string_split({text_expr}, ' ')"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {toks} AS t FROM {table} WHERE len({toks}) >= {k}),
+g AS (
+  SELECT {id_col}, unnest(range(0, len(t) - {k} + 1)) AS pos, t FROM base),
+h AS (
+  SELECT {id_col}, pos,
+         md5(array_to_string(t[pos + 1 : pos + {k}], ' ')) AS gh
+  FROM g),
+c AS (
+  SELECT {id_col}, pos, COUNT(*) OVER (PARTITION BY gh) AS n FROM h),
+f AS (SELECT {id_col}, pos FROM c WHERE n >= {min_count}),
+m AS (
+  SELECT {id_col}, pos,
+         CASE WHEN pos > LAG(pos) OVER w + {k} THEN 1 ELSE 0 END AS brk
+  FROM f WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)),
+s AS (
+  SELECT {id_col}, pos,
+         SUM(brk) OVER (PARTITION BY {id_col} ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT {id_col}, MIN(pos) AS span_start, MAX(pos) + {k} AS span_end,
+       COUNT(*) AS n_grams
+FROM s GROUP BY {id_col}, sid"""
+
+
 # ------------------------------------------------ duplicate clusters -------
 
 def _star_edges(edges: DataFrame, large: bool) -> DataFrame:
