@@ -1308,6 +1308,22 @@ def q_mm_augment(spark, sf_dir):
             .orderBy("tx", "ty"))
 
 
+def q_mm_patches(spark, sf_dir):
+    """Multimodal ViT patch extraction: split 32×32 f8 DEM tiles into the
+    8×8 non-overlapping patch grid (one row per patch) with the sequence
+    index and a flatten-order checksum — the DuckDB oracle re-derives
+    position, content sum and the row-major flatten weighting in closed
+    form, so the contract pins the exact embedding-input ordering. One
+    fused mapInPandas, map-only fan-out."""
+    from raster_functions_spark import fixtures, multimodal
+    dem = fixtures.dem_scene_df(spark, "scenePt", 2, 2, 32, dtype="f8")
+    pt = multimodal.patchify_tiles(dem, 8, 8)
+    return (pt.select("tx", "ty", "pr", "pc", "seq",
+                      F.round("psum", 5).alias("psum"),
+                      F.round("pchk", 5).alias("pchk"))
+            .orderBy("tx", "ty", "seq"))
+
+
 def q_mm_decode_png(spark, sf_dir):
     """Multimodal PNG ingest: a binary column of real PNG payloads (filter
     types 0-4 cycling) decoded by the from-scratch decoder (formats.py:
@@ -2143,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f16_key_metadata": q_f16_key_metadata,
         "ann_ivf_index": q_ann_ivf_index,
         "mm_resize": q_mm_resize,
+        "mm_patches": q_mm_patches,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_catalog": q_mm_catalog,
@@ -2355,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "s7_catalog": _orc.catalog_sql(400),
         "p7_qa_clear": _orc.qa_clear_sql(400),
         "mm_resize": _orc.resize_sql(2, 2, 32, 8, 8),
+        "mm_patches": _orc.patchify_sql(2, 2, 32, 8, 8),
         "mm_augment": _orc.augment_sql(2, 2, 32, 16, 16),
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),

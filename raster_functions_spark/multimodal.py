@@ -336,6 +336,83 @@ def video_decode_metrics(df: DataFrame, bytes_col: str = "bytes",
     return df.mapInPandas(run, schema=out_schema)
 
 
+def patchify_tiles(df: DataFrame, patch_h: int, patch_w: int,
+                   bytes_col: str = "bytes",
+                   fmt_out: str = "zlib") -> DataFrame:
+    """ViT-style patch extraction: split every decoded tile into its
+    non-overlapping (patch_h × patch_w) grid and emit ONE ROW PER PATCH
+    with the patch position (``pr``, ``pc``), its transformer sequence
+    index (``seq = pr·n_cols + pc`` — the position-embedding index), the
+    re-encoded patch payload, and two float64 checksums computed in the
+    same kernel pass:
+
+    - ``psum``  = Σ v                      (patch content), and
+    - ``pchk``  = Σ v[k]·(k+1)             over the row-major, band-major
+      flattened patch — the quantity a vision model actually consumes is
+      the FLATTENED vector, so the contract pins the exact flatten order
+      (band, then row, then column), not just patch membership.
+
+    Dims not divisible by the patch size raise: patchify is configured
+    against a normalized corpus (``resize_tiles`` is the normalizer), so
+    a non-divisible tile is a pipeline configuration error to surface
+    loudly, not a data row to quarantine.
+
+    Scale: one fused mapInPandas (decode → reshape-split → encode),
+    map-only — the fan-out is bounded by (h/patch_h)·(w/patch_w) per
+    tile and runs inline with the scan; payload bytes cross Arrow exactly
+    once and output rows carry only patch-sized payloads. Plays the role
+    of the reference's per-block pixel iteration (e.g.
+    /root/reference/functions/BlockStatistics.py pixelBlocks slicing) for
+    embedding-model input prep."""
+    if patch_h < 1 or patch_w < 1:
+        raise ValueError("patch dims must be >= 1")
+    keep = [c for c in df.columns if c not in (bytes_col, "w", "h")]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField("pr", T.IntegerType()),
+           T.StructField("pc", T.IntegerType()),
+           T.StructField("seq", T.IntegerType()),
+           T.StructField("bytes", T.BinaryType()),
+           T.StructField("w", T.IntegerType()),
+           T.StructField("h", T.IntegerType()),
+           T.StructField("psum", T.DoubleType()),
+           T.StructField("pchk", T.DoubleType())])
+
+    def run(batches):
+        for pdf in batches:
+            out_rows = []
+            for i in range(len(pdf)):
+                px = codec.decode(bytes(pdf[bytes_col].iloc[i]))
+                bands, h, w = px.shape
+                if h % patch_h or w % patch_w:
+                    raise ValueError(
+                        f"tile {h}x{w} not divisible by patch "
+                        f"{patch_h}x{patch_w} (resize first)")
+                n_pr, n_pc = h // patch_h, w // patch_w
+                # (bands, h, w) → (n_pr, n_pc, bands, patch_h, patch_w)
+                grid = (px.reshape(bands, n_pr, patch_h, n_pc, patch_w)
+                        .transpose(1, 3, 0, 2, 4))
+                flat = grid.reshape(n_pr * n_pc, -1).astype(np.float64)
+                wgt = np.arange(1, flat.shape[1] + 1, dtype=np.float64)
+                psum = flat.sum(axis=1)
+                pchk = flat @ wgt
+                base = {c: pdf[c].iloc[i] for c in keep}
+                for p in range(n_pr * n_pc):
+                    r = dict(base)
+                    r["pr"], r["pc"] = p // n_pc, p % n_pc
+                    r["seq"] = p
+                    r["bytes"] = codec.encode(
+                        np.ascontiguousarray(grid[r["pr"], r["pc"]]), fmt_out)
+                    r["w"], r["h"] = patch_w, patch_h
+                    r["psum"] = float(psum[p])
+                    r["pchk"] = float(pchk[p])
+                    out_rows.append(r)
+            yield pd.DataFrame(out_rows,
+                               columns=[f.name for f in out_schema])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def augment_tiles(df: DataFrame, crop_h: int, crop_w: int,
                   bytes_col: str = "bytes", seed: int = 7,
                   id_cols: tuple[str, str] = ("tx", "ty"),

@@ -1802,6 +1802,30 @@ SELECT 'Landsat-8' AS sensor, 'WGS84' AS datum,
 FROM imgs GROUP BY fmt ORDER BY fmt"""
 
 
+def patchify_sql(tiles_x: int, tiles_y: int, tile: int,
+                 patch_h: int, patch_w: int) -> str:
+    """mm_patches oracle: re-derive every ViT patch of the f8 DEM fixture
+    in closed form — patch position (pr, pc), sequence index, content sum
+    and the row-major flatten-order checksum Σ v·((y%ph)·pw + (x%pw) + 1)
+    (single-band fixture, so the band-major flatten index reduces to the
+    in-patch row-major index). Matches multimodal.patchify_tiles."""
+    w, h = tiles_x * tile, tiles_y * tile
+    n_pc = tile // patch_w
+    return f"""
+WITH {_grid_cte(w, h)},
+p AS (
+  SELECT x // {tile} AS tx, y // {tile} AS ty,
+         (y % {tile}) // {patch_h} AS pr, (x % {tile}) // {patch_w} AS pc,
+         ((y % {patch_h}) * {patch_w} + (x % {patch_w}) + 1) AS wgt,
+         {dem_z_sql('x', 'y')} AS v
+  FROM grd)
+SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       CAST(pr AS INT) AS pr, CAST(pc AS INT) AS pc,
+       CAST(pr * {n_pc} + pc AS INT) AS seq,
+       ROUND(SUM(v), 5) AS psum, ROUND(SUM(v * wgt), 5) AS pchk
+FROM p GROUP BY p.tx, p.ty, p.pr, p.pc ORDER BY tx, ty, seq"""
+
+
 def augment_sql(tiles_x: int, tiles_y: int, tile: int,
                 crop_h: int, crop_w: int, seed: int = 7) -> str:
     """mm_augment oracle: re-derive every augmented pixel of the f8 DEM

@@ -93,3 +93,34 @@ def test_augment_tiles_matches_python_replay(spark):
     import pytest
     with pytest.raises(Exception):
         multimodal.augment_tiles(dem, 64, 64).collect()
+
+
+def test_patchify_tiles_flatten_order_multiband(spark):
+    """Patch grid, sequence index and the band-major row-major flatten
+    checksum on a MULTI-band image (the DuckDB contract fixture is
+    single-band, so the band-major ordering is pinned here)."""
+    imgs = fixtures.images_df(spark, 8).filter("image_id = 'img000000006'")
+    row = imgs.collect()[0]
+    px = codec.decode(bytes(row["bytes"])).astype(np.float64)
+    bands, h, w = px.shape
+    assert bands > 1
+    ph, pw = h // 2, w // 2
+    out = multimodal.patchify_tiles(imgs, ph, pw).orderBy("seq").collect()
+    assert [r["seq"] for r in out] == [0, 1, 2, 3]
+    assert [(r["pr"], r["pc"]) for r in out] == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    for r in out:
+        want = px[:, r["pr"] * ph:(r["pr"] + 1) * ph,
+                  r["pc"] * pw:(r["pc"] + 1) * pw]
+        got = codec.decode(bytes(r["bytes"]))
+        assert got.shape == (bands, ph, pw)
+        np.testing.assert_allclose(got, want)
+        flat = want.reshape(-1)
+        assert r["psum"] == pytest.approx(flat.sum())
+        assert r["pchk"] == pytest.approx(
+            float(flat @ np.arange(1, flat.size + 1, dtype=np.float64)))
+
+
+def test_patchify_tiles_rejects_non_divisible(spark):
+    imgs = fixtures.images_df(spark, 4)
+    with pytest.raises(Exception, match="not divisible"):
+        multimodal.patchify_tiles(imgs, 7, 7).collect()
