@@ -431,6 +431,20 @@ def q_text_pack(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_text_pack_export(spark, sf_dir):
+    """Text: MATERIALIZED sequence packing — every fixed-capacity 64-token
+    training bin becomes one exported row, straddling documents split
+    across bins for real (GPT concat-then-split), with an md5 fingerprint
+    of the bin's space-joined token sequence pinning content AND order.
+    Bounded explode + one (bucket, bin) shuffle; the oracle replays draw,
+    bucket, prefix sum, interval split and in-bin ordering."""
+    from raster_functions_spark import sampling
+    docs = _t(spark, sf_dir, "documents")
+    return (sampling.pack_export(docs, "text", 64, "doc_id",
+                                 seed=37, n_buckets=4)
+            .orderBy("pack_bucket", "pack_bin"))
+
+
 def q_text_unigram_ppl(spark, sf_dir):
     """Text: CCNet-style LM quality proxy — per-doc mean negative
     log-likelihood under the corpus's OWN unigram distribution (rare/
@@ -2126,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "text_chunks": q_text_chunks,
         "text_pack": q_text_pack,
+        "text_pack_export": q_text_pack_export,
         "dedup_ingest": q_dedup_ingest,
         "semdedup_corpus": q_semdedup_corpus,
         "text_unigram_ppl": q_text_unigram_ppl,
@@ -2763,6 +2778,10 @@ def oracle_sql() -> dict[str, str]:
             _sampling.pack_sql("documents", "n_chars", 4096, "doc_id", 31,
                                "doc_id", n_buckets=4)
             + " ORDER BY doc_id"),
+        "text_pack_export": (
+            _sampling.pack_export_sql("documents", "text", 64, "doc_id", 37,
+                                      n_buckets=4)
+            + " ORDER BY pack_bucket, pack_bin"),
         "text_unigram_ppl": (
             _text.unigram_nll_sql("documents") + " ORDER BY doc_id"),
         "text_quality": f"""

@@ -403,6 +403,93 @@ def pack_sequences(df: DataFrame, weight_col: str, capacity: int,
             .drop("_u60", "_pre"))
 
 
+def pack_export(df: DataFrame, text_col: str, capacity: int, key_col: str,
+                seed: int, n_buckets: int = 1) -> DataFrame:
+    """MATERIALIZE the packed training sequences that
+    :func:`pack_sequences` only assigns: every fixed-capacity bin becomes
+    one row — the trainable artifact a data loader actually reads — with
+    the straddling-document split applied for real (a doc whose tokens
+    cross a bin boundary contributes its head to one sequence and its
+    tail to the next, GPT concat-then-split semantics). Returns one row
+    per (pack_bucket, pack_bin):
+
+      n_docs      — documents contributing ≥1 token to the bin,
+      n_tokens    — exactly ``capacity`` for every bin except each
+                    bucket's final remainder bin,
+      seq_md5     — md5 of the bin's space-joined token sequence, in
+                    order — the fingerprint pins CONTENT AND ORDER of
+                    the exported sequence, not just membership.
+
+    Scale: assignment is :func:`pack_sequences` (hash-salted independent
+    prefix windows); the split is an explode over the bins a doc touches
+    (fan-out ≤ weight/capacity + 1 — bounded, inline with the scan) and
+    ONE shuffle on (bucket, bin). Within a bin the slices are re-ordered
+    by their bin-local offset via array_sort over a collected struct —
+    per-group cardinality is ≤ capacity docs, so the interpreted HOF tax
+    is bounded by the capacity, never by the corpus."""
+    toks = F.split(F.col(text_col), " ")
+    work = pack_sequences(
+        df.select(F.col(key_col), toks.alias("_toks"))
+          .withColumn("_w", F.size("_toks").cast("long")),
+        "_w", capacity, key_col, seed, n_buckets)
+    # global token interval of the doc: [_pre, _pre + _w)
+    work = work.withColumn(
+        "_pre", F.col("pack_bin") * capacity + F.col("pack_offset"))
+    spans = (work
+             .withColumn("_b", F.expr(
+                 f"explode(sequence(pack_bin, (_pre + _w - 1) DIV {capacity}))"))
+             .withColumn("_s", F.greatest(
+                 F.col("_b") * capacity - F.col("_pre"), F.lit(0).cast("long")))
+             .withColumn("_e", F.least(
+                 F.col("_w"), (F.col("_b") + 1) * capacity - F.col("_pre")))
+             .withColumn("_off", F.greatest(
+                 F.col("_pre") - F.col("_b") * capacity, F.lit(0).cast("long")))
+             .withColumn("_slice", F.expr(
+                 "slice(_toks, CAST(_s + 1 AS INT), CAST(_e - _s AS INT))")))
+    return (spans.groupBy(F.col("pack_bucket"), F.col("_b").alias("pack_bin"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("_e") - F.col("_s")).alias("n_tokens"),
+                 F.md5(F.concat_ws(" ", F.flatten(F.expr(
+                     "transform(array_sort(collect_list(struct(_off, _slice))),"
+                     " x -> x._slice)")))).alias("seq_md5")))
+
+
+def pack_export_sql(table: str, text_expr: str, capacity: int, key_col: str,
+                    seed: int, n_buckets: int = 1) -> str:
+    """DuckDB replay of :func:`pack_export` — identical draw, bucket,
+    prefix sum, interval split and in-bin ordering (string_agg ORDER BY
+    the bin-local offset ≡ the engine's array_sort on the same key)."""
+    u = u60_sql(key_col, seed, "duckdb")
+    ub = u60_sql(key_col, seed + 1, "duckdb")
+    return f"""
+WITH t AS (
+  SELECT {key_col}, string_split({text_expr}, ' ') AS toks,
+         CAST(len(string_split({text_expr}, ' ')) AS BIGINT) AS w,
+         ({ub} % {n_buckets}) AS pb,
+         CAST(COALESCE(SUM(CAST(len(string_split({text_expr}, ' ')) AS BIGINT))
+             OVER (PARTITION BY ({ub} % {n_buckets})
+                   ORDER BY {u}, {key_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS pre
+  FROM {table}),
+s AS (
+  SELECT pb, toks, w, pre,
+         unnest(range(pre // {capacity}, (pre + w - 1) // {capacity} + 1)) AS b
+  FROM t),
+sl AS (
+  SELECT pb, b,
+         GREATEST(b * {capacity} - pre, 0) AS st,
+         LEAST(w, (b + 1) * {capacity} - pre) AS en,
+         GREATEST(pre - b * {capacity}, 0) AS off,
+         toks
+  FROM s)
+SELECT CAST(pb AS INT) AS pack_bucket, CAST(b AS BIGINT) AS pack_bin,
+       COUNT(*) AS n_docs, CAST(SUM(en - st) AS BIGINT) AS n_tokens,
+       md5(string_agg(array_to_string(toks[st + 1:en], ' '), ' '
+                      ORDER BY off)) AS seq_md5
+FROM sl GROUP BY pb, b"""
+
+
 def pack_sql(table: str, weight_expr: str, capacity: int, key_col: str,
              seed: int, select_cols: str, n_buckets: int = 1,
              dialect: str = "duckdb") -> str:

@@ -205,3 +205,59 @@ def test_pack_sql_matches_python_reference(ids, capacity, n_buckets, seed):
             want[k] = (b, pre // capacity, pre % capacity)
             pre += ws[k]
     assert got == want
+
+
+def test_pack_export_reconstruction(spark):
+    """Concatenating a bucket's exported bins in bin order reproduces the
+    bucket's documents concatenated in (u60, key) pack order exactly —
+    and every bin except the bucket's last holds exactly `capacity`
+    tokens. Run at two bucket counts (1 = one global stream)."""
+    import hashlib
+    rows = [" ".join(f"d{i}w{j}" for j in range(1 + (i * 7) % 23))
+            for i in range(60)]
+    docs = _docs(spark, rows)
+    for n_buckets in (1, 3):
+        cap = 16
+        out = (sampling.pack_export(docs, "text", cap, "doc_id",
+                                    seed=5, n_buckets=n_buckets)
+               .orderBy("pack_bucket", "pack_bin").collect())
+        # pack order ground truth from the assignment op
+        asg = (sampling.pack_sequences(
+                   docs.withColumn("_w", F.size(F.split("text", " "))),
+                   "_w", cap, "doc_id", seed=5, n_buckets=n_buckets)
+               .orderBy("pack_bucket", "pack_bin", "pack_offset").collect())
+        want_tokens: dict[int, list[str]] = {}
+        for r in asg:
+            want_tokens.setdefault(r["pack_bucket"], []).extend(
+                rows[r["doc_id"]].split(" "))
+        got_tokens: dict[int, list[str]] = {}
+        last_bin = {}
+        for r in out:
+            b = r["pack_bucket"]
+            last_bin[b] = max(last_bin.get(b, -1), r["pack_bin"])
+        for r in out:
+            b = r["pack_bucket"]
+            if r["pack_bin"] != last_bin[b]:
+                assert r["n_tokens"] == cap, r
+            got_tokens.setdefault(b, []).append(r)
+        for b, want in want_tokens.items():
+            seq = []
+            for r in sorted(got_tokens[b], key=lambda r: r["pack_bin"]):
+                # md5 pins the content: re-derive each bin from the want
+                # stream and compare fingerprints
+                start = r["pack_bin"] * cap
+                piece = want[start:start + cap]
+                assert r["n_tokens"] == len(piece)
+                assert r["seq_md5"] == hashlib.md5(
+                    " ".join(piece).encode()).hexdigest()
+                seq.extend(piece)
+            assert seq == want
+
+
+def test_pack_export_single_doc_spans_many_bins(spark):
+    docs = _docs(spark, [" ".join(f"t{j}" for j in range(50))])
+    out = (sampling.pack_export(docs, "text", 8, "doc_id", seed=1)
+           .orderBy("pack_bin").collect())
+    assert [r["pack_bin"] for r in out] == list(range(7))
+    assert [r["n_tokens"] for r in out] == [8] * 6 + [2]
+    assert all(r["n_docs"] == 1 for r in out)
