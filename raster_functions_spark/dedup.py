@@ -993,6 +993,16 @@ class DedupIngest:
         b = (batch_df
              .withColumn("content_hash", self.key)
              .withColumn("_bkt", self._bucket(F.col("content_hash"))))
+        stats = b.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("content_hash").isNull(), 1)
+                  .otherwise(0)).alias("n_null")).first()
+        if stats["n_null"]:
+            # NULL keys are bloom non-members AND null-skipped by the
+            # anti-join, so they would land in the corpus EVERY batch —
+            # quarantine them with a counter instead (a curation corpus
+            # has no use for rows without a content identity)
+            b = b.filter(F.col("content_hash").isNotNull())
         w = Window.partitionBy("content_hash").orderBy(self.id_col)
         b = (b.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == 1).drop("_rn"))
@@ -1020,7 +1030,8 @@ class DedupIngest:
         self.words |= bloom_build(novel.select("content_hash"),
                                   "content_hash", self.m_bits,
                                   self.k_hashes, self.seed)
-        return {"batch_rows": batch_df.count(), "novel": n_novel}
+        return {"batch_rows": int(stats["n"]), "novel": n_novel,
+                "null_key": int(stats["n_null"] or 0)}
 
     def corpus(self) -> DataFrame:
         """The deduplicated corpus as committed (current snapshot)."""

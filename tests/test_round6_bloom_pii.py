@@ -212,9 +212,9 @@ def test_dedup_ingest_batches_and_replay(spark, tmp_path):
     ing = dedup.DedupIngest(spark, str(tmp_path / "c"), m_bits=1 << 10,
                             n_buckets=4)
     s1 = ing.ingest(df.filter("doc_id < 10"), run_id="b-0")
-    assert s1 == {"batch_rows": 10, "novel": 6}                # keys 0..5
+    assert s1 == {"batch_rows": 10, "novel": 6, "null_key": 0}                # keys 0..5
     s2 = ing.ingest(df.filter("doc_id >= 10"), run_id="b-1")
-    assert s2 == {"batch_rows": 10, "novel": 0}                # all dups
+    assert s2 == {"batch_rows": 10, "novel": 0, "null_key": 0}                # all dups
     got = sorted((r["doc_id"], r["text"]) for r in ing.corpus().collect())
     assert got == [(i, f"text {i}") for i in range(6)]         # keep-first
     # replayed run_id: commit no-ops even with different data
@@ -260,3 +260,20 @@ def test_dedup_ingest_streaming(spark, tmp_path):
                                                     for i in range(10))
     assert all(s["run_id"].startswith("sA-")
                for s in ing.table.snapshots())
+
+
+def test_dedup_ingest_quarantines_null_keys(spark, tmp_path):
+    """A NULL content key is a bloom non-member AND null-skipped by the
+    verify anti-join — without quarantine it would land in the corpus
+    every single batch."""
+    import pandas as pd
+    from raster_functions_spark import dedup
+    ing = dedup.DedupIngest(spark, str(tmp_path / "c"), m_bits=1 << 10,
+                            n_buckets=2)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b", None, "a b"]}))
+    r1 = ing.ingest(df, run_id="b-0")
+    assert r1 == {"batch_rows": 3, "novel": 1, "null_key": 1}
+    r2 = ing.ingest(df, run_id="b-1")     # replayed content, new run
+    assert r2 == {"batch_rows": 3, "novel": 0, "null_key": 1}
+    assert ing.corpus().count() == 1
