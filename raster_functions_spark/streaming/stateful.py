@@ -56,11 +56,15 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
 
     Late-data contract: a late event within ``gap_sec`` of the open
     session merges (session bounds expand to include it); a late event
-    that should have belonged to an ALREADY-CLOSED session cannot
-    re-open history — there is one open session per key in state, which
-    is the standard streaming trade-off. When exact late-data semantics
-    matter, run the batch ``sessionize`` as a backfill over the full
-    event log (same formula, same output schema)."""
+    more than ``gap_sec`` BEFORE the open session belongs to an earlier
+    session — it is emitted immediately as its own gap-closed session
+    (never merged: folding it into the open session would fabricate a
+    span containing an internal gap the batch semantics forbid). Events
+    belonging to an ALREADY-CLOSED session cannot re-open history —
+    there is one open session per key in state, which is the standard
+    streaming trade-off. When exact late-data semantics matter, run the
+    batch ``sessionize`` as a backfill over the full event log (same
+    formula, same output schema)."""
     gap_us = gap_sec * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
@@ -83,24 +87,34 @@ def sessionize_stream(events: DataFrame, gap_sec: int = 1800,
         # on emit — permanently failing the query on every batch retry
         all_ts = sorted(_us(t) for pdf in pdf_iter for t in pdf[ts_col]
                         if pd.notna(t))
-        for ts in all_ts:
-            if start_us is None:
-                start_us, last_us, n = ts, ts, 1
-            elif ts - last_us > gap_us:
-                out.append({"user_id": user, "session_start": _ts(start_us),
-                            "session_end": _ts(last_us), "n_events": n,
-                            "closed_by": "gap"})
-                start_us, last_us, n = ts, ts, 1
+        # interval merge over the full chronology: each event is a
+        # [ts, ts, 1] interval and the carried open session is one
+        # [start, last, n] interval — cross-batch arrival order is not
+        # guaranteed, so late events may sort before the carried state.
+        # Adjacent intervals within gap_sec merge; every merged interval
+        # except the LAST is definitively closed (nothing later can
+        # re-enter it), the last stays open in state. This reproduces the
+        # batch lag+cumsum semantics over whatever chronology the stream
+        # has seen, and a far-backward late event becomes its own closed
+        # session instead of corrupting the open session's bounds.
+        items = [[ts, ts, 1] for ts in all_ts]
+        if start_us is not None:
+            items.append([start_us, last_us, n])
+        items.sort()
+        merged: list[list[int]] = []
+        for it in items:
+            if merged and it[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], it[1])
+                merged[-1][2] += it[2]
             else:
-                # a late event may predate the open session (cross-batch
-                # arrival order is not guaranteed): bounds expand to
-                # include it rather than leaving session_start after an
-                # event the session counted
-                last_us = max(last_us, ts)
-                start_us = min(start_us, ts)
-                n += 1
-        if start_us is not None:     # all-NULL batch with no prior state:
-            state.update((start_us, last_us, n))  # nothing to remember
+                merged.append(it)
+        for s_us, e_us, cnt in merged[:-1]:
+            out.append({"user_id": user, "session_start": _ts(s_us),
+                        "session_end": _ts(e_us), "n_events": cnt,
+                        "closed_by": "gap"})
+        if merged:                   # all-NULL batch with no prior state:
+            start_us, last_us, n = merged[-1]   # nothing to remember
+            state.update((start_us, last_us, n))
             if idle_timeout_sec is not None:
                 state.setTimeoutDuration(idle_timeout_sec * 1000)
         if out:

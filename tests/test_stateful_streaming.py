@@ -202,3 +202,43 @@ def test_sessionize_stream_backward_late_event_expands_bounds(spark, tmp_path):
     assert r["session_start"] == base          # expanded backward
     assert r["session_end"] == base + 10 * m
     assert r["n_events"] == 2
+
+
+def test_sessionize_stream_far_backward_event_is_own_session(spark, tmp_path):
+    """A late event more than gap_sec BEFORE the open session must emit as
+    its own closed session — merging it would fabricate a span containing
+    an internal gap the batch semantics forbid."""
+    src = tmp_path / "ev_farlate"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 06:00:00")
+    m = pd.Timedelta(minutes=1)
+    b1 = pd.DataFrame({"user_id": [9], "ts": [base]})
+    # arrives later but happened 3h earlier (far beyond the 30m gap),
+    # plus a nearby second historical event within gap of the first
+    b2 = pd.DataFrame({"user_id": [9, 9, 9],
+                       "ts": [base - 180 * m, base - 175 * m, base + 5 * m]})
+    # a third batch far ahead flushes the open session
+    b3 = pd.DataFrame({"user_id": [9], "ts": [base + 600 * m]})
+    for b in (b1, b2, b3):   # maxFilesPerTrigger=1 -> one microbatch each
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(str(src))
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    sessions = stateful.sessionize_stream(stream, gap_sec=1800,
+                                          idle_timeout_sec=None)
+    q = (sessions.writeStream.outputMode("update").format("memory")
+         .queryName("farlate_out")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("farlate_out").toPandas()
+    closed = out[out.closed_by == "gap"].sort_values("session_start")
+    assert len(closed) == 2
+    r = closed.iloc[0]
+    assert r["session_start"] == base - 180 * m
+    assert r["session_end"] == base - 175 * m     # both historical events
+    assert r["n_events"] == 2                     # merged with each other
+    # and the OPEN session kept its bounds
+    r2 = closed.iloc[1]
+    assert r2["session_start"] == base
+    assert r2["session_end"] == base + 5 * m
+    assert r2["n_events"] == 2
