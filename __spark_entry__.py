@@ -1322,6 +1322,21 @@ def q_mm_augment(spark, sf_dir):
             .orderBy("tx", "ty"))
 
 
+def q_geo_area_centroid(spark, sf_dir):
+    """Vector polygon analytics: shoelace area + area-weighted centroid
+    per AOI ring — pure JVM expression per row, zero shuffle. The oracle
+    receives the fixture rings as literal INPUTS and re-derives the math
+    independently in DuckDB (wrap-around closure, signed-area centroid,
+    zero-area → NULL)."""
+    from raster_functions_spark import fixtures, spatial
+    aoi = fixtures.aoi_df(spark, 40)
+    out = spatial.polygon_area_centroid(aoi)
+    return (out.select("aoi_id", F.round("area", 6).alias("area"),
+                       F.round("cx", 6).alias("cx"),
+                       F.round("cy", 6).alias("cy"))
+            .orderBy("aoi_id"))
+
+
 def q_mm_patches(spark, sf_dir):
     """Multimodal ViT patch extraction: split 32×32 f8 DEM tiles into the
     8×8 non-overlapping patch grid (one row per patch) with the sequence
@@ -2175,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_index": q_ann_ivf_index,
         "mm_resize": q_mm_resize,
         "mm_patches": q_mm_patches,
+        "geo_area_centroid": q_geo_area_centroid,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_catalog": q_mm_catalog,
@@ -2390,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "p7_qa_clear": _orc.qa_clear_sql(400),
         "mm_resize": _orc.resize_sql(2, 2, 32, 8, 8),
         "mm_patches": _orc.patchify_sql(2, 2, 32, 8, 8),
+        "geo_area_centroid": _orc.area_centroid_sql(40),
         "mm_augment": _orc.augment_sql(2, 2, 32, 16, 16),
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),

@@ -1802,6 +1802,40 @@ SELECT 'Landsat-8' AS sensor, 'WGS84' AS datum,
 FROM imgs GROUP BY fmt ORDER BY fmt"""
 
 
+def area_centroid_sql(n_aoi: int) -> str:
+    """geo_area_centroid oracle: the AOI fixture RINGS are emitted as
+    literal list inputs (fixture data, not answers) and DuckDB re-derives
+    the shoelace area + signed-area centroid itself — independent math,
+    same wrap-around closure and zero-area NULL rule as
+    spatial.polygon_area_centroid."""
+    from .fixtures import aoi_pdf
+    pdf = aoi_pdf(n_aoi)
+    vals = ", ".join(
+        f"({int(r.aoi_id)}, {list(r.ring_x)!r}, {list(r.ring_y)!r})"
+        .replace("[", "LIST_VALUE(").replace("]", ")")
+        for r in pdf.itertuples())
+    cross = "(rx[i] * ry[i % n + 1] - rx[i % n + 1] * ry[i])"
+
+    def ring_sum(term: str) -> str:
+        return f"list_sum(list_transform(range(1, n + 1), i -> {term}))"
+
+    return f"""
+WITH aoi AS (
+  SELECT aoi_id, CAST(rx AS DOUBLE[]) AS rx, CAST(ry AS DOUBLE[]) AS ry,
+         len(rx) AS n
+  FROM (VALUES {vals}) t(aoi_id, rx, ry)),
+s AS (
+  SELECT aoi_id,
+         {ring_sum(cross)} AS s2a,
+         {ring_sum(f"(rx[i] + rx[i % n + 1]) * {cross}")} AS sx,
+         {ring_sum(f"(ry[i] + ry[i % n + 1]) * {cross}")} AS sy
+  FROM aoi)
+SELECT aoi_id, ROUND(ABS(s2a) / 2.0, 6) AS area,
+       ROUND(CASE WHEN ABS(s2a) > 0 THEN sx / (s2a * 3.0) END, 6) AS cx,
+       ROUND(CASE WHEN ABS(s2a) > 0 THEN sy / (s2a * 3.0) END, 6) AS cy
+FROM s ORDER BY aoi_id"""
+
+
 def patchify_sql(tiles_x: int, tiles_y: int, tile: int,
                  patch_h: int, patch_w: int) -> str:
     """mm_patches oracle: re-derive every ViT patch of the f8 DEM fixture

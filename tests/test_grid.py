@@ -161,3 +161,24 @@ def test_neighbors_tiny_grid_no_self_no_dups():
     # fine res unaffected: full 8-ring
     c5 = int(grid.encode_np(np.array([10.0]), np.array([20.0]), 5)[0])
     assert grid.neighbors(c5).size == 8
+
+
+def test_polygon_area_centroid_known_square_and_orientation(spark):
+    import pandas as pd
+    from raster_functions_spark import spatial
+    sq_ccw = {"pid": 0, "ring_x": [0.0, 4.0, 4.0, 0.0],
+              "ring_y": [0.0, 0.0, 4.0, 4.0]}
+    sq_cw = {"pid": 1, "ring_x": [0.0, 0.0, 4.0, 4.0],
+             "ring_y": [0.0, 4.0, 4.0, 0.0]}
+    tri = {"pid": 2, "ring_x": [0.0, 6.0, 0.0], "ring_y": [0.0, 0.0, 3.0]}
+    degen = {"pid": 3, "ring_x": [1.0, 2.0, 3.0], "ring_y": [1.0, 2.0, 3.0]}
+    df = spark.createDataFrame(pd.DataFrame([sq_ccw, sq_cw, tri, degen]))
+    out = {r["pid"]: r for r in
+           spatial.polygon_area_centroid(df).collect()}
+    for pid in (0, 1):    # CW and CCW give identical results
+        assert out[pid]["area"] == 16.0
+        assert out[pid]["cx"] == 2.0 and out[pid]["cy"] == 2.0
+    assert out[2]["area"] == 9.0
+    assert abs(out[2]["cx"] - 2.0) < 1e-12 and abs(out[2]["cy"] - 1.0) < 1e-12
+    assert out[3]["area"] == 0.0
+    assert out[3]["cx"] is None and out[3]["cy"] is None
