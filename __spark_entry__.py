@@ -2200,11 +2200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_gbt": q_m4_gbt,
         "snap_incremental": q_snap_incremental,
         "f4_windchill_units": q_f4_windchill_units,
-        "f5_heat_index": q_f5_heat_index,
-        "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
-        # ---- driver window boundary (50) — f8_vineyard/f11_unmixing
-        # (both r4-driver-green) slid just past it when dedup_spans +
-        # mm_patches registered; r5-green and the
+        # ---- driver window boundary (50) — f5_heat_index..f11_unmixing
+        # (all r3/r4-driver-green) slid just past it as dedup_spans,
+        # mm_patches, geo_area_centroid and text_pack_export registered;
+        # r5-green and the
         # freshest-stale keys below (rotate into r7; a10_fuzzy_mssmall,
         # j6_nearest_labels,
         # p3_mask_apply, p4_replace_nulls, p7_qa_clear,
@@ -2215,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation queries (text_chunks/text_pack/semdedup_corpus/
         # dedup_ingest/text_unigram_ppl/mm_augment) landed — all r2-r4
         # driver-green) ----
+        "f5_heat_index": q_f5_heat_index,
+        "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
         "f8_vineyard": q_f8_vineyard,
         "f11_unmixing": q_f11_unmixing,
         "f13_calculator": q_f13_calculator,
