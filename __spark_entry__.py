@@ -1337,6 +1337,46 @@ def q_geo_area_centroid(spark, sf_dir):
             .orderBy("aoi_id"))
 
 
+def q_geo_radius_join(spark, sf_dir):
+    """Geodesic radius self-join: all point pairs within a 0.03 rad
+    (~191 km) central angle, over deterministic lat/lon derived from
+    event ids. The engine buckets points into a provably-enclosing
+    lat/lon grid (antimeridian wrap via pmod) and equi-joins neighbor
+    cells — candidate volume is per-cell density, never n²; the DuckDB
+    oracle brute-forces the same points with an independent lat-band
+    prefilter, so a dropped seam/edge pair cannot hide."""
+    from raster_functions_spark import spatial
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat, lon = spatial.lonlat_cols(F.col("event_id"))
+    pts = (ev.filter(F.col("event_id") % 5 == 0)
+           .select(F.col("event_id").alias("id"),
+                   lat.alias("lat"), lon.alias("lon")))
+    out = spatial.radius_join(pts, 0.03, max_abs_lat=60.0)
+    return (out.select("id_a", "id_b",
+                       F.round("sigma_rad", 9).alias("sigma_rad"))
+            .orderBy("id_a", "id_b"))
+
+
+def q_geo_track_stats(spark, sf_dir):
+    """Per-user trajectory statistics (point count, great-circle path
+    length in radians, bounding box) over events ordered by (ts,
+    event_id) — one shuffle: the lag window and the aggregate share the
+    user_id partitioning. The oracle replays the window math in DuckDB."""
+    from raster_functions_spark import spatial
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat, lon = spatial.lonlat_cols(F.col("event_id"))
+    pts = ev.select("user_id", "ts", "event_id",
+                    lat.alias("lat"), lon.alias("lon"))
+    out = spatial.track_stats(pts, "user_id", ["ts", "event_id"])
+    return (out.select("user_id", "n_points",
+                       F.round("path_rad", 6).alias("path_rad"),
+                       F.round("lat_min", 9).alias("lat_min"),
+                       F.round("lat_max", 9).alias("lat_max"),
+                       F.round("lon_min", 9).alias("lon_min"),
+                       F.round("lon_max", 9).alias("lon_max"))
+            .orderBy("user_id"))
+
+
 def q_mm_patches(spark, sf_dir):
     """Multimodal ViT patch extraction: split 32×32 f8 DEM tiles into the
     8×8 non-overlapping patch grid (one row per patch) with the sequence
@@ -2191,6 +2231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_resize": q_mm_resize,
         "mm_patches": q_mm_patches,
         "geo_area_centroid": q_geo_area_centroid,
+        "geo_radius_join": q_geo_radius_join,
+        "geo_track_stats": q_geo_track_stats,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_catalog": q_mm_catalog,
@@ -2408,6 +2450,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_resize": _orc.resize_sql(2, 2, 32, 8, 8),
         "mm_patches": _orc.patchify_sql(2, 2, 32, 8, 8),
         "geo_area_centroid": _orc.area_centroid_sql(40),
+        "geo_radius_join": _orc.geo_radius_sql(0.03, 5, 1.719),
+        "geo_track_stats": _orc.geo_track_sql(),
         "mm_augment": _orc.augment_sql(2, 2, 32, 16, 16),
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),

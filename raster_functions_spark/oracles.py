@@ -1896,3 +1896,76 @@ px AS (
 SELECT CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
        ROUND(SUM(CAST(v AS DOUBLE)), 5) AS sum_v
 FROM px GROUP BY 1, 2 ORDER BY tx, ty"""
+
+
+# ------------------------------------------------------------ geodesic -----
+
+_DEG2RAD_LIT = "0.017453292519943295"  # same literal as spatial._DEG2RAD
+
+
+def lonlat_sql(id_expr: str, lat_seed: int = 7001,
+               lon_seed: int = 7002) -> tuple[str, str]:
+    """Deterministic WGS84-ish coordinates from a row key: lat in
+    [-60, 60), lon in [-180, 180) — byte-identical to the engine's
+    derivation (same u60 draw, same literal arithmetic, IEEE division
+    by a power of two is exact)."""
+    from .sampling import u60_sql
+    ulat = u60_sql(id_expr, lat_seed)
+    ulon = u60_sql(id_expr, lon_seed)
+    two60 = "1152921504606846976.0"
+    return (f"CAST({ulat} AS DOUBLE) / {two60} * 120.0 - 60.0",
+            f"CAST({ulon} AS DOUBLE) / {two60} * 360.0 - 180.0")
+
+
+def central_angle_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Haversine central angle (radians) — token-for-token the operation
+    tree of spatial.central_angle, so the only cross-engine difference is
+    libm rounding (~1e-15)."""
+    c = _DEG2RAD_LIT
+    sp = f"sin((({lat2}) - ({lat1})) * {c} / 2.0)"
+    sl = f"sin((({lon2}) - ({lon1})) * {c} / 2.0)"
+    h = (f"{sp} * {sp} + cos(({lat1}) * {c}) * cos(({lat2}) * {c})"
+         f" * ({sl} * {sl})")
+    return f"2.0 * asin(least(1.0, sqrt({h})))"
+
+
+def geo_radius_sql(theta_rad: float, subset_mod: int, band_deg: float) -> str:
+    """geo_radius_join oracle: brute-force haversine self-join over the
+    same derived points — INDEPENDENT of the engine's cell-grid plan.
+    The lat-band prefilter is a pure necessary condition (|dlat| <= the
+    central angle), there to let DuckDB IEJoin instead of nested-loop at
+    sf0.1; it cannot drop a true pair."""
+    lat, lon = lonlat_sql("event_id")
+    sig = central_angle_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+WITH pts AS (
+  SELECT event_id AS id, {lat} AS lat, {lon} AS lon
+  FROM events WHERE event_id % {subset_mod} = 0),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, {sig} AS sigma
+  FROM pts a JOIN pts b
+    ON b.lat >= a.lat - {band_deg} AND b.lat <= a.lat + {band_deg}
+   AND a.id < b.id)
+SELECT id_a, id_b, ROUND(sigma, 9) AS sigma_rad
+FROM cand WHERE sigma <= {theta_rad!r}
+ORDER BY id_a, id_b"""
+
+
+def geo_track_sql() -> str:
+    """geo_track_stats oracle: per-user trajectory stats re-derived with
+    DuckDB window functions over the same deterministic coordinates."""
+    lat, lon = lonlat_sql("event_id")
+    sig = central_angle_sql("plat", "plon", "lat", "lon")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {lat} AS lat, {lon} AS lon FROM events),
+steps AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, COUNT(*) AS n_points,
+       ROUND(COALESCE(SUM(CASE WHEN plat IS NOT NULL THEN {sig} END), 0.0),
+             6) AS path_rad,
+       ROUND(MIN(lat), 9) AS lat_min, ROUND(MAX(lat), 9) AS lat_max,
+       ROUND(MIN(lon), 9) AS lon_min, ROUND(MAX(lon), 9) AS lon_max
+FROM steps GROUP BY user_id ORDER BY user_id"""

@@ -397,3 +397,145 @@ def rasterize_attributes_col(df: DataFrame, zones: DataFrame,
     as a broadcast left join."""
     z = zones.select(zone_col, *attrs)
     return df.join(F.broadcast(z), zone_col, "left")
+
+
+# ------------------------------------------------------- geodesic layer ----
+#
+# Great-circle analytics over (lat, lon) DEGREE columns. The reference's
+# spatial predicates are all planar (envelope intersects, utils.py:213-229);
+# a crawl-scale image table carries WGS84 capture coordinates, so the
+# engine adds the geodesic primitives a tiling pipeline needs: distance,
+# radius self-join (pairs within R), and per-entity track statistics.
+# Everything is a pure JVM expression tree — zero Python in the hot path —
+# and distances are emitted as CENTRAL ANGLES in radians (multiply by the
+# sphere radius of your datum to get meters): radian magnitude keeps the
+# cross-engine libm disagreement (~2 ulp per sin/cos) far below the
+# contract-oracle tolerance, where a meters-scale value would amplify it.
+
+_DEG2RAD = 0.017453292519943295  # float(pi/180); oracles embed the same literal
+
+
+def central_angle(lat1, lon1, lat2, lon2):
+    """Haversine central angle (radians) between two (lat, lon) DEGREE
+    column pairs. The operation tree (multiply-by-literal, halve, square
+    via self-multiply, least(1.0, sqrt)) is mirrored token-for-token by
+    oracles.central_angle_sql so engine and oracle differ only in libm
+    rounding (~1e-15)."""
+    p1 = lat1 * F.lit(_DEG2RAD)
+    p2 = lat2 * F.lit(_DEG2RAD)
+    sp = F.sin((lat2 - lat1) * F.lit(_DEG2RAD) / F.lit(2.0))
+    sl = F.sin((lon2 - lon1) * F.lit(_DEG2RAD) / F.lit(2.0))
+    h = sp * sp + F.cos(p1) * F.cos(p2) * (sl * sl)
+    return F.lit(2.0) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+def _geo_grid(theta_rad: float, max_abs_lat: float) -> tuple[int, int]:
+    """Uniform lat/lon grid sized so that two points within central angle
+    theta always land in the same or adjacent cells (lon adjacency mod
+    wrap). Guarantees, for points with |lat| <= max_abs_lat:
+
+    - |dlat_deg| <= theta_deg <= 180/n_lat  (lat index differs by <= 1)
+    - from haversine, sin(dlon/2) <= sin(theta/2)/cos(max_abs_lat), so
+      |dlon_deg| <= 360/n_lon  (lon index differs by <= 1 mod n_lon)
+
+    floor() (not ceil) keeps every cell's width >= the required bound —
+    a ceil'd count would make the seam cell narrower and let a pair
+    straddle TWO cell boundaries."""
+    import math
+    theta_deg = math.degrees(theta_rad)
+    n_lat = max(1, int(math.floor(180.0 / theta_deg)))
+    cos_max = math.cos(math.radians(min(89.9999, max_abs_lat)))
+    arg = min(1.0, math.sin(theta_rad / 2.0) / max(cos_max, 1e-12))
+    dlon_deg = math.degrees(2.0 * math.asin(arg))
+    n_lon = max(1, int(math.floor(360.0 / dlon_deg)))
+    return n_lat, n_lon
+
+
+def radius_join(df: DataFrame, theta_rad: float, id_col: str = "id",
+                lat_col: str = "lat", lon_col: str = "lon",
+                max_abs_lat: float | None = None,
+                dist_col: str = "sigma_rad") -> DataFrame:
+    """All unordered point pairs within central angle ``theta_rad`` —
+    the geodesic range self-join, bucketed so the candidate set is
+    neighbor-cells only, NEVER the n² cross product.
+
+    Plan: each point gets one grid cell (``_geo_grid`` sizes the grid so
+    enclosure is provable, antimeridian wrap via pmod); the left side
+    explodes to its <= 9 distinct neighbor cells, one hash equi-join on
+    cell id, ``id_l < id_r`` keeps each pair once (the pair is matched
+    from both directions), exact haversine refines. Shuffle volume is
+    9 narrow rows per point; per-cell density drives the compare count,
+    and AQE's skew-join split handles hot cells (urban clusters) the
+    same way the PIP cell join does. At 10^12 rows this is the same
+    one-shuffle shape as dedup's LSH bucket join.
+
+    ``max_abs_lat``: pass the known latitude bound of the data (tighter
+    bound = wider usable lon cells); defaults to scanning the data for
+    it (one cheap aggregate). Distances are central angles in radians —
+    see the section comment."""
+    if max_abs_lat is None:
+        max_abs_lat = df.agg(
+            F.max(F.abs(F.col(lat_col)))).collect()[0][0] or 0.0
+    n_lat, n_lon = _geo_grid(theta_rad, max_abs_lat)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    ci = F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0 / n_lat)),
+                 F.lit(n_lat - 1)).cast("long")
+    cj = F.pmod(F.floor((lon + F.lit(180.0)) / F.lit(360.0 / n_lon)),
+                F.lit(n_lon)).cast("long")
+    pts = df.select(F.col(id_col).alias("_gid"), lat.alias("_glat"),
+                    lon.alias("_glon"), ci.alias("_ci"), cj.alias("_cj"))
+    nbrs = F.array_distinct(F.array(*[
+        F.when((F.col("_ci") + di >= 0) & (F.col("_ci") + di < n_lat),
+               (F.col("_ci") + di) * n_lon
+               + F.pmod(F.col("_cj") + dj, F.lit(n_lon)))
+        for di in (-1, 0, 1) for dj in (-1, 0, 1)]))
+    left = (pts.withColumn("_nbr", F.explode(nbrs))
+            .filter(F.col("_nbr").isNotNull())
+            .select(F.col("_gid").alias("_idl"), F.col("_glat").alias("_latl"),
+                    F.col("_glon").alias("_lonl"), "_nbr"))
+    right = pts.select(F.col("_gid").alias("_idr"),
+                       F.col("_glat").alias("_latr"),
+                       F.col("_glon").alias("_lonr"),
+                       (F.col("_ci") * n_lon + F.col("_cj")).alias("_cell"))
+    sigma = central_angle(F.col("_latl"), F.col("_lonl"),
+                          F.col("_latr"), F.col("_lonr"))
+    return (left.join(right, (F.col("_nbr") == F.col("_cell"))
+                      & (F.col("_idl") < F.col("_idr")))
+            .withColumn(dist_col, sigma)
+            .filter(F.col(dist_col) <= F.lit(float(theta_rad)))
+            .select(F.col("_idl").alias(f"{id_col}_a"),
+                    F.col("_idr").alias(f"{id_col}_b"), dist_col))
+
+
+def track_stats(df: DataFrame, entity_col: str, order_cols: list[str],
+                lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Per-entity trajectory statistics: point count, great-circle path
+    length (sum of consecutive central angles in ``order_cols`` order,
+    radians) and the bounding box. One shuffle: the window partitions by
+    the entity and the follow-up aggregate groups by the same key, so
+    Catalyst reuses the exchange. Ties in ``order_cols`` must be broken
+    by a unique column (pass e.g. ["ts", "event_id"]) or the path length
+    is not well-defined."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    plat, plon = F.lag(lat).over(w), F.lag(lon).over(w)
+    step = F.when(plat.isNotNull(), central_angle(plat, plon, lat, lon))
+    return (df.withColumn("_step", step)
+            .groupBy(entity_col)
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.coalesce(F.sum("_step"), F.lit(0.0)).alias("path_rad"),
+                 F.min(lat).alias("lat_min"), F.max(lat).alias("lat_max"),
+                 F.min(lon).alias("lon_min"), F.max(lon).alias("lon_max")))
+
+
+def lonlat_cols(key, lat_seed: int = 7001, lon_seed: int = 7002):
+    """Deterministic WGS84-ish coordinates from a row key: lat in
+    [-60, 60), lon in [-180, 180) as pure JVM columns — the test-table
+    stand-in for real capture coordinates (oracles.lonlat_sql is the
+    byte-identical replay; division by 2^60 is exact in IEEE doubles)."""
+    from .sampling import u60_col
+    two60 = F.lit(1152921504606846976.0)
+    lat = u60_col(key, lat_seed).cast("double") / two60 * F.lit(120.0) - F.lit(60.0)
+    lon = u60_col(key, lon_seed).cast("double") / two60 * F.lit(360.0) - F.lit(180.0)
+    return lat, lon
