@@ -1377,6 +1377,34 @@ def q_geo_track_stats(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def q_dedup_url(spark, sf_dir):
+    """URL-level crawl dedup: canonicalize deterministic messy URLs
+    (scheme/case/www/trailing-slash/utm-param/fragment variance) with a
+    pure JVM regexp chain and group by canonical form — one hash-agg
+    shuffle on the canonical key, the standard first pass before any
+    content dedup. The oracle replays the identical chain in DuckDB
+    (RE2 ∩ Java-regex patterns only)."""
+    from raster_functions_spark import oracles, text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.expr(oracles.synth_url_sql("doc_id", "spark"))
+    return (d.select("doc_id", text.canonical_url(url).alias("canon_url"))
+            .groupBy("canon_url")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("doc_id").alias("min_doc"))
+            .orderBy("canon_url"))
+
+
+def q_text_ppl_bucket(spark, sf_dir):
+    """CCNet-style quality bucketing: per-language head/middle/tail cut
+    by unigram-NLL rank thirds (integer math, deterministic tie-break)
+    — the curation step between LM scoring and mixture sampling. Window
+    input is the narrow (lang, nll, id) projection only."""
+    from raster_functions_spark import text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.ppl_buckets(d)
+    return out.orderBy("lang", "bucket")
+
+
 def q_mm_patches(spark, sf_dir):
     """Multimodal ViT patch extraction: split 32×32 f8 DEM tiles into the
     8×8 non-overlapping patch grid (one row per patch) with the sequence
@@ -2233,16 +2261,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_area_centroid": q_geo_area_centroid,
         "geo_radius_join": q_geo_radius_join,
         "geo_track_stats": q_geo_track_stats,
+        "dedup_url": q_dedup_url,
+        "text_ppl_bucket": q_text_ppl_bucket,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_catalog": q_mm_catalog,
         "mm_quarantine": q_mm_quarantine,
         "mm_ingest_rollup": q_mm_ingest_rollup,
-        "m3_random_forest": q_m3_random_forest,
-        "m4_gbt": q_m4_gbt,
-        "snap_incremental": q_snap_incremental,
-        "f4_windchill_units": q_f4_windchill_units,
-        # ---- driver window boundary (50) — f5_heat_index..f11_unmixing
+        # ---- driver window boundary (50) — m3_random_forest, m4_gbt,
+        # snap_incremental, f4_windchill_units (all r4-driver-green) slid
+        # past it as the session-4 queries (geo_radius_join,
+        # geo_track_stats, dedup_url, text_ppl_bucket) registered;
+        # f5_heat_index..f11_unmixing
         # (all r3/r4-driver-green) slid just past it as dedup_spans,
         # mm_patches, geo_area_centroid and text_pack_export registered;
         # r5-green and the
@@ -2256,6 +2286,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation queries (text_chunks/text_pack/semdedup_corpus/
         # dedup_ingest/text_unigram_ppl/mm_augment) landed — all r2-r4
         # driver-green) ----
+        "m3_random_forest": q_m3_random_forest,
+        "m4_gbt": q_m4_gbt,
+        "snap_incremental": q_snap_incremental,
+        "f4_windchill_units": q_f4_windchill_units,
         "f5_heat_index": q_f5_heat_index,
         "f6_fuzzy_gaussian": q_f6_fuzzy_gaussian,
         "f8_vineyard": q_f8_vineyard,
@@ -2452,6 +2486,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_area_centroid": _orc.area_centroid_sql(40),
         "geo_radius_join": _orc.geo_radius_sql(0.03, 5, 1.719),
         "geo_track_stats": _orc.geo_track_sql(),
+        "dedup_url": _orc.dedup_url_sql(),
+        "text_ppl_bucket": _text.ppl_buckets_sql("documents"),
         "mm_augment": _orc.augment_sql(2, 2, 32, 16, 16),
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),

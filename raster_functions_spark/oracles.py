@@ -1969,3 +1969,43 @@ SELECT user_id, COUNT(*) AS n_points,
        ROUND(MIN(lat), 9) AS lat_min, ROUND(MAX(lat), 9) AS lat_max,
        ROUND(MIN(lon), 9) AS lon_min, ROUND(MAX(lon), 9) AS lon_max
 FROM steps GROUP BY user_id ORDER BY user_id"""
+
+
+# ----------------------------------------------------------- url dedup -----
+
+def synth_url_sql(id_expr: str, dialect: str = "duckdb") -> str:
+    """Deterministic messy-URL fixture from a row key (INPUT, not answer):
+    scheme/case/www/trailing-slash/tracking-param/fragment variance all
+    keyed on small moduli of the id, so rows in the same (id % 200) class
+    point at the same logical resource through different surface forms.
+    One definition, rendered for either engine (CAST type is the only
+    dialect difference)."""
+    s = "VARCHAR" if dialect == "duckdb" else "STRING"
+
+    def c(e: str) -> str:
+        return f"CAST({e} AS {s})"
+
+    i = f"({id_expr})"
+    host = f"'ex' || {c(f'{i} % 50')} || '.com'"
+    return ("concat("
+            f"CASE WHEN {i} % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END, "
+            f"CASE WHEN {i} % 2 = 0 THEN 'www.' ELSE '' END, "
+            f"CASE WHEN {i} % 5 = 0 THEN upper({host}) ELSE {host} END, "
+            f"'/p/', {c(f'{i} % 200')}, "
+            f"CASE WHEN {i} % 11 = 0 THEN '/' ELSE '' END, "
+            f"CASE WHEN {i} % 4 = 0 THEN '?utm_source=x&id=' || {c(f'{i} % 100')} "
+            f"     WHEN {i} % 4 = 1 THEN '?id=' || {c(f'{i} % 100')} || '&utm_campaign=y' "
+            f"     WHEN {i} % 4 = 2 THEN '?utm_medium=z' ELSE '' END, "
+            f"CASE WHEN {i} % 7 = 0 THEN '#sec' ELSE '' END)")
+
+
+def dedup_url_sql() -> str:
+    """dedup_url oracle: build the same messy URLs, canonicalize with the
+    DuckDB-rendered regexp chain, group by canonical form."""
+    from .text import canonical_url_sql
+    url = synth_url_sql("doc_id")
+    return f"""
+WITH u AS (
+  SELECT doc_id, {canonical_url_sql(url)} AS canon FROM documents)
+SELECT canon AS canon_url, COUNT(*) AS n_variants, MIN(doc_id) AS min_doc
+FROM u GROUP BY canon ORDER BY canon"""

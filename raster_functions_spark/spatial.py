@@ -473,6 +473,21 @@ def radius_join(df: DataFrame, theta_rad: float, id_col: str = "id",
     bound = wider usable lon cells); defaults to scanning the data for
     it (one cheap aggregate). Distances are central angles in radians —
     see the section comment."""
+    cand = _radius_candidates(df, theta_rad, id_col, lat_col, lon_col,
+                              max_abs_lat)
+    sigma = central_angle(F.col("_latl"), F.col("_lonl"),
+                          F.col("_latr"), F.col("_lonr"))
+    return (cand.withColumn(dist_col, sigma)
+            .filter(F.col(dist_col) <= F.lit(float(theta_rad)))
+            .select(F.col("_idl").alias(f"{id_col}_a"),
+                    F.col("_idr").alias(f"{id_col}_b"), dist_col))
+
+
+def _radius_candidates(df: DataFrame, theta_rad: float, id_col: str,
+                       lat_col: str, lon_col: str,
+                       max_abs_lat: float | None) -> DataFrame:
+    """The cell-join candidate stage of :func:`radius_join` — exposed so
+    the scale probe can count admitted pairs before the exact filter."""
     if max_abs_lat is None:
         max_abs_lat = df.agg(
             F.max(F.abs(F.col(lat_col)))).collect()[0][0] or 0.0
@@ -497,14 +512,8 @@ def radius_join(df: DataFrame, theta_rad: float, id_col: str = "id",
                        F.col("_glat").alias("_latr"),
                        F.col("_glon").alias("_lonr"),
                        (F.col("_ci") * n_lon + F.col("_cj")).alias("_cell"))
-    sigma = central_angle(F.col("_latl"), F.col("_lonl"),
-                          F.col("_latr"), F.col("_lonr"))
-    return (left.join(right, (F.col("_nbr") == F.col("_cell"))
-                      & (F.col("_idl") < F.col("_idr")))
-            .withColumn(dist_col, sigma)
-            .filter(F.col(dist_col) <= F.lit(float(theta_rad)))
-            .select(F.col("_idl").alias(f"{id_col}_a"),
-                    F.col("_idr").alias(f"{id_col}_b"), dist_col))
+    return left.join(right, (F.col("_nbr") == F.col("_cell"))
+                     & (F.col("_idl") < F.col("_idr")))
 
 
 def track_stats(df: DataFrame, entity_col: str, order_cols: list[str],

@@ -604,3 +604,94 @@ SELECT {id_col}, COUNT(*) AS n_tokens,
        ROUND(AVG(-ln(c * 1.0 / tot.n)), 6) AS nll
 FROM toks JOIN vocab USING (tok), tot
 GROUP BY {id_col}, tot.n"""
+
+
+# --------------------------------------------------- URL canonicalization --
+
+# ordered (pattern, replacement) chain — lowercase first, then: fragment,
+# scheme, leading www., pre-query trailing path slash, tracking params
+# (utm_*/fbclid/gclid, KEEPING meaningful ones), '?&' left by a stripped
+# leading tracker, dangling separators, trailing slash
+_URL_CANON_STEPS = (
+    (r"#.*$", ""),
+    (r"^https?://", ""),
+    (r"^www\.", ""),
+    (r"/\?", "?"),
+    (r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""),
+    (r"\?&", "?"),
+    (r"[?&]+$", ""),
+    (r"/$", ""),
+)
+
+
+def canonical_url(col: Column) -> Column:
+    """Crawl-dedup URL canonicalization (_URL_CANON_STEPS in order).
+    Pure JVM regexp chain (codegen'd, zero Python); every pattern sits
+    in the Java-regex ∩ RE2 common subset so the DuckDB oracle replays
+    it verbatim (the same rule as pii_scrub)."""
+    u = F.lower(col)
+    for pat, rep in _URL_CANON_STEPS:
+        u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB replay of :func:`canonical_url` (RE2 'g' flag — DuckDB
+    replaces only the first match by default, Java replaces all)."""
+    u = f"lower({expr})"
+    for pat, rep in _URL_CANON_STEPS:
+        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    return u
+
+
+# ------------------------------------------------- CCNet ppl bucketing -----
+
+def ppl_buckets(df: DataFrame, lang_col: str = "lang",
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing: rank documents
+    within each language by unigram NLL (ties broken by id — fully
+    deterministic) and cut into exact thirds; returns per (lang, bucket)
+    the doc count and mean NLL. Bucket index is pure integer math,
+    ``(rank−1)·3 div n``, so engine and oracle agree bit-for-bit.
+
+    Scale: the NLL is two relational shuffles (see unigram_nll); the
+    ranking window shuffles only the narrow (lang, nll, id) projection.
+    A hot language concentrates its rows on one reducer — at crawl scale
+    swap the exact thirds for per-lang NLL thresholds estimated from a
+    sample (a narrow filter, the sample_stratified_exact trick); the
+    exact form here IS the contract the approximation is judged against."""
+    from pyspark.sql.window import Window
+    nll = unigram_nll(df, text_col, id_col)
+    scored = df.select(id_col, lang_col).join(nll, id_col)
+    w = Window.partitionBy(lang_col).orderBy("nll", id_col)
+    n = Window.partitionBy(lang_col)
+    b = F.expr(f"(rn - 1) * 3 div nl")
+    return (scored
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("nl", F.count(F.lit(1)).over(n))
+            .withColumn("bucket", F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                (b + 1).cast("int")))
+            .groupBy(lang_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("nll"), 6).alias("avg_nll")))
+
+
+def ppl_buckets_sql(table: str, lang_col: str = "lang",
+                    text_expr: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB replay of :func:`ppl_buckets` (same NLL, same integer
+    third-cut, same tie-break)."""
+    nll = unigram_nll_sql(table, text_expr, id_col)
+    return f"""
+WITH nll AS ({nll}),
+ranked AS (
+  SELECT d.{lang_col} AS lang, n.nll,
+         row_number() OVER (PARTITION BY d.{lang_col}
+                            ORDER BY n.nll, n.{id_col}) AS rn,
+         COUNT(*) OVER (PARTITION BY d.{lang_col}) AS nl
+  FROM nll n JOIN {table} d USING ({id_col}))
+SELECT lang,
+       CASE (rn - 1) * 3 // nl WHEN 0 THEN 'head'
+            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs, ROUND(AVG(nll), 6) AS avg_nll
+FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket"""

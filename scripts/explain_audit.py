@@ -272,6 +272,39 @@ def main() -> int:
     checks.append(("bloom corpus probe: narrow codegen + one Arrow eval, zero shuffle", ok))
     out += ["\n## bloom_might_contain\n", p]
 
+    # 20. geodesic radius join: candidates come from the cell-grid hash
+    # equi-join (haversine + id ordering as residual condition) — never a
+    # BroadcastNestedLoopJoin / CartesianProduct, and zero Python
+    from raster_functions_spark import spatial as _spatial
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    _lat, _lon = _spatial.lonlat_cols(F.col("event_id"))
+    pts = (ev.filter(F.col("event_id") % 5 == 0)
+           .select(F.col("event_id").alias("id"),
+                   _lat.alias("lat"), _lon.alias("lon")))
+    p = plan_of(_spatial.radius_join(pts, 0.03, max_abs_lat=60.0))
+    ok = ("BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+          and ("BroadcastHashJoin" in p or "SortMergeJoin" in p
+               or "ShuffledHashJoin" in p)
+          and "EvalPython" not in p)
+    checks.append(("geodesic radius join: cell hash equi-join, no cross product", ok))
+    out += ["\n## geo_radius_join\n", p]
+
+    # 21. URL canonicalization dedup: the regexp chain runs inside codegen
+    # with exactly one exchange (the canonical-key hash aggregate)
+    from raster_functions_spark import oracles as _orc2
+    from raster_functions_spark import text as _text2
+    url = F.expr(_orc2.synth_url_sql("doc_id", "spark"))
+    canon = (docs.select(_text2.canonical_url(url).alias("c"))
+             .groupBy("c").count())
+    p = plan_of(canon)
+    # (AQE hides codegen ids pre-execution, so assert structure: the
+    # regexp chain folded into one Project, a map-side partial_count,
+    # exactly one exchange, zero Python)
+    ok = (p.count("Exchange (") == 1 and "EvalPython" not in p
+          and "partial_count" in p and "regexp_replace" in p)
+    checks.append(("url dedup: JVM regexp chain + single hash-agg exchange", ok))
+    out += ["\n## dedup_url\n", p]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
