@@ -1421,6 +1421,77 @@ def q_mm_patches(spark, sf_dir):
             .orderBy("tx", "ty", "seq"))
 
 
+def q_sketch_hll(spark, sf_dir):
+    """Mergeable HyperLogLog cardinality sketch (Flajolet 2007): distinct
+    users per day (DAU — small range, exercises the linear-counting
+    correction) and distinct events per type (raw-estimate branch), both
+    from 2^8-register vectors that map-side combine — at most 256 rows
+    per group ever shuffle, regardless of input size. Deterministic
+    md5-u60 hash + integer-exact rho + integer-scaled register sum, so
+    the DuckDB oracle replays the estimate bit-for-bit (no float-log2 or
+    sum-order hazards)."""
+    from raster_functions_spark import sketches
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dau = sketches.hll_distinct(
+        ev.withColumn("grp", F.concat(F.lit("dau:"), F.date_format(
+            F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"))),
+        "user_id", ["grp"], p=8)
+    per_type = sketches.hll_distinct(
+        ev.withColumn("grp", F.concat(F.lit("events:"), F.col("event_type"))),
+        "event_id", ["grp"], p=8)
+    return (dau.unionByName(per_type)
+            .select("grp", F.round("est", 4).alias("est"))
+            .orderBy("grp"))
+
+
+def q_geo_compact_cover(spark, sf_dir):
+    """H3/S2-style compact(): the minimal mixed-resolution cell set whose
+    res-9 descendants exactly tile a bbox cover — what an index-metadata
+    layer stores per AOI (O(perimeter) cells, not O(area)). Closed-form
+    containment tests per resolution over spark.range arms (no driver
+    materialization, no iteration); the oracle re-derives the cover
+    rectangle from the bbox literals and replays the same integer
+    math. pytest separately proves closed form == iterated
+    complete-sibling-group merging."""
+    from raster_functions_spark import grid
+    out = grid.compact_cover_df(spark, -10.0, -5.0, 25.0, 30.0, 9)
+    return out.select("cell", "res").orderBy("cell")
+
+
+def q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD 2003) rolled up per document:
+    hash word 3-grams in position order, select each 4-window's
+    rightmost minimum — local fingerprints guaranteeing any shared run
+    of ≥ 6 words is caught, at ~2/(w+1) the density of full shingling.
+    Bounded w-fold fan-out + doc-keyed aggregations only; the checksum
+    columns pin the selected hashes AND positions."""
+    from raster_functions_spark import text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = text.winnow_fingerprints(d)
+    return (fps.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fp"),
+                 F.sum(F.pmod(F.col("h"), F.lit(2147483647))).alias("fp_sum"),
+                 F.sum("pos").alias("pos_sum"))
+            .orderBy("doc_id"))
+
+
+def q_sample_mix_temperature(spark, sf_dir):
+    """Temperature-scaled domain mixture (w_d ∝ p_d^τ, τ=0.7 — the
+    multilingual/multi-domain LM sampling recipe): per source domain its
+    corpus share, renormalized temperature weight, and allocation at a
+    1M-token budget. One domain-keyed aggregation; the window runs over
+    |domains| aggregate rows, never the corpus."""
+    from raster_functions_spark import sampling
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.mixture_weights(d, "source", "n_chars", tau=0.7,
+                                   budget=1_000_000)
+    return (out.select("domain", "n_weight",
+                       F.round("p", 6).alias("p"),
+                       F.round("w", 6).alias("w"),
+                       F.round("alloc", 6).alias("alloc"))
+            .orderBy("domain"))
+
+
 def q_mm_decode_png(spark, sf_dir):
     """Multimodal PNG ingest: a binary column of real PNG payloads (filter
     types 0-4 cycling) decoded by the from-scratch decoder (formats.py:
@@ -2263,12 +2334,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_track_stats": q_geo_track_stats,
         "dedup_url": q_dedup_url,
         "text_ppl_bucket": q_text_ppl_bucket,
+        "sketch_hll": q_sketch_hll,
+        "geo_compact_cover": q_geo_compact_cover,
+        "text_winnow": q_text_winnow,
+        "sample_mix_temperature": q_sample_mix_temperature,
         "mm_decode_png": q_mm_decode_png,
+        # ---- driver window boundary (50) — mm_decode_jpeg, mm_catalog,
+        # mm_quarantine, mm_ingest_rollup (all r4-driver-green) slid past
+        # it as the session-5 queries (sketch_hll, geo_compact_cover,
+        # text_winnow, sample_mix_temperature) registered ----
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_catalog": q_mm_catalog,
         "mm_quarantine": q_mm_quarantine,
         "mm_ingest_rollup": q_mm_ingest_rollup,
-        # ---- driver window boundary (50) — m3_random_forest, m4_gbt,
+        # ---- (older boundary history) m3_random_forest, m4_gbt,
         # snap_incremental, f4_windchill_units (all r4-driver-green) slid
         # past it as the session-4 queries (geo_radius_join,
         # geo_track_stats, dedup_url, text_ppl_bucket) registered;
@@ -2370,6 +2449,8 @@ def oracle_sql() -> dict[str, str]:
     from raster_functions_spark import dedup as _dedup
     from raster_functions_spark import oracles as _orc
     from raster_functions_spark import sampling as _sampling
+    from raster_functions_spark import sketches as _sketches
+    from raster_functions_spark import grid as _grid
 
     # legacy 8-hash / 2-band banding for the ngram-verification stage
     # (its Spark query keeps the anchored-family candidate generator)
@@ -2488,6 +2569,22 @@ def oracle_sql() -> dict[str, str]:
         "geo_track_stats": _orc.geo_track_sql(),
         "dedup_url": _orc.dedup_url_sql(),
         "text_ppl_bucket": _text.ppl_buckets_sql("documents"),
+        "sketch_hll": (
+            "SELECT * FROM (\n"
+            "  SELECT * FROM (" + _sketches.hll_sql(
+                "events", "user_id",
+                "concat('dau:', strftime(date_trunc('day', ts), '%Y-%m-%d'))",
+                "grp", p=8) + ")\n"
+            "  UNION ALL\n"
+            "  SELECT * FROM (" + _sketches.hll_sql(
+                "events", "event_id",
+                "concat('events:', event_type)", "grp", p=8) + ")\n"
+            ") ORDER BY grp"),
+        "geo_compact_cover": _grid.compact_cover_sql(
+            -10.0, -5.0, 25.0, 30.0, 9),
+        "text_winnow": _text.winnow_sql("documents"),
+        "sample_mix_temperature": _sampling.mixture_sql(
+            "documents", "source", "n_chars", tau=0.7, budget=1_000_000),
         "mm_augment": _orc.augment_sql(2, 2, 32, 16, 16),
         "mm_decode_png": _orc.png_decode_sql(40),
         "mm_decode_jpeg": _orc.jpeg_decode_sql(40),

@@ -260,3 +260,138 @@ def hex_encode(lon, lat, size_deg: float) -> np.ndarray:
     qi = rx.astype(np.int64)
     ri = rz.astype(np.int64)
     return (qi << np.int64(32)) | (ri & np.int64(0xFFFFFFFF))
+
+
+# ------------------------------------------- hierarchical compact cover ----
+
+def _cover_ranges(xmin: float, ymin: float, xmax: float, ymax: float,
+                  res: int) -> tuple[int, int, int, int]:
+    i0, j0 = lonlat_to_ij(xmin, ymin, res)
+    i1, j1 = lonlat_to_ij(xmax, ymax, res)
+    return int(i0), int(i1), int(j0), int(j1)
+
+
+def compact_cover_np(xmin: float, ymin: float, xmax: float, ymax: float,
+                     res: int) -> np.ndarray:
+    """Mixed-resolution compaction of :func:`cover_bbox` — the H3/S2
+    ``compact()`` analog: the minimal set of cells (coarsest possible,
+    resolutions 0..res) whose descendant sets at ``res`` exactly tile the
+    bbox cover. Closed form, no iteration: a cell at resolution ``r`` is
+    emitted iff its res-``res`` descendant index range lies inside the
+    cover rectangle ("fully covered") while its parent's does not —
+    equivalent to iterated complete-sibling-group merging from the
+    uniform cover, because a parent group completes iff the parent is
+    fully covered (pytest checks equivalence against the naive iterative
+    merge). A compact cover is what an index-metadata layer stores per
+    AOI: O(perimeter) cells instead of O(area)."""
+    i0, i1, j0, j1 = _cover_ranges(xmin, ymin, xmax, ymax, res)
+    out = []
+    for r in range(res + 1):
+        sh = res - r
+        ii = np.arange(i0 >> sh, (i1 >> sh) + 1, dtype=np.int64)
+        jj = np.arange(j0 >> sh, (j1 >> sh) + 1, dtype=np.int64)
+        gi, gj = np.meshgrid(ii, jj, indexing="ij")
+        gi, gj = gi.reshape(-1), gj.reshape(-1)
+        full = (((gi << sh) >= i0) & ((gi << sh) + (1 << sh) - 1 <= i1)
+                & ((gj << sh) >= j0) & ((gj << sh) + (1 << sh) - 1 <= j1))
+        if r == 0:
+            keep = full
+        else:
+            sh2 = sh + 1
+            pi, pj = gi >> 1, gj >> 1
+            pfull = (((pi << sh2) >= i0)
+                     & ((pi << sh2) + (1 << sh2) - 1 <= i1)
+                     & ((pj << sh2) >= j0)
+                     & ((pj << sh2) + (1 << sh2) - 1 <= j1))
+            keep = full & ~pfull
+        if keep.any():
+            out.append(ij_to_cell(gi[keep], gj[keep], r))
+    # cells at res that are in the cover but never fully covered do not
+    # exist: at r == res, "fully covered" == membership in the rectangle
+    return np.concatenate(out) if out else np.empty(0, np.int64)
+
+
+def compact_cover_df(spark, xmin: float, ymin: float, xmax: float,
+                     ymax: float, res: int):
+    """Distributed :func:`compact_cover_np`: one ``spark.range`` per
+    resolution (≤ 16 arms) with the containment filters as JVM columns —
+    no driver materialization, so a continent-sized fine-res cover
+    (O(4^res) candidate cells at the deepest arm) generates in
+    parallel."""
+    i0, i1, j0, j1 = _cover_ranges(xmin, ymin, xmax, ymax, res)
+    frames = []
+    for r in range(res + 1):
+        sh = res - r
+        ia0, ia1 = i0 >> sh, i1 >> sh
+        ja0, ja1 = j0 >> sh, j1 >> sh
+        w = ia1 - ia0 + 1
+        n = w * (ja1 - ja0 + 1)
+        df = spark.range(n).select(
+            (F.lit(ia0) + F.col("id") % w).alias("i"),
+            (F.lit(ja0) + (F.col("id") / w).cast("long")).alias("j"))
+        full = ((F.shiftleft(F.col("i"), sh) >= i0)
+                & (F.shiftleft(F.col("i"), sh) + ((1 << sh) - 1) <= i1)
+                & (F.shiftleft(F.col("j"), sh) >= j0)
+                & (F.shiftleft(F.col("j"), sh) + ((1 << sh) - 1) <= j1))
+        if r == 0:
+            keep = full
+        else:
+            sh2 = sh + 1
+            pi = F.shiftright(F.col("i"), 1)
+            pj = F.shiftright(F.col("j"), 1)
+            pfull = ((F.shiftleft(pi, sh2) >= i0)
+                     & (F.shiftleft(pi, sh2) + ((1 << sh2) - 1) <= i1)
+                     & (F.shiftleft(pj, sh2) >= j0)
+                     & (F.shiftleft(pj, sh2) + ((1 << sh2) - 1) <= j1))
+            keep = full & ~pfull
+        morton = _spread_col(F.col("i")).bitwiseOR(
+            F.shiftleft(_spread_col(F.col("j")), 1))
+        cell = F.shiftleft(morton, RES_BITS).bitwiseOR(F.lit(r))
+        frames.append(df.filter(keep).select(cell.alias("cell"),
+                                             F.lit(r).alias("res")))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def compact_cover_sql(xmin: float, ymin: float, xmax: float, ymax: float,
+                      res: int) -> str:
+    """DuckDB replay of the compact cover: the cover rectangle is
+    re-derived from the bbox literals with the identical clamp/floor
+    arithmetic, then one UNION ALL arm per resolution applies the same
+    integer containment tests."""
+    n = 1 << res
+    def _ij(e: str, off: float, span: float) -> str:
+        return (f"CAST(LEAST(GREATEST(FLOOR(({e} + {off}) / {span} * "
+                f"{float(n)}), 0), {n - 1}) AS BIGINT)")
+    p = (f"SELECT {_ij(repr(xmin), 180.0, 360.0)} AS i0, "
+         f"{_ij(repr(xmax), 180.0, 360.0)} AS i1, "
+         f"{_ij(repr(ymin), 90.0, 180.0)} AS j0, "
+         f"{_ij(repr(ymax), 90.0, 180.0)} AS j1")
+    arms = []
+    for r in range(res + 1):
+        sh = res - r
+        full = (f"(i << {sh}) >= p.i0 AND (i << {sh}) + {(1 << sh) - 1} <= p.i1 "
+                f"AND (j << {sh}) >= p.j0 AND (j << {sh}) + {(1 << sh) - 1} <= p.j1")
+        if r == 0:
+            cond = full
+        else:
+            sh2 = sh + 1
+            cond = (f"({full}) AND NOT ("
+                    f"((i >> 1) << {sh2}) >= p.i0 AND "
+                    f"((i >> 1) << {sh2}) + {(1 << sh2) - 1} <= p.i1 AND "
+                    f"((j >> 1) << {sh2}) >= p.j0 AND "
+                    f"((j >> 1) << {sh2}) + {(1 << sh2) - 1} <= p.j1)")
+        si = _spread_sql("i", "duckdb")
+        sj = _spread_sql("j", "duckdb")
+        arms.append(
+            f"SELECT ((({si} | ({sj} << 1)) << {RES_BITS}) | {r}) AS cell, "
+            f"{r} AS res\n"
+            f"FROM (SELECT unnest(range((SELECT i0 >> {sh} FROM p), "
+            f"(SELECT i1 >> {sh} FROM p) + 1)) AS i) ti, "
+            f"(SELECT unnest(range((SELECT j0 >> {sh} FROM p), "
+            f"(SELECT j1 >> {sh} FROM p) + 1)) AS j) tj, p\n"
+            f"WHERE {cond}")
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH p AS ({p})\n{body}\nORDER BY cell"

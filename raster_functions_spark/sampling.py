@@ -512,3 +512,55 @@ FROM (
              ORDER BY {u}, {key_col}
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _pre
   FROM {table}) t"""
+
+
+# ------------------------------------------- temperature domain mixing -----
+
+def mixture_weights(df: DataFrame, domain_col: str, weight_col: str,
+                    tau: float = 0.7, budget: int = 1_000_000) -> DataFrame:
+    """Temperature-scaled domain mixture — the sampling-weight step of
+    multi-source training-data curation (the τ-scaled multinomial of
+    multilingual/multi-domain LM recipes, e.g. mC4/PaLM-style
+    ``w_d ∝ p_d^τ``): per domain, its share ``p`` of the corpus weight
+    (tokens), the renormalized temperature weight ``w``, and the token
+    allocation at a given sample budget. ``τ < 1`` upsamples the tail,
+    ``τ = 1`` is proportional, ``τ = 0`` uniform.
+
+    One hash aggregation on the domain key plus an unbounded window over
+    the domain AGGREGATES (|domains| rows, never the corpus) — nothing
+    here scales with input rows except the map-side partial sum."""
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    per = (df.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.sum(F.col(weight_col).cast("double")).alias("w_dom")))
+    total = Window.partitionBy()
+    p = (F.col("w_dom") / F.sum("w_dom").over(total))
+    pt = F.pow(p, F.lit(float(tau)))
+    w = pt / F.sum(pt).over(total)
+    return (per.select("domain",
+                       F.col("w_dom").cast("long").alias("n_weight"),
+                       p.alias("p"), w.alias("w"))
+            .withColumn("alloc", F.col("w") * F.lit(float(budget))))
+
+
+def mixture_sql(table: str, domain_expr: str, weight_expr: str,
+                tau: float = 0.7, budget: int = 1_000_000,
+                round_to: int = 6) -> str:
+    """DuckDB replay of :func:`mixture_weights` (same float order:
+    share → pow → renormalize)."""
+    return f"""
+WITH per AS (
+  SELECT {domain_expr} AS domain,
+         SUM(CAST({weight_expr} AS DOUBLE)) AS w_dom
+  FROM {table} GROUP BY 1
+), sh AS (
+  SELECT domain, w_dom, w_dom / SUM(w_dom) OVER () AS p FROM per
+), tw AS (
+  SELECT domain, w_dom, p, POWER(p, {float(tau)!r}) AS pt FROM sh
+)
+SELECT domain, CAST(w_dom AS BIGINT) AS n_weight,
+       ROUND(p, {round_to}) AS p,
+       ROUND(pt / SUM(pt) OVER (), {round_to}) AS w,
+       ROUND(pt / SUM(pt) OVER () * {float(budget)!r}, {round_to}) AS alloc
+FROM tw ORDER BY domain
+""".strip()

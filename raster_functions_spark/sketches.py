@@ -1,0 +1,157 @@
+"""Mergeable cardinality sketches (HyperLogLog), built from scratch.
+
+At 100-TB corpus scale "how many distinct users / URLs / content hashes
+per slice" is a first-class curation question, and the exact answer
+(``COUNT(DISTINCT ...)``) costs a full shuffle of every distinct key.
+HyperLogLog (Flajolet et al., AofA 2007) answers it with a fixed
+``m = 2^p`` register vector per group: the map side combines registers
+locally (``max`` is associative), so the shuffle carries at most
+``m`` rows per group regardless of input size — the canonical
+distributed-sketch shape.
+
+Everything here is deterministic and *exactly* replayable in DuckDB:
+
+- the hash is the engine-standard seeded md5-u60 draw
+  (:mod:`raster_functions_spark.sampling`), 60 uniform bits;
+- ``rho`` (leading-zero rank) is integer-exact via ``length(bin(w))``
+  — no float ``log2`` whose last-ulp rounding could disagree across
+  libms at ``w = 2^k - 1`` boundaries;
+- the register sum ``Σ 2^-rho`` is computed integer-scaled as
+  ``Σ 2^(Q - rho)`` (``Q = 60 - p ≤ 53`` for ``p ≥ 7``), so it is
+  order-independent — a float accumulation over >2^53-spanning terms
+  would make the estimate depend on Spark's partition merge order.
+
+The raw estimate divides a Python-float literal ``alpha_m * m^2 * 2^Q``
+(emitted identically into the Spark plan and the oracle SQL) by that
+integer sum; the standard small-range correction ``m * ln(m / V)``
+applies when ``E ≤ 2.5 m`` and empty registers remain. Bias in the
+uncorrected mid-range is the published ~1.04/sqrt(m) — the contract
+checks *engine parity*, not closeness to truth (pytest checks accuracy
+against exact counts separately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import u60_col, u60_sql
+
+_DEFAULT_SEED = 0x5EED
+
+
+def _check_p(p: int) -> None:
+    # Q = 60 - p must stay ≤ 53 so 2^(Q - rho) is always a non-negative
+    # long shift (rho ≥ 1), and ≥ 4 so the word has entropy left.
+    if not 7 <= p <= 14:
+        raise ValueError("p must be in [7, 14]")
+
+
+def _alpha_num(p: int) -> float:
+    """The float literal  alpha_m * m^2 * 2^Q  shared by both engines."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << (60 - p))
+
+
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
+                  p: int = 8, seed: int = _DEFAULT_SEED) -> DataFrame:
+    """Per-group HLL register vector: ``group_cols + (bucket, rho)``.
+
+    One hash-aggregate shuffle on ``(group, bucket)`` with map-side
+    combine — at most ``2^p`` rows per group cross the wire. Null keys
+    are ignored (COUNT DISTINCT semantics). Registers from disjoint
+    slices merge with :func:`hll_merge` (max is associative), which is
+    what makes the sketch storable per partition / per snapshot commit
+    and rollup-able without re-reading data.
+    """
+    _check_p(p)
+    q = 60 - p
+    h = u60_col(F.col(key_col), seed)
+    w = h.bitwiseAND(F.lit((1 << q) - 1))
+    rho = (F.when(w == F.lit(0), F.lit(q + 1))
+           .otherwise(F.lit(q + 1) - F.length(F.bin(w))))
+    return (df.filter(F.col(key_col).isNotNull())
+            .select(*group_cols,
+                    F.shiftright(h, q).alias("bucket"),
+                    rho.alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge register tables built with the same (p, seed): union + max."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """Registers → per-group cardinality estimate column ``est``."""
+    _check_p(p)
+    m = 1 << p
+    q = 60 - p
+    # the PySpark shiftleft wrapper takes a literal bit count only —
+    # the SQL form accepts an expression (rho varies per register)
+    s_scaled = (F.sum(F.expr(f"shiftleft(1L, {q} - rho)"))
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << q))
+    v = F.lit(m) - F.count(F.lit(1))
+    agg = (registers.groupBy(*group_cols)
+           .agg(s_scaled.alias("_s"), v.alias("_v")))
+    e_raw = F.lit(_alpha_num(p)) / F.col("_s").cast("double")
+    est = F.when((e_raw <= F.lit(2.5 * m)) & (F.col("_v") > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v"))
+                 ).otherwise(e_raw)
+    return agg.select(*group_cols, est.alias("est"))
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
+                 p: int = 8, seed: int = _DEFAULT_SEED) -> DataFrame:
+    """``approx COUNT(DISTINCT key)`` per group — registers + estimate."""
+    return hll_estimate(hll_registers(df, key_col, group_cols, p, seed),
+                        group_cols, p)
+
+
+def hll_sql(table: str, key_expr: str, group_expr: str, group_name: str,
+            p: int = 8, seed: int = _DEFAULT_SEED,
+            round_to: int = 4) -> str:
+    """The identical sketch as one DuckDB statement (oracle parity)."""
+    _check_p(p)
+    m = 1 << p
+    q = 60 - p
+    u = u60_sql(key_expr, seed, "duckdb")
+    a = _alpha_num(p)
+    return f"""
+WITH hh AS (
+  SELECT {group_expr} AS {group_name}, {u} AS h
+  FROM {table} WHERE {key_expr} IS NOT NULL
+), bw AS (
+  SELECT {group_name}, (h >> {q}) AS bucket,
+         (h & {(1 << q) - 1}) AS w
+  FROM hh
+), regs AS (
+  SELECT {group_name}, bucket,
+         MAX(CASE WHEN w = 0 THEN {q + 1}
+             ELSE {q + 1} - length(bin(w)) END) AS rho
+  FROM bw GROUP BY {group_name}, bucket
+), agg AS (
+  SELECT {group_name},
+         SUM(1::BIGINT << ({q} - rho))
+           + ({m} - COUNT(*)) * ({1 << q}::BIGINT) AS s_scaled,
+         {m} - COUNT(*) AS v
+  FROM regs GROUP BY {group_name}
+), est AS (
+  SELECT {group_name},
+         {a!r} / CAST(s_scaled AS DOUBLE) AS e_raw, v
+  FROM agg
+)
+SELECT {group_name},
+       ROUND(CASE WHEN e_raw <= {2.5 * m!r} AND v > 0
+             THEN {float(m)!r} * ln({float(m)!r} / v)
+             ELSE e_raw END, {round_to}) AS est
+FROM est
+ORDER BY {group_name}
+""".strip()

@@ -695,3 +695,85 @@ SELECT lang,
             WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
        COUNT(*) AS n_docs, ROUND(AVG(nll), 6) AS avg_nll
 FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket"""
+
+
+# ------------------------------------------------ winnowing (MOSS) ---------
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3, w: int = 4,
+                        seed: int = 0xF1B5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram in
+    position order, slide a window of ``w`` consecutive hashes, and
+    select each window's minimum (rightmost position on ties). The
+    selected (position, hash) set is the fingerprint — guaranteed to
+    share a hash with any document that shares a run of ≥ ``w + k - 1``
+    words, at ~``2/(w+1)`` of the density of keeping every gram.
+    Complements the corpus dedup family: exact (md5), MinHash (sets),
+    ExactSubstr (spans) — winnowing gives *local* fingerprints cheap
+    enough to index per shard.
+
+    Returns one row per selected fingerprint: ``(id_col, pos, h)``.
+
+    Scale shape: each gram row fans out to its ≤ ``w`` window ends
+    (bounded explode, no self-join), then ONE hash aggregation on
+    ``(doc, window)`` picks the rightmost-min via ``min_by`` over a
+    ``(h, -pos)`` struct key, and a distinct on ``(doc, pos)`` dedups
+    re-selections — all shuffles are keyed by the document id, nothing
+    grows faster than ``w × grams``. Truncated prefix windows are
+    included (windows 0..w-2 rank fewer than ``w`` hashes), so every
+    document with ≥ 1 gram fingerprints — short docs don't vanish.
+    """
+    from .sampling import u60_col
+    grams = word_ngrams(text_col, k, distinct=False)
+    base = df.select(F.col(id_col), grams.alias("_g"))
+    ex = base.select(id_col, F.size("_g").alias("n"),
+                     F.posexplode("_g").alias("pos", "gram"))
+    ends = ex.select(
+        id_col, "pos", u60_col(F.col("gram"), seed).alias("h"),
+        F.explode(F.sequence(
+            F.col("pos"),
+            F.least(F.col("pos") + F.lit(w - 1), F.col("n") - 1))).alias("t"))
+    sel = (ends.groupBy(id_col, "t")
+           .agg(F.expr("min_by(struct(pos, h), struct(h, -pos))").alias("s")))
+    return (sel.select(id_col, F.col("s.pos").alias("pos"),
+                       F.col("s.h").alias("h"))
+            .distinct())
+
+
+def winnow_sql(table: str, text_expr: str = "text", id_col: str = "doc_id",
+               k: int = 3, w: int = 4, seed: int = 0xF1B5) -> str:
+    """DuckDB replay of :func:`winnow_fingerprints`, rolled up per doc
+    (count + checksums pin both the selected hashes and positions)."""
+    from .sampling import u60_sql
+    grams = word_ngrams_sql(text_expr, k, distinct=False)
+    u = u60_sql("s.g", seed)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {grams} AS g FROM {table}
+), ex AS (
+  SELECT {id_col}, len(g) AS n,
+         unnest(list_transform(g, (x, i) -> {{'p': i - 1, 'g': x}})) AS s
+  FROM base
+), hh AS (
+  SELECT {id_col}, n, s.p AS pos, {u} AS h FROM ex
+), ends AS (
+  SELECT {id_col}, pos, h,
+         unnest(range(pos, least(pos + {w}, n))) AS t
+  FROM hh
+), mins AS (
+  SELECT {id_col}, t, MIN(h) AS mh FROM ends GROUP BY 1, 2
+), sel AS (
+  SELECT e.{id_col}, e.t, MAX(e.pos) AS pos, MIN(m.mh) AS h
+  FROM ends e
+  JOIN mins m ON e.{id_col} = m.{id_col} AND e.t = m.t AND e.h = m.mh
+  GROUP BY 1, 2
+), fps AS (
+  SELECT DISTINCT {id_col}, pos, h FROM sel
+)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_fp,
+       CAST(SUM(h % 2147483647) AS BIGINT) AS fp_sum,
+       CAST(SUM(pos) AS BIGINT) AS pos_sum
+FROM fps GROUP BY 1 ORDER BY {id_col}
+""".strip()

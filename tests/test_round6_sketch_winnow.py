@@ -1,0 +1,205 @@
+"""Round-6 session-5 additions: HLL sketch, compact cover, winnowing,
+temperature mixture."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raster_functions_spark import grid, sketches, text
+
+
+# ------------------------------------------------------------- HLL ---------
+
+def _mixed_card_df(spark):
+    # groups with true cardinalities 50 / 1000 / 20000 (exercises the
+    # linear-counting branch AND the raw-estimate branch)
+    rows = spark.range(50_000).select(
+        F.when(F.col("id") < 5_000, F.lit("small"))
+         .when(F.col("id") < 25_000, F.lit("mid"))
+         .otherwise(F.lit("big")).alias("grp"),
+        F.when(F.col("id") < 5_000, F.col("id") % 50)
+         .when(F.col("id") < 25_000, F.col("id") % 1_000)
+         .otherwise(F.col("id")).alias("key"))
+    return rows
+
+
+def test_hll_accuracy(spark):
+    df = _mixed_card_df(spark)
+    est = {r["grp"]: r["est"]
+           for r in sketches.hll_distinct(df, "key", ["grp"], p=10).collect()}
+    exact = {r["grp"]: r["n"]
+             for r in df.groupBy("grp")
+             .agg(F.countDistinct("key").alias("n")).collect()}
+    for g, n in exact.items():
+        # p=10 → 1024 registers → ~1.04/sqrt(m) ≈ 3.3% standard error
+        assert abs(est[g] - n) / n < 0.10, (g, est[g], n)
+
+
+def test_hll_merge_equals_full_build(spark):
+    df = _mixed_card_df(spark)
+    a = df.filter(F.col("key") % 2 == 0)
+    b = df.filter(F.col("key") % 2 == 1)
+    ra = sketches.hll_registers(a, "key", ["grp"], p=9)
+    rb = sketches.hll_registers(b, "key", ["grp"], p=9)
+    merged = sketches.hll_estimate(sketches.hll_merge(ra, rb), ["grp"], p=9)
+    full = sketches.hll_distinct(df, "key", ["grp"], p=9)
+    ma = {r["grp"]: r["est"] for r in merged.collect()}
+    fu = {r["grp"]: r["est"] for r in full.collect()}
+    assert ma == fu
+
+
+def test_hll_register_bound(spark):
+    df = _mixed_card_df(spark)
+    regs = sketches.hll_registers(df, "key", ["grp"], p=7)
+    counts = regs.groupBy("grp").count().collect()
+    assert all(r["count"] <= 128 for r in counts)
+
+
+def test_hll_null_keys_ignored(spark):
+    df = spark.range(100).select(
+        F.lit("g").alias("grp"),
+        F.when(F.col("id") < 50, F.col("id")).alias("key"))
+    est = sketches.hll_distinct(df, "key", ["grp"], p=8).collect()[0]["est"]
+    assert abs(est - 50) < 10
+
+
+def test_hll_p_validation(spark):
+    df = _mixed_card_df(spark)
+    with pytest.raises(ValueError):
+        sketches.hll_registers(df, "key", ["grp"], p=6)
+    with pytest.raises(ValueError):
+        sketches.hll_estimate(df, ["grp"], p=15)
+
+
+# ------------------------------------------------- compact cover -----------
+
+def _iterative_compact(xmin, ymin, xmax, ymax, res):
+    cells = set(grid.cover_bbox(xmin, ymin, xmax, ymax, res).tolist())
+    final = set()
+    for r in range(res, 0, -1):
+        cur = {c for c in cells if (c & 15) == r}
+        rest = cells - cur
+        from collections import Counter
+        par = Counter(int(grid.parent(np.array([c]), r - 1)[0]) for c in cur)
+        merged = set()
+        for c in cur:
+            pp = int(grid.parent(np.array([c]), r - 1)[0])
+            (merged.add(pp) if par[pp] == 4 else final.add(c))
+        cells = rest | merged
+    return final | cells
+
+
+CASES = [(-77.3, 38.1, -76.2, 39.4, 9), (-10.0, -5.0, 25.0, 30.0, 7),
+         (-180.0, -90.0, 180.0, 90.0, 4), (0.01, 0.01, 0.02, 0.02, 12),
+         (100.0, 40.0, 100.001, 40.001, 10), (170.0, 60.0, 179.9, 89.9, 6)]
+
+
+@pytest.mark.parametrize("bbox", CASES)
+def test_compact_cover_equals_iterative(bbox):
+    got = set(grid.compact_cover_np(*bbox).tolist())
+    assert got == _iterative_compact(*bbox)
+
+
+def test_compact_cover_descendants_tile_exactly():
+    bbox = (-10.0, -5.0, 25.0, 30.0, 7)
+    comp = grid.compact_cover_np(*bbox)
+    cover = set(grid.cover_bbox(*bbox).tolist())
+    expanded = []
+    for c in comp.tolist():
+        r = c & 15
+        kids = np.array([c], dtype=np.int64)
+        for _ in range(bbox[4] - r):
+            kids = np.concatenate([grid.children(int(k)) for k in kids])
+        expanded.extend(kids.tolist())
+    assert len(expanded) == len(set(expanded)) == len(cover)
+    assert set(expanded) == cover
+
+
+def test_compact_cover_df_matches_np(spark):
+    bbox = (-10.0, -5.0, 25.0, 30.0, 7)
+    df = grid.compact_cover_df(spark, *bbox)
+    got = {r["cell"] for r in df.collect()}
+    assert got == set(grid.compact_cover_np(*bbox).tolist())
+
+
+# -------------------------------------------------------- winnowing --------
+
+def _ref_winnow(doc, k=3, w=4, seed=0xF1B5):
+    toks = doc.split(" ")
+    n = max(len(toks) - k + 1, 1)
+    grams = [" ".join(toks[i:i + k]) for i in range(n)]
+    hs = [int(hashlib.md5(f"{g}:{seed}".encode()).hexdigest()[:15], 16)
+          for g in grams]
+    sel = set()
+    for t in range(len(hs)):
+        lo = max(0, t - w + 1)
+        mh = min(hs[lo:t + 1])
+        pos = max(i for i in range(lo, t + 1) if hs[i] == mh)
+        sel.add((pos, mh))
+    return sel
+
+
+def test_winnow_matches_reference(spark):
+    docs = ["the quick brown fox jumps over the lazy dog again and again",
+            "a b", "one two three four five six seven eight nine ten",
+            "x x x x x x x x"]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "doc_id long, text string")
+    got = {}
+    for r in text.winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    for i, d in enumerate(docs):
+        assert got[i] == _ref_winnow(d), i
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # two docs sharing a run of >= w+k-1 = 6 words must share a fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(0, f"unrelated prefix words here {shared}"),
+         (1, f"{shared} and a completely different tail of text")],
+        "doc_id long, text string")
+    fp = text.winnow_fingerprints(df)
+    h0 = {r["h"] for r in fp.filter("doc_id = 0").collect()}
+    h1 = {r["h"] for r in fp.filter("doc_id = 1").collect()}
+    assert h0 & h1
+
+
+def test_winnow_density(spark):
+    # ~2/(w+1) of grams selected on random-ish text (loose bound)
+    words = " ".join(f"w{i * 7919 % 2003}" for i in range(500))
+    df = spark.createDataFrame([(0, words)], "doc_id long, text string")
+    n_fp = text.winnow_fingerprints(df).count()
+    n_grams = 500 - 3 + 1
+    assert 0.2 * n_grams < n_fp < 0.7 * n_grams
+
+
+# ------------------------------------------------ temperature mixture ------
+
+def test_mixture_weights(spark):
+    from raster_functions_spark import sampling
+    df = spark.createDataFrame(
+        [("a", 800), ("a", 200), ("b", 900), ("c", 100)],
+        "src string, n long")
+    out = {r["domain"]: r for r in
+           sampling.mixture_weights(df, "src", "n", tau=0.5,
+                                    budget=1000).collect()}
+    assert out["a"]["n_weight"] == 1000 and out["b"]["n_weight"] == 900
+    p = {d: out[d]["p"] for d in out}
+    assert abs(sum(p.values()) - 1.0) < 1e-12
+    w = {d: out[d]["w"] for d in out}
+    assert abs(sum(w.values()) - 1.0) < 1e-12
+    # tau < 1 upsamples the tail: c's weight share must exceed its p share
+    assert w["c"] > p["c"] and w["a"] < p["a"]
+    assert abs(out["c"]["alloc"] - w["c"] * 1000) < 1e-9
+    # tau=1 is proportional
+    prop = {r["domain"]: r["w"] for r in
+            sampling.mixture_weights(df, "src", "n", tau=1.0).collect()}
+    for d in p:
+        assert abs(prop[d] - p[d]) < 1e-12
+    # tau=0 is uniform
+    uni = {r["domain"]: r["w"] for r in
+           sampling.mixture_weights(df, "src", "n", tau=0.0).collect()}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
