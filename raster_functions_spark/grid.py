@@ -313,22 +313,58 @@ def compact_cover_np(xmin: float, ymin: float, xmax: float, ymax: float,
 
 def compact_cover_df(spark, xmin: float, ymin: float, xmax: float,
                      ymax: float, res: int):
-    """Distributed :func:`compact_cover_np`: one ``spark.range`` per
-    resolution (≤ 16 arms) with the containment filters as JVM columns —
-    no driver materialization, so a continent-sized fine-res cover
-    (O(4^res) candidate cells at the deepest arm) generates in
-    parallel."""
+    """Distributed :func:`compact_cover_np`, restricted to the candidate
+    cells that can actually be emitted: a cell at resolution ``r`` is
+    kept only when its PARENT is not fully covered, and since the cover
+    rectangle is contiguous, only the first/last parent row/column along
+    each axis can be partially covered — so candidates live in the ≤
+    2-cell-wide bands under those boundary parents. Each resolution arm
+    therefore enumerates O(perimeter) cells, not O(area): a res-15
+    hemisphere cover has ~10^8 rectangle cells but only ~10^5 band
+    candidates. The deepest bands still generate via ``spark.range`` (no
+    driver materialization). The O(area) NumPy form is the semantic
+    reference; pytest pins df == np."""
     i0, i1, j0, j1 = _cover_ranges(xmin, ymin, xmax, ymax, res)
     frames = []
     for r in range(res + 1):
         sh = res - r
         ia0, ia1 = i0 >> sh, i1 >> sh
         ja0, ja1 = j0 >> sh, j1 >> sh
+        if r == 0:
+            # root arm: whole (tiny) rectangle, no parent to test
+            band_i = list(range(ia0, ia1 + 1))
+            full_j = (ja0, ja1)
+        else:
+            # children of the boundary parents along each axis
+            band_i = sorted({v for p in (ia0 >> 1, ia1 >> 1)
+                             for v in (2 * p, 2 * p + 1)
+                             if ia0 <= v <= ia1})
+            full_j = (ja0, ja1)
         w = ia1 - ia0 + 1
-        n = w * (ja1 - ja0 + 1)
-        df = spark.range(n).select(
-            (F.lit(ia0) + F.col("id") % w).alias("i"),
-            (F.lit(ja0) + (F.col("id") / w).cast("long")).alias("j"))
+        hgt = ja1 - ja0 + 1
+        # band A: boundary-parent columns × all rows
+        na = len(band_i) * hgt
+        dfa = spark.range(na).select(
+            F.element_at(F.array(*[F.lit(v) for v in band_i]),
+                         (F.col("id") % len(band_i) + 1).cast("int")
+                         ).alias("i"),
+            (F.lit(full_j[0]) + (F.col("id") / len(band_i)).cast("long")
+             ).alias("j"))
+        if r == 0:
+            df = dfa
+        else:
+            band_j = sorted({v for p in (ja0 >> 1, ja1 >> 1)
+                             for v in (2 * p, 2 * p + 1)
+                             if ja0 <= v <= ja1})
+            # band B: all columns × boundary-parent rows, minus band A
+            nb = w * len(band_j)
+            dfb = (spark.range(nb).select(
+                (F.lit(ia0) + F.col("id") % w).alias("i"),
+                F.element_at(F.array(*[F.lit(v) for v in band_j]),
+                             ((F.col("id") / w).cast("long") % len(band_j)
+                              + 1).cast("int")).alias("j"))
+                .filter(~F.col("i").isin(band_i)))
+            df = dfa.unionByName(dfb)
         full = ((F.shiftleft(F.col("i"), sh) >= i0)
                 & (F.shiftleft(F.col("i"), sh) + ((1 << sh) - 1) <= i1)
                 & (F.shiftleft(F.col("j"), sh) >= j0)

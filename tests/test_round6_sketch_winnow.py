@@ -203,3 +203,11 @@ def test_mixture_weights(spark):
     uni = {r["domain"]: r["w"] for r in
            sampling.mixture_weights(df, "src", "n", tau=0.0).collect()}
     assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
+
+
+def test_compact_cover_df_band_enum_at_scale(spark):
+    # the O(perimeter) band enumeration must equal the O(area) reference
+    # on a continent-sized box at a finer res (467k rectangle cells)
+    bbox = (-60.0, -30.0, 0.0, 30.0, 12)
+    got = {r["cell"] for r in grid.compact_cover_df(spark, *bbox).collect()}
+    assert got == set(grid.compact_cover_np(*bbox).tolist())
