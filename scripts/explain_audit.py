@@ -305,6 +305,26 @@ def main() -> int:
     checks.append(("url dedup: JVM regexp chain + single hash-agg exchange", ok))
     out += ["\n## dedup_url\n", p]
 
+    # 22. HLL sketch: the register build is a map-side-combined hash
+    # aggregate (partial_max before the exchange) — at most 2^p rows per
+    # group ever shuffle — and the whole sketch stays JVM-side
+    from raster_functions_spark import sketches as _sketches
+    hll = _sketches.hll_distinct(ev, "user_id", ["event_type"], p=8)
+    p = plan_of(hll)
+    ok = ("EvalPython" not in p and "partial_max" in p
+          and "SortAggregate" not in p)
+    checks.append(("hll sketch: map-side partial_max registers, zero Python", ok))
+    out += ["\n## sketch_hll\n", p]
+
+    # 23. winnowing: bounded explode + doc-keyed hash aggregations only —
+    # no self-join of gram tables, no cross product, zero Python
+    fps = _text2.winnow_fingerprints(docs)
+    p = plan_of(fps)
+    ok = ("EvalPython" not in p and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p and "Join" not in p)
+    checks.append(("winnow: explode + doc-keyed hash aggs, no join, zero Python", ok))
+    out += ["\n## text_winnow\n", p]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:
