@@ -17,11 +17,15 @@ Everything here is deterministic and *exactly* replayable in DuckDB:
   — no float ``log2`` whose last-ulp rounding could disagree across
   libms at ``w = 2^k - 1`` boundaries;
 - the register sum ``Σ 2^-rho`` is computed integer-scaled as
-  ``Σ 2^(Q - rho)`` (``Q = 60 - p ≤ 53`` for ``p ≥ 7``), so it is
-  order-independent — a float accumulation over >2^53-spanning terms
-  would make the estimate depend on Spark's partition merge order.
+  ``Σ 2^(S - rho)`` with ``S = (60 - p) + 1`` — one more than the hash
+  word width, because ``rho`` reaches ``60 - p + 1`` when the word is
+  all zeros, and the scaled term must stay a non-negative shift (a
+  ``2^q`` scale would shift by -1 there: Java wraps it to ``<< 63`` and
+  poisons the sum with Long.MIN_VALUE, DuckDB raises) — so it is
+  order-independent and exact: max ``Σ`` is ``m·2^S ≤ 2^62``, inside
+  int64.
 
-The raw estimate divides a Python-float literal ``alpha_m * m^2 * 2^Q``
+The raw estimate divides a Python-float literal ``alpha_m * m^2 * 2^S``
 (emitted identically into the Spark plan and the oracle SQL) by that
 integer sum; the standard small-range correction ``m * ln(m / V)``
 applies when ``E ≤ 2.5 m`` and empty registers remain. Bias in the
@@ -41,17 +45,19 @@ _DEFAULT_SEED = 0x5EED
 
 
 def _check_p(p: int) -> None:
-    # Q = 60 - p must stay ≤ 53 so 2^(Q - rho) is always a non-negative
-    # long shift (rho ≥ 1), and ≥ 4 so the word has entropy left.
+    # upper bound keeps registers per group modest; lower bound keeps
+    # the hash word wide enough that rho saturation is unreachable in
+    # any realistic corpus (and m ≥ 128 keeps the estimator's published
+    # error regime)
     if not 7 <= p <= 14:
         raise ValueError("p must be in [7, 14]")
 
 
 def _alpha_num(p: int) -> float:
-    """The float literal  alpha_m * m^2 * 2^Q  shared by both engines."""
+    """The float literal  alpha_m * m^2 * 2^S  shared by both engines."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    return alpha * m * m * float(1 << (60 - p))
+    return alpha * m * m * float(1 << (61 - p))
 
 
 def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
@@ -95,9 +101,11 @@ def hll_estimate(registers: DataFrame, group_cols: list[str],
     m = 1 << p
     q = 60 - p
     # the PySpark shiftleft wrapper takes a literal bit count only —
-    # the SQL form accepts an expression (rho varies per register)
-    s_scaled = (F.sum(F.expr(f"shiftleft(1L, {q} - rho)"))
-                + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << q))
+    # the SQL form accepts an expression (rho varies per register).
+    # scale 2^(q+1), NOT 2^q: rho = q+1 on an all-zero hash word, and a
+    # negative shift count would wrap (Java) or raise (DuckDB)
+    s_scaled = (F.sum(F.expr(f"shiftleft(1L, {q + 1} - rho)"))
+                + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << (q + 1)))
     v = F.lit(m) - F.count(F.lit(1))
     agg = (registers.groupBy(*group_cols)
            .agg(s_scaled.alias("_s"), v.alias("_v")))
@@ -139,8 +147,8 @@ WITH hh AS (
   FROM bw GROUP BY {group_name}, bucket
 ), agg AS (
   SELECT {group_name},
-         SUM(1::BIGINT << ({q} - rho))
-           + ({m} - COUNT(*)) * ({1 << q}::BIGINT) AS s_scaled,
+         SUM(1::BIGINT << ({q + 1} - rho))
+           + ({m} - COUNT(*)) * ({1 << (q + 1)}::BIGINT) AS s_scaled,
          {m} - COUNT(*) AS v
   FROM regs GROUP BY {group_name}
 ), est AS (

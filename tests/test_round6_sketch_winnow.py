@@ -211,3 +211,14 @@ def test_compact_cover_df_band_enum_at_scale(spark):
     bbox = (-60.0, -30.0, 0.0, 30.0, 12)
     got = {r["cell"] for r in grid.compact_cover_df(spark, *bbox).collect()}
     assert got == set(grid.compact_cover_np(*bbox).tolist())
+
+
+def test_hll_saturated_register(spark):
+    # rho can reach q+1 = 54 (p=7) on an all-zero hash word; the scaled
+    # register sum must stay a non-negative shift (a 2^q scale would
+    # wrap Java's shift to << 63 and poison the sum with Long.MIN_VALUE)
+    q = 60 - 7
+    regs = spark.createDataFrame(
+        [("g", b, q + 1) for b in range(128)], "grp string, bucket long, rho long")
+    est = sketches.hll_estimate(regs, ["grp"], p=7).collect()[0]["est"]
+    assert est > 0 and est == est  # finite, positive, not NaN
