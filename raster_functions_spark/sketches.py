@@ -61,7 +61,8 @@ def _alpha_num(p: int) -> float:
 
 
 def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
-                  p: int = 8, seed: int = _DEFAULT_SEED) -> DataFrame:
+                  p: int = 8, seed: int = _DEFAULT_SEED,
+                  hashes: str = "md5") -> DataFrame:
     """Per-group HLL register vector: ``group_cols + (bucket, rho)``.
 
     One hash-aggregate shuffle on ``(group, bucket)`` with map-side
@@ -70,10 +71,23 @@ def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
     slices merge with :func:`hll_merge` (max is associative), which is
     what makes the sketch storable per partition / per snapshot commit
     and rollup-able without re-reading data.
+
+    ``hashes``: "md5" (default) is the DuckDB-replayable u60 draw;
+    "xxhash64" is the fast engine-internal path (same 60-bit word, ~3×
+    cheaper map side — the md5 string build dominates CPU at 10^7+
+    rows/s; same pattern as the bloom filter's fast mode). Both are
+    deterministic and parallelism-independent; only md5 is
+    oracle-checkable.
     """
     _check_p(p)
     q = 60 - p
-    h = u60_col(F.col(key_col), seed)
+    if hashes == "xxhash64":
+        h = F.xxhash64(F.col(key_col), F.lit(seed)).bitwiseAND(
+            F.lit((1 << 60) - 1))
+    elif hashes == "md5":
+        h = u60_col(F.col(key_col), seed)
+    else:
+        raise ValueError("hashes must be 'md5' or 'xxhash64'")
     w = h.bitwiseAND(F.lit((1 << q) - 1))
     rho = (F.when(w == F.lit(0), F.lit(q + 1))
            .otherwise(F.lit(q + 1) - F.length(F.bin(w))))
@@ -117,10 +131,12 @@ def hll_estimate(registers: DataFrame, group_cols: list[str],
 
 
 def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
-                 p: int = 8, seed: int = _DEFAULT_SEED) -> DataFrame:
+                 p: int = 8, seed: int = _DEFAULT_SEED,
+                 hashes: str = "md5") -> DataFrame:
     """``approx COUNT(DISTINCT key)`` per group — registers + estimate."""
-    return hll_estimate(hll_registers(df, key_col, group_cols, p, seed),
-                        group_cols, p)
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, p, seed, hashes),
+        group_cols, p)
 
 
 def hll_sql(table: str, key_expr: str, group_expr: str, group_name: str,

@@ -222,3 +222,15 @@ def test_hll_saturated_register(spark):
         [("g", b, q + 1) for b in range(128)], "grp string, bucket long, rho long")
     est = sketches.hll_estimate(regs, ["grp"], p=7).collect()[0]["est"]
     assert est > 0 and est == est  # finite, positive, not NaN
+
+
+def test_hll_xxhash_mode(spark):
+    df = _mixed_card_df(spark)
+    est = {r["grp"]: r["est"] for r in
+           sketches.hll_distinct(df, "key", ["grp"], p=10,
+                                 hashes="xxhash64").collect()}
+    exact = {"small": 50, "mid": 1000, "big": 25000}
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.10, (g, est[g], n)
+    with pytest.raises(ValueError):
+        sketches.hll_registers(df, "key", ["grp"], hashes="sha1")
