@@ -1492,6 +1492,42 @@ def q_sample_mix_temperature(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_sketch_hll_stream(spark, sf_dir):
+    """Incremental HLL over the snapshot table — the streaming
+    distinct-count shape: three event batches commit their register
+    vectors exactly-once (a replayed run_id no-ops), a register ROLLUP
+    between batches rewrites history into one merged vector (bounding
+    read cost on an unbounded stream), and the read-side estimate is
+    checked against DuckDB's one-shot sketch over ALL events — register
+    merge is lossless-associative, so incremental must equal batch
+    exactly."""
+    import shutil
+    import tempfile
+    from raster_functions_spark import sketches
+    from raster_functions_spark.snapshots import SnapshotTable
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("grp", F.col("event_type")))
+    td = tempfile.mkdtemp(prefix="hll_stream_")
+    try:
+        t = SnapshotTable(spark, td + "/regs")
+        for b in range(2):
+            sketches.hll_commit_batch(t, ev.filter(F.col("event_id") % 3 == b),
+                                      "user_id", ["grp"], p=8,
+                                      run_id=f"batch-{b}")
+        sketches.hll_rollup_commit(t, ["grp"], run_id="rollup-1")
+        sketches.hll_commit_batch(t, ev.filter(F.col("event_id") % 3 == 2),
+                                  "user_id", ["grp"], p=8, run_id="batch-2")
+        # replay of an already-committed batch must be a no-op
+        sketches.hll_commit_batch(t, ev.filter(F.col("event_id") % 3 == 1),
+                                  "user_id", ["grp"], p=8, run_id="batch-1")
+        out = (sketches.hll_read_distinct(t, ["grp"], p=8)
+               .select("grp", F.round("est", 4).alias("est"))
+               .orderBy("grp"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def q_mm_decode_png(spark, sf_dir):
     """Multimodal PNG ingest: a binary column of real PNG payloads (filter
     types 0-4 cycling) decoded by the from-scratch decoder (formats.py:
@@ -2335,14 +2371,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "text_ppl_bucket": q_text_ppl_bucket,
         "sketch_hll": q_sketch_hll,
+        "sketch_hll_stream": q_sketch_hll_stream,
         "geo_compact_cover": q_geo_compact_cover,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
+        # ---- driver window boundary (50) — mm_decode_png..mm_ingest_rollup
+        # (all r4-driver-green) slid past it as the session-5 queries
+        # (sketch_hll, sketch_hll_stream, geo_compact_cover, text_winnow,
+        # sample_mix_temperature) registered ----
         "mm_decode_png": q_mm_decode_png,
-        # ---- driver window boundary (50) — mm_decode_jpeg, mm_catalog,
-        # mm_quarantine, mm_ingest_rollup (all r4-driver-green) slid past
-        # it as the session-5 queries (sketch_hll, geo_compact_cover,
-        # text_winnow, sample_mix_temperature) registered ----
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_catalog": q_mm_catalog,
         "mm_quarantine": q_mm_quarantine,
@@ -2580,6 +2617,10 @@ def oracle_sql() -> dict[str, str]:
                 "events", "event_id",
                 "concat('events:', event_type)", "grp", p=8) + ")\n"
             ") ORDER BY grp"),
+        # incremental register commits must equal the one-shot sketch —
+        # merge is lossless, so the oracle is simply the full-table HLL
+        "sketch_hll_stream": _sketches.hll_sql(
+            "events", "user_id", "event_type", "grp", p=8),
         "geo_compact_cover": _grid.compact_cover_sql(
             -10.0, -5.0, 25.0, 30.0, 9),
         "text_winnow": _text.winnow_sql("documents"),

@@ -179,3 +179,46 @@ SELECT {group_name},
 FROM est
 ORDER BY {group_name}
 """.strip()
+
+
+# --------------------------------------- incremental sketch (snapshot) -----
+
+def hll_commit_batch(table, batch_df: DataFrame, key_col: str,
+                     group_cols: list[str], p: int = 8,
+                     seed: int = _DEFAULT_SEED, run_id: str | None = None,
+                     hashes: str = "md5") -> int:
+    """Commit one batch's register vector to a
+    :class:`~raster_functions_spark.snapshots.SnapshotTable` — the
+    streaming distinct-count shape: per microbatch the sink stores at
+    most ``2^p`` rows per group (never keys), the ``run_id`` no-op
+    replay makes it exactly-once, and because register merge is
+    lossless-associative the read-side estimate equals the one-shot
+    build over every row ever committed. Registers land under one
+    constant partition ("_pb" = 0): they are metadata-scale, and one
+    file per commit avoids the per-value directory blowup."""
+    regs = (hll_registers(batch_df, key_col, group_cols, p, seed, hashes)
+            .withColumn("_pb", F.lit(0)))
+    return table.append(regs, "_pb", run_id=run_id)
+
+
+def hll_read_distinct(table, group_cols: list[str], p: int = 8,
+                      snapshot_id: int | None = None) -> DataFrame:
+    """Merged per-group estimate over every committed register batch
+    (optionally as of an older snapshot — time travel applies to
+    sketches too). Read cost is O(commits × groups × 2^p) register
+    rows, independent of the ingested key volume; call
+    :func:`hll_rollup_commit` periodically to keep it O(groups × 2^p)
+    on an unbounded stream."""
+    regs = table.read(snapshot_id=snapshot_id).drop("_pb")
+    return hll_estimate(hll_merge(regs), group_cols, p)
+
+
+def hll_rollup_commit(table, group_cols: list[str],
+                      run_id: str | None = None) -> int:
+    """Replace the accumulated register batches with their merge — the
+    maintenance step that bounds read cost on an infinite stream (the
+    merged vector is at most ``groups × 2^p`` rows regardless of how
+    many batches were ever committed). One partition-aligned overwrite,
+    exactly-once under ``run_id``."""
+    merged = hll_merge(table.read().drop("_pb")).withColumn("_pb", F.lit(0))
+    return table.overwrite_partitions(merged, values=[0], run_id=run_id)

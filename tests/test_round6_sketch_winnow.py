@@ -234,3 +234,36 @@ def test_hll_xxhash_mode(spark):
         assert abs(est[g] - n) / n < 0.10, (g, est[g], n)
     with pytest.raises(ValueError):
         sketches.hll_registers(df, "key", ["grp"], hashes="sha1")
+
+
+def test_hll_incremental_snapshot(spark, tmp_path):
+    from raster_functions_spark.snapshots import SnapshotTable
+    df = _mixed_card_df(spark)
+    t = SnapshotTable(spark, str(tmp_path / "regs"))
+    for b in range(3):
+        sketches.hll_commit_batch(t, df.filter(F.col("key") % 3 == b),
+                                  "key", ["grp"], p=9, run_id=f"b-{b}")
+    cid = t.current_id
+    # replayed run_id is a no-op (exactly-once)
+    sketches.hll_commit_batch(t, df.filter(F.col("key") % 3 == 1),
+                              "key", ["grp"], p=9, run_id="b-1")
+    assert t.current_id == cid
+    inc = {r["grp"]: r["est"] for r in
+           sketches.hll_read_distinct(t, ["grp"], p=9).collect()}
+    full = {r["grp"]: r["est"] for r in
+            sketches.hll_distinct(df, "key", ["grp"], p=9).collect()}
+    assert inc == full
+    # rollup rewrites history but preserves the estimate and bounds rows
+    pre_rows = t.read().count()
+    sketches.hll_rollup_commit(t, ["grp"], run_id="roll")
+    assert {r["grp"]: r["est"] for r in
+            sketches.hll_read_distinct(t, ["grp"], p=9).collect()} == full
+    assert t.read().count() <= pre_rows
+    # time travel: estimate as of the first commit covers batch 0 only
+    b0 = {r["grp"]: r["est"] for r in
+          sketches.hll_read_distinct(t, ["grp"], p=9,
+                                     snapshot_id=1).collect()}
+    only0 = {r["grp"]: r["est"] for r in
+             sketches.hll_distinct(df.filter(F.col("key") % 3 == 0),
+                                   "key", ["grp"], p=9).collect()}
+    assert b0 == only0
