@@ -1492,6 +1492,20 @@ def q_sample_mix_temperature(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_geo_polyfill(spark, sf_dir):
+    """H3/S2-style polyfill + compact over three fixture AOI polygons at
+    res 11: cells whose center passes the even-odd PIP, compacted to the
+    minimal mixed-resolution set via the count closed form (ancestor
+    full ⟺ 4^(res−r) kept descendants; emit fulls with non-full
+    parents) — two shuffles, no sibling-merge iteration. The oracle
+    re-derives the rings in SQL and replays membership + compaction
+    independently."""
+    from raster_functions_spark import fixtures, spatial
+    rings = [(k, *fixtures.aoi_ring(k)) for k in (0, 1, 2)]
+    out = spatial.polyfill_compact(spark, rings, 11)
+    return out.select("aoi_id", "cell", "res").orderBy("aoi_id", "cell")
+
+
 def q_sketch_hll_stream(spark, sf_dir):
     """Incremental HLL over the snapshot table — the streaming
     distinct-count shape: three event batches commit their register
@@ -2373,12 +2387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": q_sketch_hll,
         "sketch_hll_stream": q_sketch_hll_stream,
         "geo_compact_cover": q_geo_compact_cover,
+        "geo_polyfill": q_geo_polyfill,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
         # ---- driver window boundary (50) — mm_decode_png..mm_ingest_rollup
         # (all r4-driver-green) slid past it as the session-5 queries
-        # (sketch_hll, sketch_hll_stream, geo_compact_cover, text_winnow,
-        # sample_mix_temperature) registered ----
+        # (sketch_hll, sketch_hll_stream, geo_compact_cover, geo_polyfill,
+        # text_winnow, sample_mix_temperature) registered ----
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_catalog": q_mm_catalog,
@@ -2623,6 +2638,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "event_type", "grp", p=8),
         "geo_compact_cover": _grid.compact_cover_sql(
             -10.0, -5.0, 25.0, 30.0, 9),
+        "geo_polyfill": _orc.polyfill_sql([0, 1, 2], 11),
         "text_winnow": _text.winnow_sql("documents"),
         "sample_mix_temperature": _sampling.mixture_sql(
             "documents", "source", "n_chars", tau=0.7, budget=1_000_000),

@@ -2009,3 +2009,60 @@ WITH u AS (
   SELECT doc_id, {canonical_url_sql(url)} AS canon FROM documents)
 SELECT canon AS canon_url, COUNT(*) AS n_variants, MIN(doc_id) AS min_doc
 FROM u GROUP BY canon ORDER BY canon"""
+
+
+def polyfill_sql(ks: list[int], res: int) -> str:
+    """geo_polyfill oracle: re-derives each AOI ring's edges in SQL
+    (_aoi_vertices_sql), generates the bbox cell rectangle at ``res``
+    (bbox bounds embedded as literals from the NumPy ring — a parameter
+    choice, not a correctness claim), keeps cells whose CENTER passes
+    the even-odd PIP (the flagship's HAVING-SUM crossing form), then
+    compacts with the count closed form: an ancestor at level r is
+    fully inside iff it has 4^(res-r) kept descendants, and is emitted
+    iff full while its parent is not."""
+    n = 1 << res
+    arms = []
+    for k in ks:
+        xs, ys = fixtures.aoi_ring(k)
+        i0, j0 = grid.lonlat_to_ij(float(np.min(xs)), float(np.min(ys)), res)
+        i1, j1 = grid.lonlat_to_ij(float(np.max(xs)), float(np.max(ys)), res)
+        arms.append(
+            f"SELECT {k} AS k, ti.i, tj.j FROM "
+            f"(SELECT unnest(range({int(i0)}, {int(i1) + 1})) AS i) ti, "
+            f"(SELECT unnest(range({int(j0)}, {int(j1) + 1})) AS j) tj")
+    cand = "\nUNION ALL\n".join(arms)
+    si = grid._spread_sql("i", "duckdb")
+    sj = grid._spread_sql("j", "duckdb")
+    return f"""
+WITH {_aoi_vertices_sql(max(ks) + 1)},
+cand AS (
+  SELECT k, i, j,
+         (i + 0.5) / {float(n)!r} * 360.0 - 180.0 AS lon,
+         (j + 0.5) / {float(n)!r} * 180.0 - 90.0 AS lat
+  FROM ({cand})
+),
+kept AS (
+  SELECT c.k, c.i, c.j
+  FROM cand c JOIN edges e
+    ON e.k = c.k AND (e.y0 > c.lat) <> (e.y1 > c.lat)
+  GROUP BY c.k, c.i, c.j
+  HAVING SUM(CASE WHEN c.lon < e.x0 + (c.lat - e.y0) * (e.x1 - e.x0)
+                       / (e.y1 - e.y0) THEN 1 ELSE 0 END) % 2 = 1
+),
+zs AS (
+  SELECT k, ({si} | ({sj} << 1)) AS z FROM kept
+),
+anc AS (
+  SELECT k, tr.r, (z >> (2 * ({res} - tr.r))) AS za
+  FROM zs, (SELECT unnest(range(0, {res + 1})) AS r) tr
+),
+fulls AS (
+  SELECT k, r, za FROM anc GROUP BY k, r, za
+  HAVING COUNT(*) = (1::BIGINT << (2 * ({res} - r)))
+)
+SELECT f.k AS aoi_id, ((f.za << 4) | f.r) AS cell, CAST(f.r AS INT) AS res
+FROM fulls f
+LEFT JOIN fulls p ON p.k = f.k AND p.r = f.r - 1 AND p.za = (f.za >> 2)
+WHERE f.r = 0 OR p.za IS NULL
+ORDER BY aoi_id, cell
+""".strip()

@@ -548,3 +548,78 @@ def lonlat_cols(key, lat_seed: int = 7001, lon_seed: int = 7002):
     lat = u60_col(key, lat_seed).cast("double") / two60 * F.lit(120.0) - F.lit(60.0)
     lon = u60_col(key, lon_seed).cast("double") / two60 * F.lit(360.0) - F.lit(180.0)
     return lat, lon
+
+
+def polyfill_compact(spark, rings, res: int):
+    """H3/S2-style ``polyfill`` + ``compact``: the minimal
+    mixed-resolution cell set whose res-``res`` descendants are exactly
+    the cells whose CENTER lies inside the polygon (center-in rule, the
+    H3 polyfill convention). ``rings`` is ``[(aoi_id, xs, ys), ...]``.
+
+    Plan shape — two shuffles, no iteration:
+
+    1. per polygon, the bbox cell rectangle at ``res`` generates
+       distributedly (``spark.range``, O(bbox area) candidates — polyfill
+       is inherently area-proportional, exactly like H3's) and the
+       even-odd PIP unrolls the ring's ≤ a-few-dozen edges into ONE
+       codegen boolean expression (zero Python, zero joins);
+    2. every kept cell explodes its ``res + 1`` ancestors; one hash
+       aggregation counts descendants per (polygon, level, ancestor) —
+       an ancestor is fully inside iff its count is ``4^(res - r)`` —
+       and a self-join on the parent level keeps the fulls whose parent
+       is not full. Compaction of an arbitrary kept set needs no
+       sibling-merge loop: the count test IS the closed form.
+
+    Returns ``(aoi_id, cell, res)`` — what an AOI index stores per
+    polygon (O(perimeter) rows at depth ``res``)."""
+    from pyspark.sql import functions as F
+    from . import grid as _grid
+    if not 0 <= res <= _grid.MAX_RES:
+        raise ValueError(f"res must be in [0, {_grid.MAX_RES}]")
+    n = 1 << res
+    frames = []
+    for aoi_id, xs, ys in rings:
+        i0, j0 = _grid.lonlat_to_ij(float(np.min(xs)), float(np.min(ys)), res)
+        i1, j1 = _grid.lonlat_to_ij(float(np.max(xs)), float(np.max(ys)), res)
+        i0, i1, j0, j1 = int(i0), int(i1), int(j0), int(j1)
+        w = i1 - i0 + 1
+        cand = spark.range(w * (j1 - j0 + 1)).select(
+            (F.lit(i0) + F.col("id") % w).alias("i"),
+            (F.lit(j0) + (F.col("id") / w).cast("long")).alias("j"))
+        lon = (F.col("i") + F.lit(0.5)) / F.lit(float(n)) * 360.0 - 180.0
+        lat = (F.col("j") + F.lit(0.5)) / F.lit(float(n)) * 180.0 - 90.0
+        x0s, y0s = np.asarray(xs, np.float64), np.asarray(ys, np.float64)
+        x1s, y1s = np.roll(x0s, -1), np.roll(y0s, -1)
+        inside = F.lit(False)
+        for ex0, ey0, ex1, ey1 in zip(x0s, y0s, x1s, y1s):
+            crosses = (F.lit(float(ey0)) > lat) != (F.lit(float(ey1)) > lat)
+            xint = (F.lit(float(ex0)) + (lat - F.lit(float(ey0)))
+                    * F.lit(float(ex1 - ex0)) / F.lit(float(ey1 - ey0)))
+            inside = inside != (crosses & (lon < xint))
+        z = _grid._spread_col(F.col("i")).bitwiseOR(
+            F.shiftleft(_grid._spread_col(F.col("j")), 1))
+        frames.append(cand.filter(inside)
+                      .select(F.lit(aoi_id).alias("aoi_id"), z.alias("z")))
+    kept = frames[0]
+    for f in frames[1:]:
+        kept = kept.unionByName(f)
+    anc = kept.select(
+        "aoi_id", F.explode(F.sequence(F.lit(0), F.lit(res))).alias("r"),
+        "z").select(
+        "aoi_id", "r",
+        F.expr(f"shiftright(z, 2 * ({res} - r))").alias("za"))
+    fulls = (anc.groupBy("aoi_id", "r", "za")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") == F.expr(f"shiftleft(1L, 2 * ({res} - r))"))
+             .select("aoi_id", "r", "za"))
+    par = fulls.select(F.col("aoi_id").alias("_pa"), F.col("r").alias("_pr"),
+                       F.col("za").alias("_pza"))
+    out = (fulls.join(par, (F.col("aoi_id") == F.col("_pa"))
+                      & (F.col("_pr") == F.col("r") - 1)
+                      & (F.col("_pza") == F.expr("shiftright(za, 2)")),
+                      "left")
+           .filter((F.col("r") == 0) | F.col("_pza").isNull())
+           .select("aoi_id",
+                   F.expr(f"shiftleft(za, {4}) | r").alias("cell"),
+                   F.col("r").alias("res")))
+    return out

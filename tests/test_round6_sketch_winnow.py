@@ -267,3 +267,48 @@ def test_hll_incremental_snapshot(spark, tmp_path):
              sketches.hll_distinct(df.filter(F.col("key") % 3 == 0),
                                    "key", ["grp"], p=9).collect()}
     assert b0 == only0
+
+
+def test_polyfill_compact_matches_numpy_reference(spark):
+    from raster_functions_spark import fixtures, spatial
+    res = 10
+    rings = [(k, *fixtures.aoi_ring(k)) for k in (0, 1)]
+    got = {}
+    for r in spatial.polyfill_compact(spark, rings, res).collect():
+        got.setdefault(r["aoi_id"], set()).add(r["cell"])
+    for k, xs, ys in rings:
+        n = 1 << res
+        i0, j0 = grid.lonlat_to_ij(float(xs.min()), float(ys.min()), res)
+        i1, j1 = grid.lonlat_to_ij(float(xs.max()), float(ys.max()), res)
+        ii = np.arange(int(i0), int(i1) + 1)
+        jj = np.arange(int(j0), int(j1) + 1)
+        gi, gj = np.meshgrid(ii, jj, indexing="ij")
+        gi, gj = gi.reshape(-1), gj.reshape(-1)
+        lon = (gi + 0.5) / n * 360.0 - 180.0
+        lat = (gj + 0.5) / n * 180.0 - 90.0
+        inside = spatial.point_in_polygon_np(lon, lat, xs, ys)
+        kept = set(grid.ij_to_cell(gi[inside], gj[inside], res).tolist())
+        assert kept, k  # fixture sanity: polygons contain cell centers
+        # iterative sibling-merge compaction of the kept set
+        cells, final = set(kept), set()
+        for r in range(res, 0, -1):
+            cur = {c for c in cells if (c & 15) == r}
+            rest = cells - cur
+            from collections import Counter
+            par = Counter(int(grid.parent(np.array([c]), r - 1)[0])
+                          for c in cur)
+            merged = set()
+            for c in cur:
+                pp = int(grid.parent(np.array([c]), r - 1)[0])
+                (merged.add(pp) if par[pp] == 4 else final.add(c))
+            cells = rest | merged
+        assert got.get(k, set()) == final | cells, k
+        # exact tiling: expanding the compact set back to res gives kept
+        expanded = []
+        for c in got[k]:
+            rr = c & 15
+            kids = np.array([c], dtype=np.int64)
+            for _ in range(res - rr):
+                kids = np.concatenate([grid.children(int(x)) for x in kids])
+            expanded.extend(kids.tolist())
+        assert set(expanded) == kept and len(expanded) == len(kept), k
