@@ -1492,6 +1492,23 @@ def q_sample_mix_temperature(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_sketch_quantile(spark, sf_dir):
+    """Mergeable fixed-range histogram quantile sketch: p50/p95/p99 of
+    event value per type from 256-bin registers — at most 256 rows per
+    group shuffle (map-side combined), registers merge by count
+    addition (same snapshot/rollup pattern as the HLL), error bounded
+    by half a bin width. Rank rule max(1, ceil(q·total)) is
+    integer-exact in both engines."""
+    from raster_functions_spark import sketches
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sketches.quantile_sketch(
+        ev.withColumnRenamed("event_type", "grp"), "value", ["grp"],
+        [0.5, 0.95, 0.99], lo=0.0, hi=500.0, bins=256)
+    return (out.select("grp", *[F.round(c, 6).alias(c)
+                                for c in ("p50", "p95", "p99")])
+            .orderBy("grp"))
+
+
 def q_geo_polyfill(spark, sf_dir):
     """H3/S2-style polyfill + compact over three fixture AOI polygons at
     res 11: cells whose center passes the even-odd PIP, compacted to the
@@ -2366,8 +2383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_incremental": q_flagship_incremental,
         "p9_zonal_interval": q_p9_zonal_interval,
         "img_zonal_remap_px": q_img_zonal_remap_px,
-        "rft_mosaic_findmax": q_rft_mosaic_findmax,
-        "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
         "ann_lsh_multi": q_ann_lsh_multi,
         "f7_fish_habitat": q_f7_fish_habitat,
@@ -2386,14 +2401,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ppl_bucket": q_text_ppl_bucket,
         "sketch_hll": q_sketch_hll,
         "sketch_hll_stream": q_sketch_hll_stream,
+        "sketch_quantile": q_sketch_quantile,
         "geo_compact_cover": q_geo_compact_cover,
         "geo_polyfill": q_geo_polyfill,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
-        # ---- driver window boundary (50) — mm_decode_png..mm_ingest_rollup
-        # (all r4-driver-green) slid past it as the session-5 queries
-        # (sketch_hll, sketch_hll_stream, geo_compact_cover, geo_polyfill,
-        # text_winnow, sample_mix_temperature) registered ----
+        # ---- driver window boundary (50) — rft_mosaic_findmax,
+        # rft_mosaic_synthesis (both r4-driver-green, unchanged in r6) and
+        # mm_decode_png..mm_ingest_rollup (all r4-driver-green) slid past
+        # it as the session-5 queries (sketch_hll, sketch_hll_stream,
+        # sketch_quantile, geo_compact_cover, geo_polyfill, text_winnow,
+        # sample_mix_temperature) registered ----
+        "rft_mosaic_findmax": q_rft_mosaic_findmax,
+        "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_catalog": q_mm_catalog,
@@ -2639,6 +2659,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_compact_cover": _grid.compact_cover_sql(
             -10.0, -5.0, 25.0, 30.0, 9),
         "geo_polyfill": _orc.polyfill_sql([0, 1, 2], 11),
+        "sketch_quantile": _sketches.quantile_sql(
+            "events", "value", "event_type", "grp",
+            [0.5, 0.95, 0.99], lo=0.0, hi=500.0, bins=256),
         "text_winnow": _text.winnow_sql("documents"),
         "sample_mix_temperature": _sampling.mixture_sql(
             "documents", "source", "n_chars", tau=0.7, budget=1_000_000),

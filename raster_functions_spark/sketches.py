@@ -222,3 +222,117 @@ def hll_rollup_commit(table, group_cols: list[str],
     exactly-once under ``run_id``."""
     merged = hll_merge(table.read().drop("_pb")).withColumn("_pb", F.lit(0))
     return table.overwrite_partitions(merged, values=[0], run_id=run_id)
+
+
+# ------------------------------------------- mergeable quantile sketch -----
+
+def quantile_registers(df: DataFrame, value_col: str,
+                       group_cols: list[str], lo: float, hi: float,
+                       bins: int = 256) -> DataFrame:
+    """Fixed-range histogram registers — the mergeable quantile sketch
+    companion to the HLL: per group at most ``bins`` (bin, cnt) rows
+    after the map-side combine, registers from disjoint slices merge by
+    plain count addition (:func:`quantile_merge`), so the same
+    snapshot-commit / rollup pattern as :func:`hll_commit_batch`
+    applies. The value range is a declared parameter (the norm for
+    metric pipelines — latencies, scores, sizes have known bounds);
+    out-of-range values clamp into the edge bins, nulls are ignored.
+    Quantile error is bounded by half a bin width — explicit and
+    tunable, unlike rank-sketch bounds that depend on data order."""
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    if not 2 <= bins <= 1 << 16:
+        raise ValueError("bins must be in [2, 65536]")
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((x - F.lit(float(lo)))
+                   / F.lit(float(hi - lo)) * F.lit(float(bins))),
+                   F.lit(0)),
+        F.lit(bins - 1)).cast("long")
+    return (df.filter(x.isNotNull() & ~F.isnan(x))
+            .select(*group_cols, b.alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantile_merge(*registers: DataFrame) -> DataFrame:
+    """Merge register tables built with the same (lo, hi, bins)."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_estimate(registers: DataFrame, group_cols: list[str],
+                      qs: list[float], lo: float, hi: float,
+                      bins: int = 256) -> DataFrame:
+    """Registers → per-group quantile estimates (bin midpoints), one
+    column ``p<q*100>`` per requested quantile. Rank rule: the
+    ``max(1, ceil(q·total))``-th smallest value's bin — integer-exact,
+    identical in the DuckDB replay. The two windows and the final
+    aggregate all share the group partitioning (one shuffle)."""
+    from pyspark.sql.window import Window
+    width = (hi - lo) / bins
+    wg = Window.partitionBy(*group_cols)
+    wc = (Window.partitionBy(*group_cols).orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    work = (registers
+            .withColumn("_total", F.sum("cnt").over(wg))
+            .withColumn("_cum", F.sum("cnt").over(wc)))
+    aggs = []
+    for q in qs:
+        k = F.greatest(F.lit(1).cast("long"),
+                       F.ceil(F.lit(float(q)) * F.col("_total")).cast("long"))
+        sel = F.min(F.when(F.col("_cum") >= k, F.col("bin")))
+        name = f"p{round(q * 100):02d}"
+        aggs.append((F.lit(float(lo))
+                     + (sel + F.lit(0.5)) * F.lit(float(width))).alias(name))
+    return work.groupBy(*group_cols).agg(*aggs)
+
+
+def quantile_sketch(df: DataFrame, value_col: str, group_cols: list[str],
+                    qs: list[float], lo: float, hi: float,
+                    bins: int = 256) -> DataFrame:
+    """Registers + estimate in one call."""
+    return quantile_estimate(
+        quantile_registers(df, value_col, group_cols, lo, hi, bins),
+        group_cols, qs, lo, hi, bins)
+
+
+def quantile_sql(table: str, value_expr: str, group_expr: str,
+                 group_name: str, qs: list[float], lo: float, hi: float,
+                 bins: int = 256, round_to: int = 6) -> str:
+    """DuckDB replay of :func:`quantile_sketch` (same clamp, same rank
+    rule, same midpoint arithmetic)."""
+    width = (hi - lo) / bins
+    cols = []
+    for q in qs:
+        k = f"GREATEST(1, CAST(CEIL({float(q)!r} * _total) AS BIGINT))"
+        sel = f"MIN(CASE WHEN _cum >= {k} THEN bin END)"
+        name = f"p{round(q * 100):02d}"
+        cols.append(f"ROUND({float(lo)!r} + ({sel} + 0.5) * {float(width)!r},"
+                    f" {round_to}) AS {name}")
+    return f"""
+WITH vals AS (
+  SELECT {group_expr} AS {group_name},
+         CAST({value_expr} AS DOUBLE) AS x
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND NOT isnan(CAST({value_expr} AS DOUBLE))
+), regs AS (
+  SELECT {group_name},
+         CAST(LEAST(GREATEST(FLOOR((x - {float(lo)!r}) / {float(hi - lo)!r}
+              * {float(bins)!r}), 0), {bins - 1}) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM vals GROUP BY 1, 2
+), cum AS (
+  SELECT {group_name}, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY {group_name}) AS _total,
+         SUM(cnt) OVER (PARTITION BY {group_name} ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _cum
+  FROM regs
+)
+SELECT {group_name}, {', '.join(cols)}
+FROM cum GROUP BY {group_name} ORDER BY {group_name}
+""".strip()

@@ -312,3 +312,52 @@ def test_polyfill_compact_matches_numpy_reference(spark):
                 kids = np.concatenate([grid.children(int(x)) for x in kids])
             expanded.extend(kids.tolist())
         assert set(expanded) == kept and len(expanded) == len(kept), k
+
+
+# ------------------------------------------------ quantile sketch ----------
+
+def test_quantile_sketch_accuracy(spark):
+    # uniform-ish values: sketch must land within half a bin width of
+    # the exact percentile
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).alias("grp"),
+        ((F.col("id") * 37 % 1000) / F.lit(1.0)).alias("v"))
+    got = {r["grp"]: r for r in
+           sketches.quantile_sketch(df, "v", ["grp"], [0.5, 0.95],
+                                    lo=0.0, hi=1000.0, bins=500).collect()}
+    exact = {r["grp"]: r for r in
+             df.groupBy("grp").agg(
+                 F.expr("percentile(v, 0.5)").alias("p50"),
+                 F.expr("percentile(v, 0.95)").alias("p95")).collect()}
+    width = 1000.0 / 500
+    for g in exact:
+        assert abs(got[g]["p50"] - exact[g]["p50"]) <= width, g
+        assert abs(got[g]["p95"] - exact[g]["p95"]) <= width, g
+
+
+def test_quantile_merge_equals_full(spark):
+    df = spark.range(50_000).select(
+        F.lit("g").alias("grp"), (F.col("id") % 777).cast("double").alias("v"))
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 2 == 1)
+    ra = sketches.quantile_registers(a, "v", ["grp"], 0.0, 800.0, 128)
+    rb = sketches.quantile_registers(b, "v", ["grp"], 0.0, 800.0, 128)
+    merged = sketches.quantile_estimate(
+        sketches.quantile_merge(ra, rb), ["grp"], [0.5, 0.99], 0.0, 800.0, 128)
+    full = sketches.quantile_sketch(df, "v", ["grp"], [0.5, 0.99],
+                                    0.0, 800.0, 128)
+    assert merged.collect() == full.collect()
+
+
+def test_quantile_clamp_and_validation(spark):
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.5), ("g", 99.0), ("g", None)],
+        "grp string, v double")
+    regs = sketches.quantile_registers(df, "v", ["grp"], 0.0, 10.0, 10)
+    rows = {r["bin"]: r["cnt"] for r in regs.collect()}
+    assert rows == {0: 2, 9: 1}  # -5 clamps to bin 0, 99 to bin 9, null dropped
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sketches.quantile_registers(df, "v", ["grp"], 5.0, 5.0)
+    with _pt.raises(ValueError):
+        sketches.quantile_registers(df, "v", ["grp"], 0.0, 1.0, bins=1)
