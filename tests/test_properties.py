@@ -193,3 +193,87 @@ def test_mean_assoc_decomposition_property(n_members, seed, n_chunks,
     with np.errstate(invalid="ignore", divide="ignore"):
         merged = np.where(n_tot > 0, s_tot / n_tot, np.nan)
     assert np.allclose(merged, direct, equal_nan=True)
+
+
+# ----------------------------------------- round-6 sketch/geo properties ---
+
+@st.composite
+def _bboxes(draw):
+    xmin = draw(st.floats(-180.0, 179.0))
+    ymin = draw(st.floats(-90.0, 89.0))
+    xmax = draw(st.floats(min_value=xmin, max_value=180.0))
+    ymax = draw(st.floats(min_value=ymin, max_value=90.0))
+    res = draw(st.integers(0, 9))
+    return (xmin, ymin, xmax, ymax, res)
+
+
+@given(_bboxes())
+@settings(max_examples=40, deadline=None)
+def test_compact_cover_property(bbox):
+    """Closed-form compaction == iterated complete-sibling merging, and
+    the compact set's res-R descendants tile the cover exactly."""
+    from collections import Counter
+    comp = grid.compact_cover_np(*bbox)
+    cells = set(grid.cover_bbox(*bbox).tolist())
+    final = set()
+    res = bbox[4]
+    for r in range(res, 0, -1):
+        cur = {c for c in cells if (c & 15) == r}
+        rest = cells - cur
+        par = Counter(int(grid.parent(np.array([c]), r - 1)[0]) for c in cur)
+        merged = set()
+        for c in cur:
+            pp = int(grid.parent(np.array([c]), r - 1)[0])
+            (merged.add(pp) if par[pp] == 4 else final.add(c))
+        cells = rest | merged
+    assert set(comp.tolist()) == final | cells
+
+
+@given(st.lists(st.integers(0, 50), min_size=1, max_size=120),
+       st.integers(1, 6), st.integers(1, 6), st.integers(0, 2**20))
+@settings(max_examples=40, deadline=None)
+def test_winnow_reference_property(word_ids, k, w, seed):
+    """The SQL-shaped winnowing (window-ends formulation) equals the
+    direct sliding-window reference for arbitrary k, w, seed."""
+    import hashlib
+    doc = " ".join(f"w{i}" for i in word_ids)
+    toks = doc.split(" ")
+    n = max(len(toks) - k + 1, 1)
+    grams = [" ".join(toks[i:i + k]) for i in range(n)]
+    hs = [int(hashlib.md5(f"{g}:{seed}".encode()).hexdigest()[:15], 16)
+          for g in grams]
+    # direct reference: rightmost min of each (possibly truncated) window
+    ref = set()
+    for t in range(len(hs)):
+        lo = max(0, t - w + 1)
+        mh = min(hs[lo:t + 1])
+        ref.add((max(i for i in range(lo, t + 1) if hs[i] == mh), mh))
+    # window-ends formulation (what the Spark plan computes)
+    got = set()
+    for p, h in enumerate(hs):
+        for t in range(p, min(p + w, len(hs))):
+            lo = max(0, t - w + 1)
+            mh = min(hs[lo:t + 1])
+            sel = max(i for i in range(lo, t + 1) if hs[i] == mh)
+            if sel == p:
+                got.add((p, h))
+    assert got == ref
+
+
+@given(st.lists(st.floats(-50.0, 1050.0, allow_nan=False), min_size=1,
+                max_size=400),
+       st.integers(2, 64))
+@settings(max_examples=40, deadline=None)
+def test_quantile_register_merge_property(vals, bins):
+    """Register build is a count vector homomorphism: registers(A) +
+    registers(B) == registers(A∪B) for any split (pure NumPy replay of
+    the engine's bin arithmetic)."""
+    lo, hi = 0.0, 1000.0
+    arr = np.asarray(vals, dtype=np.float64)
+    b = np.clip(np.floor((arr - lo) / (hi - lo) * bins), 0,
+                bins - 1).astype(np.int64)
+    full = np.bincount(b, minlength=bins)
+    half = len(arr) // 2
+    ba = np.bincount(b[:half], minlength=bins)
+    bb = np.bincount(b[half:], minlength=bins)
+    assert (ba + bb == full).all()
