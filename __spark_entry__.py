@@ -1492,6 +1492,21 @@ def q_sample_mix_temperature(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_text_vocab(spark, sf_dir):
+    """Per-language vocabulary heavy hitters (tokenizer-training /
+    keyword-extraction input): token frequency + document frequency +
+    smoothed IDF for the top 15 tokens per language, ties broken by
+    token. One explode → one (lang, token) hash agg computing tf and df
+    together, a broadcast doc-count join, and a top-n window over the
+    VOCABULARY, never the corpus."""
+    from raster_functions_spark import text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.vocab_top_tokens(d, top_n=15)
+    return (out.select("lang", "rank", "token", "tf", "df",
+                       F.round("idf", 6).alias("idf"))
+            .orderBy("lang", "rank"))
+
+
 def q_sketch_quantile(spark, sf_dir):
     """Mergeable fixed-range histogram quantile sketch: p50/p95/p99 of
     event value per type from 256-bin registers — at most 256 rows per
@@ -2384,7 +2399,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_zonal_interval": q_p9_zonal_interval,
         "img_zonal_remap_px": q_img_zonal_remap_px,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
-        "ann_lsh_multi": q_ann_lsh_multi,
         "f7_fish_habitat": q_f7_fish_habitat,
         "p5_fill_constant": q_p5_fill_constant,
         "u2_composite_bands": q_u2_composite_bands,
@@ -2402,16 +2416,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": q_sketch_hll,
         "sketch_hll_stream": q_sketch_hll_stream,
         "sketch_quantile": q_sketch_quantile,
+        "text_vocab": q_text_vocab,
         "geo_compact_cover": q_geo_compact_cover,
         "geo_polyfill": q_geo_polyfill,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
-        # ---- driver window boundary (50) — rft_mosaic_findmax,
-        # rft_mosaic_synthesis (both r4-driver-green, unchanged in r6) and
-        # mm_decode_png..mm_ingest_rollup (all r4-driver-green) slid past
-        # it as the session-5 queries (sketch_hll, sketch_hll_stream,
-        # sketch_quantile, geo_compact_cover, geo_polyfill, text_winnow,
+        # ---- driver window boundary (50) — ann_lsh_multi,
+        # rft_mosaic_findmax, rft_mosaic_synthesis (all r4-driver-green,
+        # unchanged in r6) and mm_decode_png..mm_ingest_rollup (all
+        # r4-driver-green) slid past it as the session-5 queries
+        # (sketch_hll, sketch_hll_stream, sketch_quantile, text_vocab,
+        # geo_compact_cover, geo_polyfill, text_winnow,
         # sample_mix_temperature) registered ----
+        "ann_lsh_multi": q_ann_lsh_multi,
         "rft_mosaic_findmax": q_rft_mosaic_findmax,
         "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
         "mm_decode_png": q_mm_decode_png,
@@ -2662,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantile": _sketches.quantile_sql(
             "events", "value", "event_type", "grp",
             [0.5, 0.95, 0.99], lo=0.0, hi=500.0, bins=256),
+        "text_vocab": _text.vocab_sql("documents", top_n=15),
         "text_winnow": _text.winnow_sql("documents"),
         "sample_mix_temperature": _sampling.mixture_sql(
             "documents", "source", "n_chars", tau=0.7, budget=1_000_000),

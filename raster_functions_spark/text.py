@@ -777,3 +777,68 @@ SELECT {id_col},
        CAST(SUM(pos) AS BIGINT) AS pos_sum
 FROM fps GROUP BY 1 ORDER BY {id_col}
 """.strip()
+
+
+# ---------------------------------------------- vocabulary / heavy hitters -
+
+def vocab_top_tokens(df: DataFrame, text_col: str = "text",
+                     lang_col: str = "lang", id_col: str = "doc_id",
+                     top_n: int = 20) -> DataFrame:
+    """Per-language vocabulary heavy hitters: token frequency, document
+    frequency, and smoothed IDF (``ln((N+1)/(df+1)) + 1``) for the
+    ``top_n`` most frequent tokens (ties broken by token — fully
+    deterministic). The vocabulary-building step of tokenizer training
+    and the df/idf table behind keyword extraction.
+
+    Scale shape: the classic word count — explode → ONE hash aggregation
+    on (lang, token) computing tf and distinct-doc df together, a tiny
+    per-language doc-count join (broadcast by AQE), and a top-n window
+    over the aggregated VOCABULARY (not the corpus). A pathological
+    single-language vocabulary still dwarfs its reducer far less than
+    the corpus does; at crawl scale, cut with a min-tf filter before the
+    window (same sampled-threshold pattern as ppl_buckets)."""
+    from pyspark.sql.window import Window
+    toks = (df.select(lang_col, id_col,
+                      F.explode(F.split(F.col(text_col), " ")).alias("token")))
+    agg = (toks.groupBy(lang_col, "token")
+           .agg(F.count(F.lit(1)).alias("tf"),
+                F.countDistinct(id_col).alias("df")))
+    nd = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_nd"))
+    w = Window.partitionBy(lang_col).orderBy(F.col("tf").desc(), "token")
+    return (agg.join(nd, lang_col)
+            .withColumn("idf", F.log((F.col("_nd") + 1.0)
+                                     / (F.col("df") + 1.0)) + F.lit(1.0))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_n)
+            .select(lang_col, F.col("_rn").alias("rank"), "token",
+                    "tf", "df", "idf"))
+
+
+def vocab_sql(table: str, text_expr: str = "text", lang_col: str = "lang",
+              id_col: str = "doc_id", top_n: int = 20,
+              round_to: int = 6) -> str:
+    """DuckDB replay of :func:`vocab_top_tokens` (same smoothing, same
+    tie-break)."""
+    return f"""
+WITH toks AS (
+  SELECT {lang_col}, {id_col},
+         unnest(string_split({text_expr}, ' ')) AS token
+  FROM {table}
+), agg AS (
+  SELECT {lang_col}, token, COUNT(*) AS tf,
+         COUNT(DISTINCT {id_col}) AS df
+  FROM toks GROUP BY 1, 2
+), nd AS (
+  SELECT {lang_col}, COUNT(*) AS _nd FROM {table} GROUP BY 1
+), ranked AS (
+  SELECT a.{lang_col}, a.token, a.tf, a.df, n._nd,
+         ROW_NUMBER() OVER (PARTITION BY a.{lang_col}
+                            ORDER BY a.tf DESC, a.token) AS rank
+  FROM agg a JOIN nd n USING ({lang_col})
+)
+SELECT {lang_col}, CAST(rank AS INT) AS rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(ln((_nd + 1.0) / (df + 1.0)) + 1.0, {round_to}) AS idf
+FROM ranked WHERE rank <= {top_n}
+ORDER BY {lang_col}, rank
+""".strip()

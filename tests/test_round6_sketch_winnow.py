@@ -361,3 +361,20 @@ def test_quantile_clamp_and_validation(spark):
         sketches.quantile_registers(df, "v", ["grp"], 5.0, 5.0)
     with _pt.raises(ValueError):
         sketches.quantile_registers(df, "v", ["grp"], 0.0, 1.0, bins=1)
+
+
+def test_vocab_top_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "en", "a a a b b c"), (1, "en", "a b d"), (2, "fr", "x y x")],
+        "doc_id long, lang string, text string")
+    out = {(r["lang"], r["rank"]): r for r in
+           text.vocab_top_tokens(df, top_n=2).collect()}
+    # en: a tf=4 df=2; b tf=3 df=2
+    assert out[("en", 1)]["token"] == "a" and out[("en", 1)]["tf"] == 4
+    assert out[("en", 1)]["df"] == 2
+    assert out[("en", 2)]["token"] == "b" and out[("en", 2)]["tf"] == 3
+    assert out[("fr", 1)]["token"] == "x" and out[("fr", 1)]["tf"] == 2
+    # tie at tf=1 in fr broken by token: y ranks 2nd
+    assert out[("fr", 2)]["token"] == "y"
+    import math
+    assert abs(out[("en", 1)]["idf"] - (math.log(3 / 3) + 1)) < 1e-12
