@@ -1492,6 +1492,27 @@ def q_sample_mix_temperature(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_geo_knn(spark, sf_dir):
+    """Exact geodesic kNN self-join (k=3) over deterministic lat/lon:
+    grid-phase candidates (9-neighbor-cell join at theta0=0.12 rad) are
+    provably the true top-k when the k-th distance is within the grid
+    guarantee; sparse-region stragglers fall back to a broadcast
+    partial-top-k mapInPandas (the j5_knn pattern — n_unsat × k rows per
+    batch, never a cross product). The DuckDB oracle brute-forces the
+    same points with an independent lat-band necessary condition and a
+    loud band-violation sentinel."""
+    from raster_functions_spark import spatial
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lat, lon = spatial.lonlat_cols(F.col("event_id"))
+    pts = (ev.filter(F.col("event_id") % 7 == 0)
+           .select(F.col("event_id").alias("id"),
+                   lat.alias("lat"), lon.alias("lon")))
+    out = spatial.knn_geo(pts, k=3, theta0=0.12, max_abs_lat=60.0)
+    return (out.select("id", "rank", "nbr",
+                       F.round("sigma_rad", 9).alias("sigma_rad"))
+            .orderBy("id", "rank"))
+
+
 def q_text_vocab(spark, sf_dir):
     """Per-language vocabulary heavy hitters (tokenizer-training /
     keyword-extraction input): token frequency + document frequency +
@@ -2399,7 +2420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_zonal_interval": q_p9_zonal_interval,
         "img_zonal_remap_px": q_img_zonal_remap_px,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
-        "f7_fish_habitat": q_f7_fish_habitat,
         "p5_fill_constant": q_p5_fill_constant,
         "u2_composite_bands": q_u2_composite_bands,
         "s5_random": q_s5_random,
@@ -2417,17 +2437,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_stream": q_sketch_hll_stream,
         "sketch_quantile": q_sketch_quantile,
         "text_vocab": q_text_vocab,
+        "geo_knn": q_geo_knn,
         "geo_compact_cover": q_geo_compact_cover,
         "geo_polyfill": q_geo_polyfill,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
-        # ---- driver window boundary (50) — ann_lsh_multi,
+        # ---- driver window boundary (50) — f7_fish_habitat, ann_lsh_multi,
         # rft_mosaic_findmax, rft_mosaic_synthesis (all r4-driver-green,
         # unchanged in r6) and mm_decode_png..mm_ingest_rollup (all
         # r4-driver-green) slid past it as the session-5 queries
         # (sketch_hll, sketch_hll_stream, sketch_quantile, text_vocab,
-        # geo_compact_cover, geo_polyfill, text_winnow,
+        # geo_knn, geo_compact_cover, geo_polyfill, text_winnow,
         # sample_mix_temperature) registered ----
+        "f7_fish_habitat": q_f7_fish_habitat,
         "ann_lsh_multi": q_ann_lsh_multi,
         "rft_mosaic_findmax": q_rft_mosaic_findmax,
         "rft_mosaic_synthesis": q_rft_mosaic_synthesis,
@@ -2680,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "value", "event_type", "grp",
             [0.5, 0.95, 0.99], lo=0.0, hi=500.0, bins=256),
         "text_vocab": _text.vocab_sql("documents", top_n=15),
+        "geo_knn": _orc.geo_knn_sql(3, 7, 15.0),
         "text_winnow": _text.winnow_sql("documents"),
         "sample_mix_temperature": _sampling.mixture_sql(
             "documents", "source", "n_chars", tau=0.7, budget=1_000_000),

@@ -2066,3 +2066,34 @@ LEFT JOIN fulls p ON p.k = f.k AND p.r = f.r - 1 AND p.za = (f.za >> 2)
 WHERE f.r = 0 OR p.za IS NULL
 ORDER BY aoi_id, cell
 """.strip()
+
+
+def geo_knn_sql(k: int, subset_mod: int, band_deg: float) -> str:
+    """geo_knn oracle: brute-force geodesic kNN — INDEPENDENT of the
+    engine's two-phase grid/fallback plan. The lat band is a pure
+    necessary condition (|dlat| ≤ sigma), sized well above the measured
+    max k-th-NN distance; if a selected row ever exceeded the band the
+    CASE turns its neighbor NULL, which breaks the value compare loudly
+    instead of silently dropping a true neighbor."""
+    import math
+    band_rad = math.radians(band_deg)
+    lat, lon = lonlat_sql("event_id")
+    sig = central_angle_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+WITH pts AS (
+  SELECT event_id AS id, {lat} AS lat, {lon} AS lon
+  FROM events WHERE event_id % {subset_mod} = 0),
+cand AS (
+  SELECT a.id AS id, b.id AS nbr, {sig} AS sigma
+  FROM pts a JOIN pts b
+    ON b.lat >= a.lat - {band_deg} AND b.lat <= a.lat + {band_deg}
+   AND a.id <> b.id),
+ranked AS (
+  SELECT id, nbr, sigma,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY sigma, nbr) AS rank
+  FROM cand)
+SELECT id, CAST(rank AS INT) AS rank,
+       CASE WHEN sigma <= {band_rad!r} THEN nbr END AS nbr,
+       ROUND(sigma, 9) AS sigma_rad
+FROM ranked WHERE rank <= {k}
+ORDER BY id, rank"""

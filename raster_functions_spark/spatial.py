@@ -485,9 +485,12 @@ def radius_join(df: DataFrame, theta_rad: float, id_col: str = "id",
 
 def _radius_candidates(df: DataFrame, theta_rad: float, id_col: str,
                        lat_col: str, lon_col: str,
-                       max_abs_lat: float | None) -> DataFrame:
+                       max_abs_lat: float | None,
+                       directed: bool = False) -> DataFrame:
     """The cell-join candidate stage of :func:`radius_join` — exposed so
-    the scale probe can count admitted pairs before the exact filter."""
+    the scale probe can count admitted pairs before the exact filter.
+    ``directed=True`` keeps both (a,b) and (b,a) minus self (the kNN
+    query→candidate shape) instead of the unordered ``id_l < id_r``."""
     if max_abs_lat is None:
         max_abs_lat = df.agg(
             F.max(F.abs(F.col(lat_col)))).collect()[0][0] or 0.0
@@ -512,8 +515,9 @@ def _radius_candidates(df: DataFrame, theta_rad: float, id_col: str,
                        F.col("_glat").alias("_latr"),
                        F.col("_glon").alias("_lonr"),
                        (F.col("_ci") * n_lon + F.col("_cj")).alias("_cell"))
-    return left.join(right, (F.col("_nbr") == F.col("_cell"))
-                     & (F.col("_idl") < F.col("_idr")))
+    pair_cond = (F.col("_idl") != F.col("_idr")) if directed else \
+        (F.col("_idl") < F.col("_idr"))
+    return left.join(right, (F.col("_nbr") == F.col("_cell")) & pair_cond)
 
 
 def track_stats(df: DataFrame, entity_col: str, order_cols: list[str],
@@ -623,3 +627,90 @@ def polyfill_compact(spark, rings, res: int):
                    F.expr(f"shiftleft(za, {4}) | r").alias("cell"),
                    F.col("r").alias("res")))
     return out
+
+
+def knn_geo(df: DataFrame, k: int, theta0: float, id_col: str = "id",
+            lat_col: str = "lat", lon_col: str = "lon",
+            max_abs_lat: float | None = None) -> DataFrame:
+    """EXACT geodesic k-nearest-neighbors self-join: for every point its
+    ``k`` nearest other points by central angle, ties broken by neighbor
+    id. Two phases, both deterministic:
+
+    1. **Grid phase** — the radius-join grid at ``theta0``: each query's
+       9-neighbor-cell candidates are ranked by (sigma, id). The grid
+       guarantee (any point within ``theta0`` lands in a neighbor cell)
+       makes the candidate top-k PROVABLY the true top-k whenever k
+       candidates exist and the k-th distance is ≤ ``theta0`` — every
+       non-candidate sits strictly beyond ``theta0``. Shuffle volume is
+       9 rows per point + the per-cell-density candidate set.
+    2. **Fallback** — the (sparse-region) queries the guarantee doesn't
+       cover are broadcast as a NumPy matrix through one mapInPandas
+       over all points with per-batch partial top-k (the j5_knn
+       pattern): only ``n_unsat × k`` rows per batch ever shuffle, never
+       a cross product. ``theta0`` tunes the split: larger → fewer
+       fallback queries, more grid candidates.
+
+    Returns ``(id, rank, nbr, sigma_rad)``, exactly ``min(k, n-1)`` rows
+    per point."""
+    from pyspark.sql.window import Window
+    cand = _radius_candidates(df, theta0, id_col, lat_col, lon_col,
+                              max_abs_lat, directed=True)
+    sigma = central_angle(F.col("_latl"), F.col("_lonl"),
+                          F.col("_latr"), F.col("_lonr"))
+    w = Window.partitionBy("_idl").orderBy("sigma", "_idr")
+    ranked = (cand.withColumn("sigma", sigma)
+              .withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= k))
+    stats = (ranked.groupBy("_idl")
+             .agg(F.count(F.lit(1)).alias("_cnt"),
+                  F.max("sigma").alias("_kth")))
+    sat = (stats.filter((F.col("_cnt") == k)
+                        & (F.col("_kth") <= F.lit(float(theta0))))
+           .select(F.col("_idl").alias("_sat")))
+    phase1 = (ranked.join(sat, ranked["_idl"] == sat["_sat"], "left_semi")
+              .select(F.col("_idl").alias(id_col),
+                      F.col("_rn").alias("rank"),
+                      F.col("_idr").alias("nbr"),
+                      F.col("sigma").alias("sigma_rad")))
+
+    pts = df.select(F.col(id_col), F.col(lat_col).alias("_lat"),
+                    F.col(lon_col).alias("_lon"))
+    unsat = (pts.join(sat, pts[id_col] == sat["_sat"], "left_anti")
+             .toPandas())  # bounded: the sparse-region stragglers only
+    if len(unsat) == 0:
+        return phase1
+    q_id = unsat[id_col].to_numpy()
+    q_la = np.radians(unsat["_lat"].to_numpy(np.float64))
+    q_lo = np.radians(unsat["_lon"].to_numpy(np.float64))
+
+    out_schema = f"{id_col} long, nbr long, sigma_rad double"
+
+    def part(batches):
+        for pdf in batches:
+            nid = pdf[id_col].to_numpy()
+            la = np.radians(pdf["_lat"].to_numpy(np.float64))
+            lo = np.radians(pdf["_lon"].to_numpy(np.float64))
+            sp = np.sin((la[None, :] - q_la[:, None]) / 2.0)
+            sl = np.sin((lo[None, :] - q_lo[:, None]) / 2.0)
+            h = (sp * sp
+                 + np.cos(q_la[:, None]) * np.cos(la[None, :]) * (sl * sl))
+            sig = 2.0 * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+            sig[q_id[:, None] == nid[None, :]] = np.inf  # self
+            kk = min(k, sig.shape[1])
+            # per-batch partial top-k, (sigma, nbr) order
+            order = np.lexsort((np.broadcast_to(nid, sig.shape), sig),
+                               axis=1)[:, :kk]
+            rows = {
+                id_col: np.repeat(q_id, kk),
+                "nbr": nid[order].reshape(-1),
+                "sigma_rad": np.take_along_axis(sig, order, 1).reshape(-1),
+            }
+            out = pd.DataFrame(rows)
+            yield out[np.isfinite(out["sigma_rad"])]
+
+    partials = pts.mapInPandas(part, out_schema)
+    w2 = Window.partitionBy(id_col).orderBy("sigma_rad", "nbr")
+    phase2 = (partials.withColumn("rank", F.row_number().over(w2))
+              .filter(F.col("rank") <= k)
+              .select(id_col, "rank", "nbr", "sigma_rad"))
+    return phase1.unionByName(phase2)

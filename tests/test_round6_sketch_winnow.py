@@ -378,3 +378,45 @@ def test_vocab_top_tokens(spark):
     assert out[("fr", 2)]["token"] == "y"
     import math
     assert abs(out[("en", 1)]["idf"] - (math.log(3 / 3) + 1)) < 1e-12
+
+
+# ------------------------------------------------------ geodesic kNN -------
+
+def test_knn_geo_exact_vs_brute(spark):
+    from raster_functions_spark import spatial
+    import pyspark.sql.functions as F2
+    ev = spark.range(0, 4000, 7).withColumnRenamed("id", "event_id")
+    lat, lon = spatial.lonlat_cols(F2.col("event_id"))
+    pts = ev.select(F2.col("event_id").alias("id"),
+                    lat.alias("lat"), lon.alias("lon"))
+    # small theta0 forces a real grid/fallback split
+    out = spatial.knn_geo(pts, k=3, theta0=0.25, max_abs_lat=60.0)
+    got = {(r["id"], r["rank"]): (r["nbr"], r["sigma_rad"])
+           for r in out.collect()}
+    p = pts.toPandas()
+    la = np.radians(p["lat"].to_numpy())
+    lo = np.radians(p["lon"].to_numpy())
+    ids = p["id"].to_numpy()
+    n = len(ids)
+    assert len(got) == 3 * n
+    sp = np.sin((la[None, :] - la[:, None]) / 2)
+    sl = np.sin((lo[None, :] - lo[:, None]) / 2)
+    h = sp * sp + np.cos(la[:, None]) * np.cos(la[None, :]) * (sl * sl)
+    sig = 2 * np.arcsin(np.minimum(1, np.sqrt(h)))
+    np.fill_diagonal(sig, np.inf)
+    for i in range(n):
+        order = np.lexsort((ids, sig[i]))[:3]
+        for rank, j in enumerate(order, start=1):
+            nbr, s = got[(ids[i], rank)]
+            assert nbr == ids[j], (ids[i], rank)
+            assert abs(s - sig[i, j]) < 1e-9
+
+
+def test_knn_geo_fewer_points_than_k(spark):
+    from raster_functions_spark import spatial
+    pts = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 11.0, 21.0)], "id long, lat double, lon double")
+    out = spatial.knn_geo(pts, k=5, theta0=0.01)
+    rows = out.collect()
+    assert len(rows) == 2 and all(r["rank"] == 1 for r in rows)
+    assert {(r["id"], r["nbr"]) for r in rows} == {(1, 2), (2, 1)}
