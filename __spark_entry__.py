@@ -1492,6 +1492,18 @@ def q_sample_mix_temperature(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing-based near-duplicate pairs: docs sharing ≥ 2 distinct
+    selected fingerprints (any shared ≥ 6-word run guarantees one). Stop
+    fingerprints (boilerplate phrases in > 50 docs) are dropped BEFORE
+    the hash equi-join — the MOSS index trick that bounds candidate
+    volume to Σ df(h)² over rare hashes; everything else is hash-keyed
+    aggregation."""
+    from raster_functions_spark import text
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.winnow_pairs(d).orderBy("id_a", "id_b")
+
+
 def q_geo_knn(spark, sf_dir):
     """Exact geodesic kNN self-join (k=3) over deterministic lat/lon:
     grid-phase candidates (9-neighbor-cell join at theta0=0.12 rad) are
@@ -2419,7 +2431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_incremental": q_flagship_incremental,
         "p9_zonal_interval": q_p9_zonal_interval,
         "img_zonal_remap_px": q_img_zonal_remap_px,
-        "m5_sarima_seasonal": q_m5_sarima_seasonal,
         "p5_fill_constant": q_p5_fill_constant,
         "u2_composite_bands": q_u2_composite_bands,
         "s5_random": q_s5_random,
@@ -2438,17 +2449,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile": q_sketch_quantile,
         "text_vocab": q_text_vocab,
         "geo_knn": q_geo_knn,
+        "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "geo_compact_cover": q_geo_compact_cover,
         "geo_polyfill": q_geo_polyfill,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
-        # ---- driver window boundary (50) — f7_fish_habitat, ann_lsh_multi,
-        # rft_mosaic_findmax, rft_mosaic_synthesis (all r4-driver-green,
-        # unchanged in r6) and mm_decode_png..mm_ingest_rollup (all
-        # r4-driver-green) slid past it as the session-5 queries
+        # ---- driver window boundary (50) — m5_sarima_seasonal,
+        # f7_fish_habitat, ann_lsh_multi, rft_mosaic_findmax,
+        # rft_mosaic_synthesis (all r4-driver-green, unchanged in r6) and
+        # mm_decode_png..mm_ingest_rollup (all r4-driver-green) slid past
+        # it as the session-5 queries
         # (sketch_hll, sketch_hll_stream, sketch_quantile, text_vocab,
-        # geo_knn, geo_compact_cover, geo_polyfill, text_winnow,
-        # sample_mix_temperature) registered ----
+        # geo_knn, dedup_winnow_pairs, geo_compact_cover, geo_polyfill,
+        # text_winnow, sample_mix_temperature) registered ----
+        "m5_sarima_seasonal": q_m5_sarima_seasonal,
         "f7_fish_habitat": q_f7_fish_habitat,
         "ann_lsh_multi": q_ann_lsh_multi,
         "rft_mosaic_findmax": q_rft_mosaic_findmax,
@@ -2703,6 +2717,7 @@ def oracle_sql() -> dict[str, str]:
             [0.5, 0.95, 0.99], lo=0.0, hi=500.0, bins=256),
         "text_vocab": _text.vocab_sql("documents", top_n=15),
         "geo_knn": _orc.geo_knn_sql(3, 7, 15.0),
+        "dedup_winnow_pairs": _text.winnow_pairs_sql("documents"),
         "text_winnow": _text.winnow_sql("documents"),
         "sample_mix_temperature": _sampling.mixture_sql(
             "documents", "source", "n_chars", tau=0.7, budget=1_000_000),

@@ -842,3 +842,59 @@ SELECT {lang_col}, CAST(rank AS INT) AS rank, token,
 FROM ranked WHERE rank <= {top_n}
 ORDER BY {lang_col}, rank
 """.strip()
+
+
+def winnow_pairs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3, w: int = 4,
+                 seed: int = 0xF1B5, min_shared: int = 2,
+                 max_doc_freq: int = 50) -> DataFrame:
+    """Winnowing-based near-duplicate PAIRS: documents sharing ≥
+    ``min_shared`` distinct selected fingerprints. The local-fingerprint
+    complement to MinHash (set overlap) and ExactSubstr (spans) — two
+    docs sharing any ≥ w+k−1 word run are guaranteed a common
+    fingerprint.
+
+    Scale: the join key is the fingerprint hash, so candidate volume is
+    Σ df(h)² over fingerprint hashes — ``max_doc_freq`` drops "stop
+    fingerprints" (boilerplate phrases appearing in > F docs) BEFORE the
+    join, the standard winnowing-index trick (MOSS does the same); the
+    cut is reported per pair run in the plan, nothing else is dropped.
+    One dedup of (doc, h), one frequency filter, one equi-join on h,
+    one pair aggregation — all hash-keyed shuffles."""
+    fps = (winnow_fingerprints(df, text_col, id_col, k, w, seed)
+           .select(id_col, "h").distinct())
+    freq = (fps.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq))
+    kept = fps.join(freq.select("h"), "h")
+    a = kept.select(F.col(id_col).alias("id_a"), "h")
+    b = kept.select(F.col(id_col).alias("id_b"), "h")
+    return (a.join(b, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
+def winnow_pairs_sql(table: str, text_expr: str = "text",
+                     id_col: str = "doc_id", k: int = 3, w: int = 4,
+                     seed: int = 0xF1B5, min_shared: int = 2,
+                     max_doc_freq: int = 50) -> str:
+    """DuckDB replay of :func:`winnow_pairs` over the winnow_sql
+    fingerprint derivation."""
+    base = winnow_sql(table, text_expr, id_col, k, w, seed)
+    # reuse the fingerprint CTE chain: cut at the final rollup SELECT and
+    # continue the WITH list (the chain ends in ")" — add the comma)
+    fps_ctes = base[:base.rindex("SELECT")].rstrip()
+    assert fps_ctes.endswith(")"), "winnow_sql shape changed"
+    return f"""{fps_ctes}, dfps AS (
+  SELECT DISTINCT {id_col}, h FROM fps
+), freq AS (
+  SELECT h FROM dfps GROUP BY h HAVING COUNT(*) <= {max_doc_freq}
+), kept AS (
+  SELECT d.{id_col}, d.h FROM dfps d JOIN freq USING (h)
+)
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+ORDER BY id_a, id_b"""

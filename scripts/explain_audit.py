@@ -325,6 +325,28 @@ def main() -> int:
     checks.append(("winnow: explode + doc-keyed hash aggs, no join, zero Python", ok))
     out += ["\n## text_winnow\n", p]
 
+    # 24. geodesic kNN grid phase: candidates come from the cell hash
+    # equi-join — no cross product anywhere in the plan
+    pts2 = (ev.filter(F.col("event_id") % 5 == 0)
+            .select(F.col("event_id").alias("id"),
+                    _lat.alias("lat"), _lon.alias("lon")))
+    knn = _spatial.knn_geo(pts2, k=3, theta0=0.3, max_abs_lat=60.0)
+    p = plan_of(knn)
+    ok = ("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+          and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+               or "BroadcastHashJoin" in p))
+    checks.append(("geo kNN: cell hash equi-join candidates, no cross product", ok))
+    out += ["\n## geo_knn\n", p]
+
+    # 25. winnow pairs: the pair join is a hash equi-join on the
+    # fingerprint hash (stop-fingerprint filter upstream), zero Python
+    wp = _text2.winnow_pairs(docs)
+    p = plan_of(wp)
+    ok = ("CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+          and "EvalPython" not in p)
+    checks.append(("winnow pairs: fingerprint hash equi-join, zero Python", ok))
+    out += ["\n## dedup_winnow_pairs\n", p]
+
     out.append("\n# Assertions\n")
     failed = 0
     for name, ok in checks:

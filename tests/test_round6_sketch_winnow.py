@@ -420,3 +420,28 @@ def test_knn_geo_fewer_points_than_k(spark):
     rows = out.collect()
     assert len(rows) == 2 and all(r["rank"] == 1 for r in rows)
     assert {(r["id"], r["nbr"]) for r in rows} == {(1, 2), (2, 1)}
+
+
+def test_winnow_pairs_guarantee_and_stopfp(spark):
+    from raster_functions_spark import text as T
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = "subscribe to our newsletter now"
+    docs = [(0, f"start words here {shared} and more after"),
+            (1, f"{shared} completely different ending text")]
+    # 60 docs sharing ONLY the boilerplate phrase (df > max_doc_freq)
+    docs += [(10 + i, f"unique{i} text body {boiler} tail{i} piece{i}")
+             for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in T.winnow_pairs(df, min_shared=1,
+                                     max_doc_freq=50).collect()}
+    assert (0, 1) in pairs  # the >= w+k-1 shared-run guarantee
+    # the globally-selected boilerplate fingerprint (df=60 > 50) is cut:
+    # the filtered pair set must be a strict subset of the unfiltered one
+    # (mixed-window boiler selections with df <= 50 legitimately remain)
+    allp = {(r["id_a"], r["id_b"]) for r in
+            T.winnow_pairs(df, min_shared=1,
+                           max_doc_freq=10**9).collect()}
+    boiler_all = sum(1 for a, b in allp if a >= 10 and b >= 10)
+    boiler_cut = sum(1 for a, b in pairs if a >= 10 and b >= 10)
+    assert set(pairs) < allp and boiler_cut < boiler_all
