@@ -336,3 +336,40 @@ WITH vals AS (
 SELECT {group_name}, {', '.join(cols)}
 FROM cum GROUP BY {group_name} ORDER BY {group_name}
 """.strip()
+
+
+def hll_streaming_sink(table, key_col: str, group_cols: list[str],
+                       p: int = 8, seed: int = _DEFAULT_SEED,
+                       hashes: str = "md5", rollup_every: int | None = None,
+                       run_prefix: str = "hll"):
+    """foreachBatch sink maintaining a live distinct-count sketch: one
+    register commit per microbatch (``run_id = <run_prefix>-<batch_id>``
+    — a retried microbatch no-ops, so the sketch is exactly-once end to
+    end), with an optional rollup every N batches that rewrites the
+    accumulated registers into one merged vector (read cost stays
+    O(groups × 2^p) on an unbounded stream). Same checkpoint-identity
+    caveat as SnapshotTable.streaming_sink: give each logical stream its
+    own ``run_prefix``."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hll_commit_batch(table, batch_df, key_col, group_cols, p, seed,
+                         run_id=f"{run_prefix}-{batch_id}", hashes=hashes)
+        if rollup_every and batch_id > 0 and batch_id % rollup_every == 0:
+            hll_rollup_commit(table, group_cols,
+                              run_id=f"{run_prefix}-rollup-{batch_id}")
+    return sink
+
+
+def start_hll_ingest(table, stream: DataFrame, key_col: str,
+                     group_cols: list[str], checkpoint: str,
+                     p: int = 8, seed: int = _DEFAULT_SEED,
+                     hashes: str = "md5", rollup_every: int | None = None,
+                     query_name: str = "hll-ingest",
+                     run_prefix: str = "hll"):
+    """Wire a stream into a snapshot-backed HLL (availableNow trigger).
+    The live estimate at any time is :func:`hll_read_distinct`."""
+    return (stream.writeStream
+            .foreachBatch(hll_streaming_sink(table, key_col, group_cols,
+                                             p, seed, hashes, rollup_every,
+                                             run_prefix))
+            .option("checkpointLocation", checkpoint)
+            .queryName(query_name).trigger(availableNow=True).start())

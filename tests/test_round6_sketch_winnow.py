@@ -445,3 +445,31 @@ def test_winnow_pairs_guarantee_and_stopfp(spark):
     boiler_all = sum(1 for a, b in allp if a >= 10 and b >= 10)
     boiler_cut = sum(1 for a, b in pairs if a >= 10 and b >= 10)
     assert set(pairs) < allp and boiler_cut < boiler_all
+
+
+def test_hll_streaming_ingest(spark, tmp_path):
+    from raster_functions_spark.snapshots import SnapshotTable
+    src = str(tmp_path / "src")
+    df = _mixed_card_df(spark)
+    # three source files -> availableNow processes them as microbatches
+    for b in range(3):
+        (df.filter(F.col("key") % 3 == b)
+           .write.mode("append").parquet(src))
+    t = SnapshotTable(spark, str(tmp_path / "hll"))
+    stream = spark.readStream.schema("grp string, key long").parquet(src)
+    q = sketches.start_hll_ingest(
+        t, stream, "key", ["grp"], str(tmp_path / "ckpt"),
+        p=9, rollup_every=2)
+    q.awaitTermination(120)
+    live = {r["grp"]: r["est"] for r in
+            sketches.hll_read_distinct(t, ["grp"], p=9).collect()}
+    full = {r["grp"]: r["est"] for r in
+            sketches.hll_distinct(df, "key", ["grp"], p=9).collect()}
+    assert live == full
+    # restart with the same checkpoint: nothing new -> no new commits
+    cid = t.current_id
+    q2 = sketches.start_hll_ingest(
+        t, spark.readStream.schema("grp string, key long").parquet(src),
+        "key", ["grp"], str(tmp_path / "ckpt"), p=9)
+    q2.awaitTermination(120)
+    assert t.current_id == cid
