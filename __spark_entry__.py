@@ -1492,6 +1492,22 @@ def q_sample_mix_temperature(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_mm_shards(spark, sf_dir):
+    """Training-shard export manifest: 120 image+caption samples packed
+    into ~64 KiB WebDataset-style tar shards (from-scratch deterministic
+    ustar). Membership is the seeded pack assignment (salted streams, no
+    global window); one (bucket, bin) shuffle moves each image's bytes
+    exactly once. The oracle replays packing + manifest (names_md5 pins
+    member ORDER); the tar bytes themselves are pinned by the stdlib
+    tarfile roundtrip in pytest."""
+    from raster_functions_spark import fixtures, multimodal
+    imgs = fixtures.images_df(spark, 120)
+    out = multimodal.export_shards(imgs, capacity_bytes=1 << 16)
+    return (out.select("pack_bucket", "pack_bin", "n_items",
+                       "payload_bytes", "names_md5")
+            .orderBy("pack_bucket", "pack_bin"))
+
+
 def q_dedup_winnow_pairs(spark, sf_dir):
     """Winnowing-based near-duplicate pairs: docs sharing ≥ 2 distinct
     selected fingerprints (any shared ≥ 6-word run guarantees one). Stop
@@ -2431,7 +2447,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_incremental": q_flagship_incremental,
         "p9_zonal_interval": q_p9_zonal_interval,
         "img_zonal_remap_px": q_img_zonal_remap_px,
-        "p5_fill_constant": q_p5_fill_constant,
         "u2_composite_bands": q_u2_composite_bands,
         "s5_random": q_s5_random,
         "s4_training_csv": q_s4_training_csv,
@@ -2450,18 +2465,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "geo_knn": q_geo_knn,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
+        "mm_shards": q_mm_shards,
         "geo_compact_cover": q_geo_compact_cover,
         "geo_polyfill": q_geo_polyfill,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
-        # ---- driver window boundary (50) — m5_sarima_seasonal,
-        # f7_fish_habitat, ann_lsh_multi, rft_mosaic_findmax,
-        # rft_mosaic_synthesis (all r4-driver-green, unchanged in r6) and
-        # mm_decode_png..mm_ingest_rollup (all r4-driver-green) slid past
-        # it as the session-5 queries
+        # ---- driver window boundary (50) — p5_fill_constant,
+        # m5_sarima_seasonal, f7_fish_habitat, ann_lsh_multi,
+        # rft_mosaic_findmax, rft_mosaic_synthesis (all r4-driver-green,
+        # unchanged in r6) and mm_decode_png..mm_ingest_rollup (all
+        # r4-driver-green) slid past it as the session-5 queries
         # (sketch_hll, sketch_hll_stream, sketch_quantile, text_vocab,
         # geo_knn, dedup_winnow_pairs, geo_compact_cover, geo_polyfill,
-        # text_winnow, sample_mix_temperature) registered ----
+        # text_winnow, sample_mix_temperature, mm_shards) registered ----
+        "p5_fill_constant": q_p5_fill_constant,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
         "f7_fish_habitat": q_f7_fish_habitat,
         "ann_lsh_multi": q_ann_lsh_multi,
@@ -2718,6 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab": _text.vocab_sql("documents", top_n=15),
         "geo_knn": _orc.geo_knn_sql(3, 7, 15.0),
         "dedup_winnow_pairs": _text.winnow_pairs_sql("documents"),
+        "mm_shards": _orc.shards_sql(120, 1 << 16),
         "text_winnow": _text.winnow_sql("documents"),
         "sample_mix_temperature": _sampling.mixture_sql(
             "documents", "source", "n_chars", tau=0.7, budget=1_000_000),

@@ -1056,3 +1056,40 @@ def encode_avcc(w: int, h: int, profile_idc: int = 66,
     rec = (bytes([1, profile_idc, 0, level_idc, 0xFF, 0xE1])
            + struct.pack(">H", len(sps)) + sps + bytes([0]))
     return _box(b"avcC", rec)
+
+
+# ----------------------------------------------------- ustar (tar) ---------
+
+def tar_archive(members) -> bytes:
+    """Minimal deterministic POSIX ustar archive (the WebDataset training
+    shard container), from scratch: 512-byte headers (name ≤ 100 bytes,
+    octal size/mode/uid/gid, mtime pinned to 0 so identical inputs give
+    identical bytes), 8-space checksum-field rule, type '0', 'ustar\\x00'
+    magic + '00' version, data zero-padded to 512, two zero end blocks.
+    ``members`` is an ordered list of (name, payload bytes). Readable by
+    Python's stdlib ``tarfile`` (the independence check in pytest) and
+    every tar since 1988."""
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError(f"member name too long for ustar: {name!r}")
+        hdr = bytearray(512)
+        hdr[0:len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"            # mode
+        hdr[108:116] = b"0000000\x00"            # uid
+        hdr[116:124] = b"0000000\x00"            # gid
+        hdr[124:136] = f"{len(data):011o}".encode() + b"\x00"
+        hdr[136:148] = b"00000000000\x00"        # mtime = 0
+        hdr[148:156] = b" " * 8                  # checksum placeholder
+        hdr[156:157] = b"0"                      # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = f"{chk:06o}".encode() + b"\x00 "
+        out += hdr
+        out += data
+        pad = (-len(data)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)

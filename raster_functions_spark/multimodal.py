@@ -479,3 +479,62 @@ def augment_tiles(df: DataFrame, crop_h: int, crop_w: int,
             yield o
 
     return work.mapInPandas(run, schema=out_schema)
+
+
+def export_shards(df, capacity_bytes: int, seed: int = 0x5A4D,
+                  n_buckets: int = 2, id_col: str = "image_id",
+                  bytes_col: str = "bytes", fmt_col: str = "fmt",
+                  caption_col: str = "caption"):
+    """WebDataset-style training-shard export: pack (image, caption)
+    samples into ~``capacity_bytes`` tar shards and BUILD the archives —
+    each sample becomes the conventional member pair ``<id>.<fmt>`` +
+    ``<id>.txt`` in a from-scratch deterministic ustar
+    (:func:`raster_functions_spark.formats.tar_archive`), so re-runs
+    produce byte-identical shards at any parallelism.
+
+    Scale shape: shard membership is the seeded
+    :func:`~raster_functions_spark.sampling.pack_sequences` assignment
+    (hash-salted into ``n_buckets`` independent packing streams — no
+    global window), then ONE (bucket, bin) shuffle moves each image's
+    bytes exactly once into its shard's applyInPandas group; groups are
+    capacity-sized (~the shard size you asked for), so the per-group
+    Arrow tax is amortized over megabytes. Returns one row per shard:
+    the manifest (n_items, payload_bytes, names_md5 — order-pinning) +
+    the tar payload and its md5."""
+    import hashlib
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from .sampling import pack_sequences
+    from . import formats
+
+    weight = F.length(F.col(bytes_col)) + F.octet_length(F.col(caption_col))
+    base = (df.select(id_col, bytes_col, fmt_col, caption_col)
+            .withColumn("_w", weight))
+    assigned = pack_sequences(base, "_w", capacity_bytes, id_col, seed,
+                              n_buckets)
+
+    schema = ("pack_bucket int, pack_bin long, n_items long, "
+              "payload_bytes long, names_md5 string, tar_bytes binary, "
+              "tar_md5 string")
+
+    def build(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["pack_offset", id_col])
+        members, names, payload = [], [], 0
+        for _, r in pdf.iterrows():
+            img_name = f"{r[id_col]}.{r[fmt_col]}"
+            txt_name = f"{r[id_col]}.txt"
+            cap = str(r[caption_col]).encode("utf-8")
+            members += [(img_name, bytes(r[bytes_col])), (txt_name, cap)]
+            names.append(f"{img_name},{txt_name};")
+            payload += len(r[bytes_col]) + len(cap)
+        tar = formats.tar_archive(members)
+        return pd.DataFrame([{
+            "pack_bucket": int(key[0]), "pack_bin": int(key[1]),
+            "n_items": len(pdf), "payload_bytes": payload,
+            "names_md5": hashlib.md5("".join(names).encode()).hexdigest(),
+            "tar_bytes": tar,
+            "tar_md5": hashlib.md5(tar).hexdigest(),
+        }])
+
+    return (assigned.groupBy("pack_bucket", "pack_bin")
+            .applyInPandas(build, schema))

@@ -2097,3 +2097,35 @@ SELECT id, CAST(rank AS INT) AS rank,
        ROUND(sigma, 9) AS sigma_rad
 FROM ranked WHERE rank <= {k}
 ORDER BY id, rank"""
+
+
+def shards_sql(n_images: int, capacity: int, seed: int = 0x5A4D,
+               n_buckets: int = 2) -> str:
+    """mm_shards oracle: the per-image byte sizes/formats/caption lengths
+    enter as literal INPUTS (pure functions of the fixture generator —
+    the ring-literal precedent); DuckDB independently replays the packing
+    assignment (pack_sql: same u60 draw, bucket salt, integer prefix
+    math) and re-derives each shard's manifest, including the
+    order-pinning names_md5. The tar BYTES are checked outside SQL
+    (pytest reads the archives back with the stdlib and compares members
+    byte-for-byte)."""
+    from . import fixtures
+    from .sampling import pack_sql
+    pdf = fixtures.images_pdf(np.arange(n_images))
+    rows = ", ".join(
+        f"('{r.image_id}', {len(r.bytes)}, '{r.fmt}', "
+        f"{len(str(r.caption).encode('utf-8'))})"
+        for r in pdf.itertuples())
+    inner = pack_sql("imgs", "(nbytes + cap_len)", capacity, "image_id",
+                     seed, "image_id, nbytes, fmt, cap_len",
+                     n_buckets=n_buckets)
+    return f"""
+WITH imgs(image_id, nbytes, fmt, cap_len) AS (VALUES {rows}),
+assigned AS ({inner})
+SELECT pack_bucket, pack_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(nbytes + cap_len) AS BIGINT) AS payload_bytes,
+       md5(string_agg(image_id || '.' || fmt || ',' || image_id || '.txt;',
+                      '' ORDER BY pack_offset, image_id)) AS names_md5
+FROM assigned GROUP BY 1, 2
+ORDER BY pack_bucket, pack_bin"""

@@ -473,3 +473,40 @@ def test_hll_streaming_ingest(spark, tmp_path):
         "key", ["grp"], str(tmp_path / "ckpt"), p=9)
     q2.awaitTermination(120)
     assert t.current_id == cid
+
+
+# ------------------------------------------------ shard export (tar) -------
+
+def test_export_shards_tar_roundtrip(spark):
+    import io
+    import tarfile
+    from raster_functions_spark import fixtures, multimodal
+    imgs = fixtures.images_df(spark, 30)
+    src = {r["image_id"]: (bytes(r["bytes"]), r["fmt"], r["caption"])
+           for r in imgs.collect()}
+    shards = multimodal.export_shards(imgs, capacity_bytes=1 << 15).collect()
+    seen = {}
+    for sh in shards:
+        tf = tarfile.open(fileobj=io.BytesIO(bytes(sh["tar_bytes"])))
+        members = tf.getmembers()
+        assert len(members) == 2 * sh["n_items"]
+        for m in members:
+            seen[m.name] = tf.extractfile(m).read()
+        assert sh["payload_bytes"] == sum(
+            len(tf.extractfile(m).read()) for m in members)
+    # every sample present exactly once, bytes and captions exact
+    assert len(seen) == 2 * len(src)
+    for iid, (payload, fmt, cap) in src.items():
+        assert seen[f"{iid}.{fmt}"] == payload
+        assert seen[f"{iid}.txt"] == cap.encode()
+
+
+def test_export_shards_deterministic(spark):
+    from raster_functions_spark import fixtures, multimodal
+    a = {(r["pack_bucket"], r["pack_bin"]): r["tar_md5"] for r in
+         multimodal.export_shards(fixtures.images_df(spark, 30, 2),
+                                  1 << 15).collect()}
+    b = {(r["pack_bucket"], r["pack_bin"]): r["tar_md5"] for r in
+         multimodal.export_shards(fixtures.images_df(spark, 30, 7),
+                                  1 << 15).collect()}
+    assert a == b  # shard bytes independent of input partitioning
