@@ -517,7 +517,7 @@ def export_shards(df, capacity_bytes: int, seed: int = 0x5A4D,
               "payload_bytes long, names_md5 string, tar_bytes binary, "
               "tar_md5 string")
 
-    def build(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def build(key, pdf):
         pdf = pdf.sort_values(["pack_offset", id_col])
         members, names, payload = [], [], 0
         for _, r in pdf.iterrows():
