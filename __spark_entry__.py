@@ -1444,6 +1444,42 @@ def q_sketch_hll(spark, sf_dir):
             .orderBy("grp"))
 
 
+def q_sketch_quantile_stream(spark, sf_dir):
+    """Incremental quantile sketch over the snapshot table: three event
+    batches commit their histogram registers exactly-once, a rollup
+    rewrites them into one summed vector, a replayed run_id no-ops —
+    and because count addition is lossless the read-side p50/p95/p99
+    must equal DuckDB's one-shot sketch over ALL events."""
+    import shutil
+    import tempfile
+    from raster_functions_spark import sketches
+    from raster_functions_spark.snapshots import SnapshotTable
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("grp", F.col("event_type")))
+    td = tempfile.mkdtemp(prefix="q_stream_")
+    try:
+        t = SnapshotTable(spark, td + "/regs")
+        for b in range(2):
+            sketches.quantile_commit_batch(
+                t, ev.filter(F.col("event_id") % 3 == b), "value", ["grp"],
+                lo=0.0, hi=500.0, bins=256, run_id=f"batch-{b}")
+        sketches.quantile_rollup_commit(t, run_id="rollup-1")
+        sketches.quantile_commit_batch(
+            t, ev.filter(F.col("event_id") % 3 == 2), "value", ["grp"],
+            lo=0.0, hi=500.0, bins=256, run_id="batch-2")
+        sketches.quantile_commit_batch(  # replay must no-op
+            t, ev.filter(F.col("event_id") % 3 == 1), "value", ["grp"],
+            lo=0.0, hi=500.0, bins=256, run_id="batch-1")
+        out = (sketches.quantile_read(t, ["grp"], [0.5, 0.95, 0.99],
+                                      lo=0.0, hi=500.0, bins=256)
+               .select("grp", *[F.round(c, 6).alias(c)
+                                for c in ("p50", "p95", "p99")])
+               .orderBy("grp"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def q_geo_compact_cover(spark, sf_dir):
     """H3/S2-style compact(): the minimal mixed-resolution cell set whose
     res-9 descendants exactly tile a bbox cover — what an index-metadata
@@ -2447,7 +2483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_incremental": q_flagship_incremental,
         "p9_zonal_interval": q_p9_zonal_interval,
         "img_zonal_remap_px": q_img_zonal_remap_px,
-        "u2_composite_bands": q_u2_composite_bands,
         "s5_random": q_s5_random,
         "s4_training_csv": q_s4_training_csv,
         "f16_key_metadata": q_f16_key_metadata,
@@ -2466,18 +2501,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_knn": q_geo_knn,
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "mm_shards": q_mm_shards,
+        "sketch_quantile_stream": q_sketch_quantile_stream,
         "geo_compact_cover": q_geo_compact_cover,
         "geo_polyfill": q_geo_polyfill,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
-        # ---- driver window boundary (50) — p5_fill_constant,
+        # ---- driver window boundary (50) — u2_composite_bands,
+        # p5_fill_constant,
         # m5_sarima_seasonal, f7_fish_habitat, ann_lsh_multi,
         # rft_mosaic_findmax, rft_mosaic_synthesis (all r4-driver-green,
         # unchanged in r6) and mm_decode_png..mm_ingest_rollup (all
         # r4-driver-green) slid past it as the session-5 queries
         # (sketch_hll, sketch_hll_stream, sketch_quantile, text_vocab,
         # geo_knn, dedup_winnow_pairs, geo_compact_cover, geo_polyfill,
-        # text_winnow, sample_mix_temperature, mm_shards) registered ----
+        # text_winnow, sample_mix_temperature, mm_shards,
+        # sketch_quantile_stream) registered ----
+        "u2_composite_bands": q_u2_composite_bands,
         "p5_fill_constant": q_p5_fill_constant,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
         "f7_fish_habitat": q_f7_fish_habitat,
@@ -2736,6 +2775,10 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn": _orc.geo_knn_sql(3, 7, 15.0),
         "dedup_winnow_pairs": _text.winnow_pairs_sql("documents"),
         "mm_shards": _orc.shards_sql(120, 1 << 16),
+        # lossless count-additive merge => oracle is the one-shot sketch
+        "sketch_quantile_stream": _sketches.quantile_sql(
+            "events", "value", "event_type", "grp",
+            [0.5, 0.95, 0.99], lo=0.0, hi=500.0, bins=256),
         "text_winnow": _text.winnow_sql("documents"),
         "sample_mix_temperature": _sampling.mixture_sql(
             "documents", "source", "n_chars", tau=0.7, budget=1_000_000),

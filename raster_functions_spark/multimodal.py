@@ -520,13 +520,15 @@ def export_shards(df, capacity_bytes: int, seed: int = 0x5A4D,
     def build(key, pdf):
         pdf = pdf.sort_values(["pack_offset", id_col])
         members, names, payload = [], [], 0
-        for _, r in pdf.iterrows():
-            img_name = f"{r[id_col]}.{r[fmt_col]}"
-            txt_name = f"{r[id_col]}.txt"
-            cap = str(r[caption_col]).encode("utf-8")
-            members += [(img_name, bytes(r[bytes_col])), (txt_name, cap)]
+        cols = (pdf[id_col].to_numpy(), pdf[bytes_col].to_numpy(),
+                pdf[fmt_col].to_numpy(), pdf[caption_col].to_numpy())
+        for iid, payload_bytes, fmt, caption in zip(*cols):
+            img_name = f"{iid}.{fmt}"
+            txt_name = f"{iid}.txt"
+            cap = str(caption).encode("utf-8")
+            members += [(img_name, bytes(payload_bytes)), (txt_name, cap)]
             names.append(f"{img_name},{txt_name};")
-            payload += len(r[bytes_col]) + len(cap)
+            payload += len(payload_bytes) + len(cap)
         tar = formats.tar_archive(members)
         return pd.DataFrame([{
             "pack_bucket": int(key[0]), "pack_bin": int(key[1]),

@@ -373,3 +373,35 @@ def start_hll_ingest(table, stream: DataFrame, key_col: str,
                                              run_prefix))
             .option("checkpointLocation", checkpoint)
             .queryName(query_name).trigger(availableNow=True).start())
+
+
+# --------------------------------- incremental quantile (snapshot) ---------
+
+def quantile_commit_batch(table, batch_df: DataFrame, value_col: str,
+                          group_cols: list[str], lo: float, hi: float,
+                          bins: int = 256,
+                          run_id: str | None = None) -> int:
+    """Commit one batch's quantile registers to a SnapshotTable — the
+    exact counterpart of :func:`hll_commit_batch` (registers merge by
+    count ADDITION instead of max, so the read side sums instead of
+    maxes; everything else — exactly-once run_id, bounded per-batch
+    rows, rollup — is the same contract)."""
+    regs = (quantile_registers(batch_df, value_col, group_cols, lo, hi,
+                               bins).withColumn("_pb", F.lit(0)))
+    return table.append(regs, "_pb", run_id=run_id)
+
+
+def quantile_read(table, group_cols: list[str], qs: list[float],
+                  lo: float, hi: float, bins: int = 256,
+                  snapshot_id: int | None = None) -> DataFrame:
+    """Merged per-group quantile estimates over every committed batch."""
+    regs = quantile_merge(table.read(snapshot_id=snapshot_id).drop("_pb"))
+    return quantile_estimate(regs, group_cols, qs, lo, hi, bins)
+
+
+def quantile_rollup_commit(table, run_id: str | None = None) -> int:
+    """Replace accumulated register batches with their sum — bounds read
+    cost at ``groups × bins`` rows on an unbounded stream."""
+    merged = quantile_merge(table.read().drop("_pb")).withColumn(
+        "_pb", F.lit(0))
+    return table.overwrite_partitions(merged, values=[0], run_id=run_id)

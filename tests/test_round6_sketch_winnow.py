@@ -510,3 +510,31 @@ def test_export_shards_deterministic(spark):
          multimodal.export_shards(fixtures.images_df(spark, 30, 7),
                                   1 << 15).collect()}
     assert a == b  # shard bytes independent of input partitioning
+
+
+def test_quantile_incremental_snapshot(spark, tmp_path):
+    from raster_functions_spark.snapshots import SnapshotTable
+    df = spark.range(30_000).select(
+        (F.col("id") % 3).alias("grp"),
+        ((F.col("id") * 13 % 900)).cast("double").alias("v"))
+    t = SnapshotTable(spark, str(tmp_path / "qregs"))
+    for b in range(3):
+        sketches.quantile_commit_batch(
+            t, df.filter(F.col("id") % 3 == b), "v", ["grp"],
+            0.0, 1000.0, 128, run_id=f"b-{b}")
+    cid = t.current_id
+    sketches.quantile_commit_batch(  # replay no-op
+        t, df.filter(F.col("id") % 3 == 1), "v", ["grp"],
+        0.0, 1000.0, 128, run_id="b-1")
+    assert t.current_id == cid
+    inc = sketches.quantile_read(t, ["grp"], [0.5, 0.9], 0.0, 1000.0,
+                                 128).collect()
+    full = sketches.quantile_sketch(df, "v", ["grp"], [0.5, 0.9],
+                                    0.0, 1000.0, 128).collect()
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
+    pre = t.read().count()
+    sketches.quantile_rollup_commit(t, run_id="roll")
+    assert sorted(map(tuple, sketches.quantile_read(
+        t, ["grp"], [0.5, 0.9], 0.0, 1000.0, 128).collect())) == \
+        sorted(map(tuple, full))
+    assert t.read().count() <= pre
