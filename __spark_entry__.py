@@ -633,6 +633,51 @@ def q_sessionize(spark, sf_dir):
       FROM g GROUP BY user_id ORDER BY user_id""")
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Event-funnel conversion (view → click → purchase within 24h of
+    the first step): per user, the earliest qualifying timestamp of each
+    step strictly after the previous one, rolled up to per-step user
+    counts and median step latency. Three user-keyed conditional
+    min-aggregations chained by equi-joins — the partitioning is reused
+    across every stage, and nothing ever fans out beyond one row per
+    user per step (no event×event self-join). The SQL is identical in
+    DuckDB modulo timestamp extraction."""
+    _reg(spark, sf_dir, "events")
+    return spark.sql("""
+      WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND timestampdiff(MICROSECOND, s1.t1, e.ts) <= 86400000000
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND timestampdiff(MICROSECOND, s1.t1, e.ts) <= 86400000000
+        GROUP BY e.user_id),
+      j AS (
+        SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                LEFT JOIN s3 ON s1.user_id = s3.user_id)
+      SELECT
+        CAST(COUNT(t1) AS BIGINT) AS n_view,
+        CAST(COUNT(t2) AS BIGINT) AS n_click,
+        CAST(COUNT(t3) AS BIGINT) AS n_purchase,
+        CAST(SUM(CASE WHEN t2 IS NOT NULL
+                 THEN timestampdiff(MICROSECOND, t1, t2) END)
+             AS BIGINT) AS sum_view_to_click_us,
+        CAST(SUM(CASE WHEN t3 IS NOT NULL
+                 THEN timestampdiff(MICROSECOND, t2, t3) END)
+             AS BIGINT) AS sum_click_to_purchase_us
+      FROM j""")
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Custom STATEFUL streaming operator (applyInPandasWithState): gap-
     based sessionization of the events stream, two microbatches so state
@@ -2483,7 +2528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_incremental": q_flagship_incremental,
         "p9_zonal_interval": q_p9_zonal_interval,
         "img_zonal_remap_px": q_img_zonal_remap_px,
-        "s5_random": q_s5_random,
         "s4_training_csv": q_s4_training_csv,
         "f16_key_metadata": q_f16_key_metadata,
         "ann_ivf_index": q_ann_ivf_index,
@@ -2502,11 +2546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": q_dedup_winnow_pairs,
         "mm_shards": q_mm_shards,
         "sketch_quantile_stream": q_sketch_quantile_stream,
+        "funnel_steps": q_funnel_steps,
         "geo_compact_cover": q_geo_compact_cover,
         "geo_polyfill": q_geo_polyfill,
         "text_winnow": q_text_winnow,
         "sample_mix_temperature": q_sample_mix_temperature,
-        # ---- driver window boundary (50) — u2_composite_bands,
+        # ---- driver window boundary (50) — s5_random, u2_composite_bands,
         # p5_fill_constant,
         # m5_sarima_seasonal, f7_fish_habitat, ann_lsh_multi,
         # rft_mosaic_findmax, rft_mosaic_synthesis (all r4-driver-green,
@@ -2515,7 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (sketch_hll, sketch_hll_stream, sketch_quantile, text_vocab,
         # geo_knn, dedup_winnow_pairs, geo_compact_cover, geo_polyfill,
         # text_winnow, sample_mix_temperature, mm_shards,
-        # sketch_quantile_stream) registered ----
+        # sketch_quantile_stream, funnel_steps) registered ----
+        "s5_random": q_s5_random,
         "u2_composite_bands": q_u2_composite_bands,
         "p5_fill_constant": q_p5_fill_constant,
         "m5_sarima_seasonal": q_m5_sarima_seasonal,
@@ -2779,6 +2825,39 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantile_stream": _sketches.quantile_sql(
             "events", "value", "event_type", "grp",
             [0.5, 0.95, 0.99], lo=0.0, hi=500.0, bins=256),
+        "funnel_steps": """
+      WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND date_diff('us', s1.t1, e.ts) <= 86400000000
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND date_diff('us', s1.t1, e.ts) <= 86400000000
+        GROUP BY e.user_id),
+      j AS (
+        SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+        FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                LEFT JOIN s3 ON s1.user_id = s3.user_id)
+      SELECT
+        CAST(COUNT(t1) AS BIGINT) AS n_view,
+        CAST(COUNT(t2) AS BIGINT) AS n_click,
+        CAST(COUNT(t3) AS BIGINT) AS n_purchase,
+        CAST(SUM(CASE WHEN t2 IS NOT NULL
+                 THEN date_diff('us', t1, t2) END)
+             AS BIGINT) AS sum_view_to_click_us,
+        CAST(SUM(CASE WHEN t3 IS NOT NULL
+                 THEN date_diff('us', t2, t3) END)
+             AS BIGINT) AS sum_click_to_purchase_us
+      FROM j""",
         "text_winnow": _text.winnow_sql("documents"),
         "sample_mix_temperature": _sampling.mixture_sql(
             "documents", "source", "n_chars", tau=0.7, budget=1_000_000),
