@@ -81,14 +81,31 @@ def q_a7_percent_above(spark, sf_dir):
 
 
 def q_a8_topk_per_group(spark, sf_dir):
-    """A8 FindMax/SecondMax/ThirdMax: per-group top-3 with rank."""
+    """A8 FindMax/SecondMax/ThirdMax: per-group top-3 with rank.
+
+    r7 physical rewrite (results identical, proof below): the direct
+    window runs ONE sort task per o_orderpriority value — 5 groups = 5
+    busy cores regardless of cluster size. Stage 1 takes the top-3 of
+    each (priority, o_orderkey % 64) salt slice (64× the parallelism,
+    and only ~3·5·64 rows survive); stage 2 ranks the survivors with the
+    original window. Equivalence: the global top-3 of a group is a
+    subset of the union of its salt-slice top-3s (any row outside its
+    slice's top-3 has ≥3 rows of its own slice ahead of it globally),
+    and (o_totalprice DESC, o_orderkey) is a total order (o_orderkey
+    unique), so ranks are unambiguous."""
     _reg(spark, sf_dir, "orders")
     return spark.sql("""
+      WITH surv AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority, o_orderkey % 64
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS srnk
+          FROM orders) WHERE srnk <= 3)
       SELECT o_orderpriority, o_orderkey, rnk FROM (
         SELECT o_orderpriority, o_orderkey,
                ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-        FROM orders) WHERE rnk <= 3
+        FROM surv) WHERE rnk <= 3
       ORDER BY o_orderpriority, rnk""")
 
 
@@ -321,14 +338,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     DuckDB oracle below, so engine/oracle parity holds by construction."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_candidates(docs, n_hashes=64, bands=16)
-    try:
-        # materialize BEFORE releasing the signature cache — the sweep
-        # runs 100+ queries in one session, and dedup.py's cache contract
-        # says unreleased signature tables accumulate in executor storage
-        return spark.createDataFrame(pairs.orderBy("id_a", "id_b").toPandas())
-    finally:
-        dedup.release_signature_cache(pairs)
+    # r7: minhash_lsh_candidates is fully lazy (no signature cache to
+    # release — see its docstring), so the pre-r7 materialize-then-release
+    # toPandas round-trip is gone: the pairs never visit the driver.
+    return (dedup.minhash_lsh_candidates(docs, n_hashes=64, bands=16)
+            .orderBy("id_a", "id_b"))
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -458,9 +472,17 @@ def q_text_unigram_ppl(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
-    """Text: heuristic language-ID vs labeled lang."""
+    """Text: heuristic language-ID vs labeled lang.
+
+    r7: the documents table is one parquet row group, so the scan — and
+    with it the 20 marker-count replaces, the only heavy part — ran on a
+    single core. Round-robin the narrow projection up to cluster
+    parallelism first (size-based rule, no-op at scale); scoring is
+    per-row, so results are partitioning-invariant."""
     from raster_functions_spark import text
-    docs = _t(spark, sf_dir, "documents")
+    from raster_functions_spark.session import ensure_min_parallelism
+    docs = ensure_min_parallelism(
+        _t(spark, sf_dir, "documents").select("lang", "text"))
     return (text.lang_id_frame(docs, "text")
             .groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
             .orderBy("lang", "lang_pred"))
@@ -1830,13 +1852,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     candidate pairs (never all-pairs)."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    cand_raw = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
-    cand = cand_raw.select("id_a", "id_b")
-    out = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
-    try:
-        return spark.createDataFrame(out.orderBy("id_a", "id_b").toPandas())
-    finally:
-        dedup.release_signature_cache(cand_raw)
+    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+            .select("id_a", "id_b"))
+    return (dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                      candidates=cand)
+            .orderBy("id_a", "id_b"))
 
 
 def q_dedup_spans(spark, sf_dir):
@@ -1859,15 +1879,11 @@ def q_dedup_components(spark, sf_dir):
     same verified pair set."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    cand_raw = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
-    cand = cand_raw.select("id_a", "id_b")
+    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+            .select("id_a", "id_b"))
     verified = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
                                          candidates=cand)
-    try:
-        return spark.createDataFrame(
-            dedup.connected_components(verified).orderBy("doc_id").toPandas())
-    finally:
-        dedup.release_signature_cache(cand_raw)
+    return dedup.connected_components(verified).orderBy("doc_id")
 
 
 def q_dedup_corpus(spark, sf_dir):
@@ -1876,18 +1892,14 @@ def q_dedup_corpus(spark, sf_dir):
     what a training-data pipeline actually feeds the trainer."""
     from raster_functions_spark import dedup
     docs = _t(spark, sf_dir, "documents")
-    cand_raw = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
-    cand = cand_raw.select("id_a", "id_b")
+    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+            .select("id_a", "id_b"))
     verified = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
                                          candidates=cand)
-    try:
-        return spark.createDataFrame(
-            dedup.dedup_keep_canonical(docs, verified)
+    return (dedup.dedup_keep_canonical(docs, verified)
             .groupBy("lang").agg(F.count("*").alias("n_kept"),
                                  F.sum("doc_id").alias("sum_ids"))
-            .orderBy("lang").toPandas())
-    finally:
-        dedup.release_signature_cache(cand_raw)
+            .orderBy("lang"))
 
 
 def q_text_repetition(spark, sf_dir):
@@ -1942,28 +1954,24 @@ def q_curated_corpus(spark, sf_dir):
     oracle replays the full pipeline in one SQL statement."""
     from raster_functions_spark import dedup, sampling, text
     docs = _t(spark, sf_dir, "documents")
-    cand_raw = dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
-    cand = cand_raw.select("id_a", "id_b")
+    cand = (dedup.minhash_lsh_candidates(docs, n_hashes=8, bands=2)
+            .select("id_a", "id_b"))
     verified = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
                                          candidates=cand)
-    try:
-        kept = dedup.dedup_keep_canonical(docs, verified)
-        q = text.quality_features(kept).filter(F.col("n_tokens") >= 40)
-        mixed = sampling.sample_fraction(
-            q, "doc_id", seed=101, strata_col="lang",
-            fractions={"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0,
-                       "zh": 0.7})
-        lab = sampling.split_by_hash(
-            mixed, "doc_id", seed=17,
-            weights={"train": 0.9, "val": 0.05, "test": 0.05})
-        res = (lab.groupBy("lang", "split")
-               .agg(F.count("*").alias("n_docs"),
-                    F.sum("doc_id").alias("sum_ids"),
-                    F.sum("n_tokens").alias("sum_tokens"))
-               .orderBy("lang", "split"))
-        return spark.createDataFrame(res.toPandas())
-    finally:
-        dedup.release_signature_cache(cand_raw)
+    kept = dedup.dedup_keep_canonical(docs, verified)
+    q = text.quality_features(kept).filter(F.col("n_tokens") >= 40)
+    mixed = sampling.sample_fraction(
+        q, "doc_id", seed=101, strata_col="lang",
+        fractions={"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0,
+                   "zh": 0.7})
+    lab = sampling.split_by_hash(
+        mixed, "doc_id", seed=17,
+        weights={"train": 0.9, "val": 0.05, "test": 0.05})
+    return (lab.groupBy("lang", "split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids"),
+                 F.sum("n_tokens").alias("sum_tokens"))
+            .orderBy("lang", "split"))
 
 
 def q_dedup_crossmodal(spark, sf_dir):

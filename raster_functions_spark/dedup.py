@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # ------------------------------------------------------------- exact -------
@@ -167,6 +168,99 @@ def minhash_sql(text_expr: str, k: int = 5, n_hashes: int = 8) -> list[str]:
             for a, b in zip(A, B)]
 
 
+def _minhash_sig_batch(ids: np.ndarray, texts, A: np.ndarray, B: np.ndarray,
+                       k: int) -> pd.DataFrame:
+    """Vectorized NumPy minhash signatures for one Arrow batch — value-
+    identical to the SQL form (``minhash_signature`` / the pre-r7 explode+
+    64-min-agg plan) but one C pass instead of one JVM row per character
+    position (guide §4.2; the SQL plan additionally paid an O(position)
+    UTF8 char-offset scan per substring, making it superlinear per doc).
+
+    Exactness argument, piece by piece vs the SQL:
+    - ``ascii(substring(t, j, 1))`` = the j-th Unicode code point =
+      utf-32-le words; positions past the end give ascii('') = 0 = the
+      zero padding below (only reachable when length < k, where SQL
+      evaluates exactly one shingle at position 1).
+    - the rolling polynomial is plain int64 arithmetic, no intermediate
+      mod (max term < 2^63 for k ≤ 7, enforced by _polyhash_sql) —
+      identical in NumPy int64.
+    - ``%`` on non-negative int64 agrees between Spark, DuckDB and NumPy.
+    - min over all positions == the SQL's min over (distinct) shingles.
+    NULL text → all-NULL signature row, matching SQL null propagation.
+    """
+    n = len(texts)
+    H = len(A)
+    null_rows = []
+    bufs, n_pos = [], np.empty(n, np.int64)
+    eff = np.empty(n, np.int64)
+    for i in range(n):
+        t = texts[i]
+        if t is None:
+            null_rows.append(i)
+            t = ""
+        enc = t.encode("utf-32-le")
+        L = len(enc) >> 2
+        if L < k:                       # pad to k code points (ascii('')=0)
+            enc += b"\x00" * (4 * (k - L))
+            eff[i] = k
+        else:
+            eff[i] = L
+        bufs.append(enc)
+        n_pos[i] = max(L - (k - 1), 1)
+    codes = np.frombuffer(b"".join(bufs), dtype="<u4").astype(np.int64)
+    m = codes.size - (k - 1)            # defined window starts (may cross
+    ph = codes[:m].copy()               # doc bounds; those are never selected)
+    for j in range(1, k):
+        ph *= 131
+        ph += codes[j:m + j]
+    ph %= MINHASH_P
+    # per-doc valid window starts: starts[i] + [0, n_pos[i])
+    starts = np.concatenate(([0], np.cumsum(eff)[:-1]))
+    pos_starts = np.concatenate(([0], np.cumsum(n_pos)[:-1]))
+    total = int(n_pos.sum())
+    idx = (np.arange(total)
+           + np.repeat(starts - pos_starts, n_pos))
+    ph = ph[idx]
+    out = {"_id": ids}
+    for h in range(H):
+        x = (A[h] * ph + B[h]) % MINHASH_P
+        out[f"h{h}"] = np.minimum.reduceat(x, pos_starts)
+    pdf = pd.DataFrame(out)
+    if null_rows:
+        for h in range(H):
+            col = pdf[f"h{h}"].astype(object)
+            col.iloc[null_rows] = None
+            pdf[f"h{h}"] = col
+    return pdf
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       n_hashes: int = 8) -> DataFrame:
+    """Signature table (_id, h0..h{n-1}) via the vectorized Arrow kernel —
+    the production path minhash_lsh_candidates builds on."""
+    A, B = minhash_family(n_hashes)
+    An, Bn = np.asarray(A, np.int64), np.asarray(B, np.int64)
+    narrow = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    # The kernel's parallelism equals the scan's EFFECTIVE split count
+    # (row-group bound) — a small one-row-group corpus would run the
+    # whole signature pass on one core; see ensure_min_parallelism for
+    # the size-based rule (a no-op on any corpus big enough to matter).
+    from .session import ensure_min_parallelism
+    narrow = ensure_min_parallelism(narrow)
+    fields = [T.StructField("_id", narrow.schema["_id"].dataType)]
+    fields += [T.StructField(f"h{h}", T.LongType()) for h in range(n_hashes)]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield _minhash_sig_batch(pdf["_id"].to_numpy(), pdf["_t"].tolist(),
+                                     An, Bn, k)
+
+    return narrow.mapInPandas(gen, schema=T.StructType(fields))
+
+
 def _salted_buckets(banded: DataFrame, max_bucket: int,
                     id_col: str = "_id", carry_col: str | None = None) -> DataFrame:
     """Bound LSH bucket size WITHOUT dropping content: buckets larger than
@@ -177,19 +271,34 @@ def _salted_buckets(banded: DataFrame, max_bucket: int,
     oversized bucket's duplicate group connected (pair recall inside a
     sub-bucket is exact; cross-sub-bucket pairs are represented through
     the canonical doc, which downstream connected-component grouping
-    re-joins). Cost: one extra count aggregation + an equi-join on the
-    same (band, bsig) key the pairing groupBy shuffles on anyway.
+    re-joins).
+
+    r7: ``_n``/``_bmin`` are WINDOW aggregates over (band, bsig) instead
+    of a size aggregation joined back on the same key — one pass over
+    ``banded`` instead of two, no equi-join, and (because the window's
+    hash partitioning on (band, bsig) already satisfies the downstream
+    groupBy(band, bsig, salt) clustering) exactly ONE exchange for the
+    whole size→salt→pair chain. This also removes the reason the
+    upstream signature table had to be persisted (guide §2.4: two
+    operations keyed the same way share one exchange).
 
     ``carry_col``: optionally ride a payload column (e.g. the 64-bit hash
-    a bridge pair must compare against) through the size aggregate as
-    ``_bmin_carry`` = the canonical row's value — callers then need no
-    second lookup join (and especially no corpus-wide broadcast) to
-    resolve the canonical's payload."""
-    aggs = [F.count("*").alias("_n"), F.min(id_col).alias("_bmin")]
-    if carry_col is not None:
-        aggs.append(F.min_by(F.col(carry_col), F.col(id_col)).alias("_bmin_carry"))
-    sizes = banded.groupBy("band", "bsig").agg(*aggs)
-    j = banded.join(sizes, ["band", "bsig"])
+    a bridge pair must compare against) as ``_bmin_carry`` = the
+    canonical row's value — callers then need no lookup join (and
+    especially no corpus-wide broadcast) to resolve the canonical's
+    payload. (min over struct(id, carry) is ordered by id first; ids are
+    unique within a bucket, so the carry is exactly the canonical's.)"""
+    w = Window.partitionBy("band", "bsig")
+    j = banded.withColumn("_n", F.count("*").over(w))
+    if carry_col is None:
+        j = j.withColumn("_bmin", F.min(id_col).over(w))
+    else:
+        mn = F.min(F.struct(F.col(id_col).alias("i"),
+                            F.col(carry_col).alias("c"))).over(w)
+        j = (j.withColumn("_mn", mn)
+             .withColumn("_bmin", F.col("_mn.i"))
+             .withColumn("_bmin_carry", F.col("_mn.c"))
+             .drop("_mn"))
     n_sub = F.greatest(F.ceil(F.col("_n") / max_bucket), F.lit(1))
     salt = F.when(F.col("_n") <= max_bucket, F.lit(0)) \
         .otherwise(F.pmod(F.xxhash64(F.col(id_col).cast("string")), n_sub))
@@ -224,13 +333,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     _salted_buckets; sizes observable via lsh_bucket_stats). Nothing is
     silently dropped.
 
-    Cache contract: the narrow signature table is persisted (it feeds the
-    size aggregate AND the pairing pass). The handle is attached to the
-    returned DataFrame as ``.signature_cache`` — long-lived sessions that
-    run many dedup jobs should call ``release_signature_cache(pairs)``
-    (or ``pairs.signature_cache.unpersist()``) once the result has been
-    consumed, otherwise executor storage accumulates one signature table
-    per invocation.
+    r7: signatures come from the vectorized Arrow kernel
+    (:func:`minhash_signatures` — values identical to the SQL form, see
+    _minhash_sig_batch's exactness argument) and bucket sizes from window
+    aggregates sharing the pairing shuffle's exchange (_salted_buckets),
+    so the signature stage runs ONCE per job and nothing needs to be
+    persisted — the returned DataFrame is fully lazy with no cache to
+    release (``release_signature_cache`` stays as a no-op for callers
+    written against the old contract).
 
     Family size: any ``n_hashes`` up to :data:`MINHASH_MAX_HASHES` (128);
     pick ``bands`` with :func:`choose_bands` to target a Jaccard
@@ -238,31 +348,13 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     t ≈ 0.71. Larger families sharpen the S-curve: fewer low-similarity
     false candidates reach the Jaccard verification join at equal
     recall (measured in BENCH/notes_r6.md)."""
-    A, B = minhash_family(n_hashes)
     if n_hashes % bands:
         # silently dropping the trailing hashes would weaken the signature
         # with no signal (and the banded column refs would blow up later
         # with an opaque AnalysisException)
         raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
     rows = n_hashes // bands
-    # signature via explode + codegen arithmetic + hash-agg min(bigint):
-    # identical values to minhash_signature() but whole-stage-codegen
-    # end-to-end (array HOFs run interpreted; min(VARCHAR) would force a
-    # sort-based aggregate — both measured slower at sf0.1)
-    sh = (df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-          .select("_id", F.expr(
-              f"explode(sequence(1, greatest(length(_t) - {k - 1}, 1)))").alias("i"),
-              "_t")
-          .select("_id", F.expr(f"substring(_t, i, {k})").alias("s")))
-    hashed = sh.select("_id", F.expr(_polyhash_sql("s", k)).alias("ph"))
-    aggs = [F.min(F.expr(f"({a}L * ph + {b}L) % {MINHASH_P}")).alias(f"h{h}")
-            for h, (a, b) in enumerate(zip(A, B))]
-    # persist the signatures: the hot-bucket pass reads the banded table
-    # twice (size aggregate + pairing), and recomputing it would re-run
-    # the expensive shingle explode + hash aggregation over the raw text.
-    # The signature table is n_docs × (id + n_hashes longs) — tiny
-    # relative to the corpus, so MEMORY_AND_DISK is cheap at any scale.
-    sig_df = hashed.groupBy("_id").agg(*aggs).persist()
+    sig_df = minhash_signatures(df, text_col, id_col, k, n_hashes)
     banded = sig_df.select("_id", F.posexplode(F.array(*[
         F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
         for b in range(bands)])).alias("band", "bsig"))
@@ -283,14 +375,15 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                .select(F.col("lo").alias("id_a"), F.col("hi").alias("id_b")))
     pairs = (within.unionByName(bridges).groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_shared_bands")))
-    pairs.signature_cache = sig_df
     return pairs
 
 
 def release_signature_cache(pairs: DataFrame) -> None:
-    """Unpersist the signature table cached by minhash_lsh_candidates.
-    Safe to call once the pair DataFrame has been fully consumed (a later
-    re-use simply recomputes)."""
+    """No-op since r7: minhash_lsh_candidates no longer persists a
+    signature table (the single-pass window plan reads it once — see the
+    r7 note in its docstring), so there is nothing to release. Kept for
+    callers written against the old cache contract; still unpersists a
+    ``signature_cache`` handle if one is present."""
     handle = getattr(pairs, "signature_cache", None)
     if handle is not None:
         handle.unpersist()

@@ -39,11 +39,22 @@ def get_spark(app_name: str = "raster_functions_spark",
     n = cores or os.cpu_count() or 8
     from pyspark import SparkConf
     has_master = SparkConf().contains("spark.master")
+    sp = shuffle_partitions or max(n, 8)
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
+        .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # (r7: an 8× initialPartitionNum over-partitioning experiment was
+        # measured and REVERTED — alternating same-window A/B at sf1.0
+        # showed it 0.6-0.9s slower on the heaviest query in every trial;
+        # more shuffle blocks + AQE coalescing overhead, no win.)
+        # Floor on scan parallelism (guide §6): a table whose file count ×
+        # size lands under maxPartitionBytes scans as ONE task no matter
+        # how many cores exist (sf1.0 lineitem = 126 MB = 1 split, so
+        # every lineitem query ran its scan + partial agg on one core).
+        # A floor is scale-neutral: large tables already exceed it.
+        .config("spark.sql.files.minPartitionNum", str(n))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -63,6 +74,41 @@ def get_spark(app_name: str = "raster_functions_spark",
     spark.sparkContext.setLogLevel("WARN")
     ship_package(spark)
     return spark
+
+
+def ensure_min_parallelism(df, bytes_per_core: int = 4 * 1024 * 1024):
+    """Round-robin a SMALL input up to cluster parallelism.
+
+    Parquet effective scan parallelism is bounded by row-group count, not
+    split count — a one-row-group table puts EVERY row in one task no
+    matter what minPartitionNum says, which serializes any heavy per-row
+    stage built on it (the r7 profile: the whole minhash signature kernel
+    and the langid marker scoring each ran on a single core). The rule is
+    size-based and self-limiting: repartition only when the total input is
+    under cores × ``bytes_per_core`` — exactly the regime where the extra
+    exchange is trivially cheap. Large tables (unknowable sizes included)
+    are NEVER repartitioned, so the helper is a no-op at 100-TB scale.
+    Row-wise downstream results are partitioning-invariant."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    total = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return df            # non-local FS: cannot stat cheaply — skip
+        path = uri[5:]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return df
+    if total >= cores * bytes_per_core:
+        return df
+    return df.repartition(cores)
 
 
 def package_zip(path: str | None = None) -> str:

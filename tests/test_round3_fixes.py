@@ -40,14 +40,13 @@ def test_simhash_bridges_without_corpus_broadcast(spark):
     assert len({find(i) for i in range(8)}) == 1, pairs
     # every pair is a true dup (hamming 0 here)
     assert all(r.hamming == 0 for r in out.collect())
-    # plan shape: the only joins left are _salted_buckets' (band, bsig)
-    # size joins — the bridge path no longer joins (or broadcasts) the
-    # corpus on _bmin_id
+    # plan shape (r7): _salted_buckets now computes sizes as WINDOW
+    # aggregates over (band, bsig) — no size-join, no corpus join/broadcast
+    # anywhere in the LSH chain (the r3 bug was a corpus join on _bmin_id)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     join_lines = [l for l in plan.splitlines() if "Join" in l]
-    assert join_lines, "expected the salting size-join to remain"
-    assert all("bsig" in l for l in join_lines), join_lines
-    assert not any("_bmin_id" in l for l in join_lines), join_lines
+    assert not join_lines, join_lines
+    assert "+- Window [" in plan, plan[:2000]
 
 
 def test_phash_near_dups_still_exact(spark):
@@ -103,17 +102,20 @@ def test_brute_force_topk_boundary_tie_survives_batch():
 
 # ------------------------------------------------- signature cache ---------
 
-def test_minhash_signature_cache_released(spark):
+def test_minhash_no_signature_cache_needed(spark):
+    """r7 contract: minhash_lsh_candidates is fully lazy — the window-based
+    bucket sizing reads the signature pass once, so nothing is persisted
+    and release_signature_cache degrades to a safe no-op (old callers may
+    still invoke it)."""
     df = spark.createDataFrame([(i, f"document number {i} text " * 4)
                                 for i in range(20)], "doc_id long, text string")
     pairs = dedup.minhash_lsh_candidates(df)
     pairs.count()
-    sig = pairs.signature_cache
-    assert sig.storageLevel.useMemory or sig.storageLevel.useDisk
-    dedup.release_signature_cache(pairs)
-    assert not (sig.storageLevel.useMemory or sig.storageLevel.useDisk)
-    dedup.release_signature_cache(pairs)  # idempotent
-    dedup.release_signature_cache(df)     # no handle → no-op
+    assert getattr(pairs, "signature_cache", None) is None
+    # and the plan persists nothing (no InMemoryRelation anywhere)
+    assert "InMemoryRelation" not in pairs._jdf.queryExecution().optimizedPlan().toString()
+    dedup.release_signature_cache(pairs)  # no handle → no-op
+    dedup.release_signature_cache(df)     # idempotent / foreign df → no-op
 
 
 # ------------------------------------------- SARIMA short-series parity ----
