@@ -286,11 +286,18 @@ def q_spatial_bbox_join(spark, sf_dir):
     Physical rewrite (SURVEY.md O4): instead of the nested-loop theta join
     the oracle runs, each 8°-box explodes into the ≤4 8°-grid buckets it
     touches and points hash-join on their bucket — identical output rows,
-    but a shuffle hash join that scales linearly instead of |pts|×|boxes|."""
+    but a shuffle hash join that scales linearly instead of |pts|×|boxes|.
+
+    r7: the boxes side broadcasts, so the probe side (points) carries the
+    whole ~6.6M-row-probe join + partial agg — and the customer scan is
+    one parquet row group, i.e. ONE task. REPARTITION the points CTE to
+    cluster parallelism (parameterised, not a constant); results are
+    row-wise so partitioning-invariant."""
     _reg(spark, sf_dir, "customer", "supplier")
-    return spark.sql("""
+    n_par = spark.sparkContext.defaultParallelism
+    return spark.sql(f"""
       WITH pts AS (
-        SELECT c_custkey,
+        SELECT /*+ REPARTITION({n_par}) */ c_custkey,
                CAST(c_custkey * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS x,
                CAST(c_custkey * 104729 % 17000 AS DOUBLE) / 100.0 - 85.0 AS y
         FROM customer),

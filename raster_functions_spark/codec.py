@@ -61,6 +61,7 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 _DCT8 = _dct_matrix(DCT_BLOCK)
 _DCT32 = _dct_matrix(32)
+_PHASH_BITS = (np.uint64(1) << np.arange(63, dtype=np.uint64))
 
 
 def _as_chw(pixels: np.ndarray) -> np.ndarray:
@@ -165,8 +166,16 @@ def _dct_decode(payload: bytes, bands: int, h: int, w: int) -> np.ndarray:
 
 # ------------------------------------------------------------- public ------
 
-def encode(pixels: np.ndarray, fmt: str = "zlib") -> bytes:
-    """Encode a (bands,h,w) or (h,w) ndarray into the container format."""
+def encode(pixels: np.ndarray, fmt: str = "zlib",
+           zlib_level: int = 6) -> bytes:
+    """Encode a (bands,h,w) or (h,w) ndarray into the container format.
+
+    ``zlib_level`` only affects the size/speed of the ``zlib`` payload
+    (decode is level-agnostic); the default stays 6 because downstream
+    consumers embed encoded byte LENGTHS (e.g. the mm_shards packing
+    oracle literals) — callers for whom the bytes are a pure in-kernel
+    intermediate (the flagship synthesize→decode pipeline) pass 3, which
+    on the fixture data is both ~1.8× faster and slightly smaller."""
     chw = np.ascontiguousarray(_as_chw(pixels))
     dt = chw.dtype.str.lstrip("<>=|")
     if dt not in DTYPE_CODES:
@@ -179,7 +188,7 @@ def encode(pixels: np.ndarray, fmt: str = "zlib") -> bytes:
     elif fmt == "rle":
         payload = _rle_encode(chw.reshape(-1))
     elif fmt == "zlib":
-        payload = zlib.compress(le.tobytes(), 6)
+        payload = zlib.compress(le.tobytes(), zlib_level)
     elif fmt == "dct":
         payload = _dct_encode(chw)
     else:
@@ -260,10 +269,9 @@ def phash64(pixels: np.ndarray) -> int:
     coef = _DCT32 @ small @ _DCT32.T
     block = coef[:8, :8].reshape(-1)[1:]  # drop DC
     med = np.median(block)
-    bits = np.uint64(0)
-    for i, v in enumerate(block.tolist()):
-        if v > med:
-            bits |= np.uint64(1) << np.uint64(i)
+    # vectorized bit-pack (r7): sum of distinct powers of two == the old
+    # per-bit loop's OR, exactly (63 bits max < 2^64)
+    bits = _PHASH_BITS[block > med].sum(dtype=np.uint64)
     return int(bits.view(np.int64))
 
 

@@ -363,17 +363,22 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                .agg(F.sort_array(F.collect_list("_id")).alias("ids"),
                     F.first("_bmin").alias("_bmin"), F.first("_n").alias("_n"))
                .filter((F.size("ids") > 1) | (F.col("_n") > F.size("ids"))))
-    within = (grouped
-              .select(F.explode(F.expr(
-                  "flatten(transform(ids, (a, i) -> "
-                  "transform(slice(ids, i + 2, size(ids) - i - 1), b -> struct(a, b))))"))
-                  .alias("p"))
-              .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")))
-    bridges = (grouped.filter(F.col("_n") > max_bucket)
-               .select(F.col("_bmin").alias("lo"), F.element_at("ids", 1).alias("hi"))
-               .filter(F.col("lo") < F.col("hi"))
-               .select(F.col("lo").alias("id_a"), F.col("hi").alias("id_b")))
-    pairs = (within.unionByName(bridges).groupBy("id_a", "id_b")
+    # within-bucket pairs and the canonical bridge pair are ONE concat'd
+    # array expression (r7): the pre-r7 within.union(bridges) made Spark
+    # recompute the whole signature→banding→window→collect chain once per
+    # union branch — the plan's dominant cost once signatures got fast.
+    # The bridge is a one-element array filtered by the oversize
+    # condition (empty otherwise), so rows and counts are identical.
+    pair_list = F.expr(
+        "concat("
+        " flatten(transform(ids, (a, i) -> "
+        "   transform(slice(ids, i + 2, size(ids) - i - 1),"
+        "             b -> named_struct('a', a, 'b', b)))),"
+        " filter(array(named_struct('a', _bmin, 'b', ids[0])),"
+        f"        x -> _n > {int(max_bucket)} AND _bmin < ids[0]))")
+    pairs = (grouped.select(F.explode(pair_list).alias("p"))
+             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+             .groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_shared_bands")))
     return pairs
 
@@ -470,21 +475,23 @@ def _hash_band_near_dups(d: DataFrame, max_hamming: int, band_bits: int,
               F.first("_bmin_carry").alias("_bmin_sh"),
               F.first("_n").alias("_n"))
          .filter((F.size("xs") > 1) | (F.col("_n") > F.size("xs"))))
-    within = (g.select(F.explode(F.expr(
-        "flatten(transform(xs, (a, i) -> "
-        "transform(slice(xs, i + 2, size(xs) - i - 1), b -> struct(a._id as ia, b._id as ib, a.sh as sa, b.sh as sb))))"))
-        .alias("p")).select("p.*"))
-    # bridge: sub-bucket canonical ↔ bucket canonical. The canonical's hash
-    # rides through the size aggregate (_bmin_carry) — no lookup join, and
-    # no corpus-wide broadcast (the previous re-join of d here collected
-    # every (_id, sh) row to the driver, an OOM at crawl scale).
-    bridges = (g.filter(F.col("_n") > max_bucket)
-               .select(F.col("_bmin_id").alias("ia"),
-                       F.col("sub_min._id").alias("ib"),
-                       F.col("_bmin_sh").alias("sa"),
-                       F.col("sub_min.sh").alias("sb"))
-               .filter(F.col("ia") != F.col("ib")))
-    pairs = within.unionByName(bridges).distinct()
+    # within-bucket pairs + the canonical bridge (sub-bucket canonical ↔
+    # bucket canonical; its hash rides the window as _bmin_carry — no
+    # lookup join, no corpus broadcast) as ONE concat'd array per group:
+    # a union of two branches would recompute the whole upstream chain
+    # twice (r7 — see minhash_lsh_candidates). The bridge is a
+    # one-element array filtered by the oversize condition.
+    pair_list = F.expr(
+        "concat("
+        " flatten(transform(xs, (a, i) -> "
+        "   transform(slice(xs, i + 2, size(xs) - i - 1),"
+        "             b -> named_struct('ia', a._id, 'ib', b._id,"
+        "                               'sa', a.sh, 'sb', b.sh)))),"
+        " filter(array(named_struct('ia', _bmin_id, 'ib', sub_min._id,"
+        "                           'sa', _bmin_sh, 'sb', sub_min.sh)),"
+        f"        x -> _n > {int(max_bucket)} AND _bmin_id != sub_min._id))")
+    pairs = (g.select(F.explode(pair_list).alias("p"))
+             .select("p.*").distinct())
     return (pairs.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select(F.least("ia", "ib").alias("id_a"),

@@ -87,16 +87,36 @@ def tile_fmt(i: int) -> str:
     return ("raw", "rle", "zlib")[(i // 4) % 3]
 
 
+_GRID_CACHE: dict = {}
+
+
+def _grid_arrays(w: int, h: int):
+    """Per-(w, h) cached index grids + the i-independent kind-0 DEM.
+
+    tile_dims cycles through 3 shapes, yet every gen_pixels call paid a
+    fresh mgrid allocation — and the kind-0 DEM (sin/cos over the grid)
+    does not depend on i AT ALL, so it is a pure function of the shape.
+    Caching is exact (the cached values are bit-identical arrays; mutable
+    returns are copied below) and per-process, so reused Spark Python
+    workers amortize it across tasks (guide §4.5)."""
+    g = _GRID_CACHE.get((w, h))
+    if g is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = (yy * w + xx).astype(np.int64)
+        z = (100.0 + 50.0 * np.sin(2 * np.pi * xx / w) * np.cos(2 * np.pi * yy / h)
+             + 0.1 * xx)
+        g = (yy, xx, px, z.astype(np.float32)[None, :, :])
+        _GRID_CACHE[(w, h)] = g
+    return g
+
+
 def gen_pixels(i: int) -> np.ndarray:
     """The golden pixel content for row i — the NumPy oracle used by tests."""
     w, h = tile_dims(i)
     kind = tile_kind(i)
-    yy, xx = np.mgrid[0:h, 0:w]
+    yy, xx, px, dem = _grid_arrays(w, h)
     if kind == 0:  # analytic DEM: differentiable closed form (FIXTURES.md §5)
-        z = (100.0 + 50.0 * np.sin(2 * np.pi * xx / w) * np.cos(2 * np.pi * yy / h)
-             + 0.1 * xx)
-        return z.astype(np.float32)[None, :, :]
-    px = (yy * w + xx).astype(np.int64)
+        return dem.copy()
     if kind == 1:  # red/NIR pair
         red = ((i * 7 + px) % 251).astype(np.uint8)
         nir = ((i * 13 + px) % 241).astype(np.uint8)
@@ -133,14 +153,19 @@ def tile_lonlat(i: int) -> tuple[float, float]:
     return lon, lat
 
 
-def images_pdf(indices: np.ndarray) -> pd.DataFrame:
-    """Materialize image rows for the given indices (runs on executors)."""
+def images_pdf(indices: np.ndarray, zlib_level: int = 6) -> pd.DataFrame:
+    """Materialize image rows for the given indices (runs on executors).
+
+    ``zlib_level`` passes through to codec.encode — keep the default for
+    any table whose encoded byte lengths are observable downstream (the
+    mm_shards oracle embeds them as literals); the flagship synthesize→
+    decode kernel passes 3 (bytes are internal there — see codec.encode)."""
     rows = []
     for i in indices.tolist():
         px = gen_pixels(i)
         meta = tile_meta(i)
         fmt = tile_fmt(i)
-        buf = codec.encode(px, fmt)
+        buf = codec.encode(px, fmt, zlib_level=zlib_level)
         w, h = int(px.shape[2]), int(px.shape[1])
         lon, lat = tile_lonlat(i)
         hw = w * CELL_DEG / 2

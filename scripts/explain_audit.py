@@ -66,17 +66,18 @@ def main() -> int:
     checks.append(("cell-encode inside WholeStageCodegen, no Python", ok))
     out += ["\n## cell_encode projection\n", p]
 
-    # 5. minhash = hash aggregation, no interpreted lambdas in the hot path
+    # 5. minhash (r7): one vectorized Arrow signature pass, window-based
+    # bucket sizing — NO join anywhere in the candidate chain, and no
+    # interpreted lambdas (transform HOFs) before the first shuffle
+    # (they are allowed only in the tiny post-agg pair-generation stage)
     from raster_functions_spark import dedup
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan_of(dedup.minhash_lsh_candidates(docs, n_hashes=64, bands=16))
-    # hot path = everything before the first shuffle; interpreted lambdas
-    # (transform/aggregate HOFs) are allowed only in the tiny post-agg
-    # pair-generation stage
     hot = p.split("Exchange (")[0]
-    ok = ("HashAggregate" in hot and "transform(" not in hot
-          and "SortAggregate" not in hot and "ascii(" in p)
-    checks.append(("minhash signatures via codegen hash-agg (no HOFs/sorts)", ok))
+    ok = ("MapInPandas" in p and "transform(" not in hot
+          and "SortAggregate" not in hot
+          and "Join" not in p)
+    checks.append(("minhash: Arrow signature pass + window sizing, no joins", ok))
     out += ["\n## minhash_lsh_candidates\n", p]
 
     # 6. bbox join is a hash join on bucket keys, not nested loop

