@@ -86,19 +86,24 @@ def q_a8_topk_per_group(spark, sf_dir):
     r7 physical rewrite (results identical, proof below): the direct
     window runs ONE sort task per o_orderpriority value — 5 groups = 5
     busy cores regardless of cluster size. Stage 1 takes the top-3 of
-    each (priority, o_orderkey % 64) salt slice (64× the parallelism,
-    and only ~3·5·64 rows survive); stage 2 ranks the survivors with the
-    original window. Equivalence: the global top-3 of a group is a
-    subset of the union of its salt-slice top-3s (any row outside its
-    slice's top-3 has ≥3 rows of its own slice ahead of it globally),
-    and (o_totalprice DESC, o_orderkey) is a total order (o_orderkey
-    unique), so ranks are unambiguous."""
+    each (priority, o_orderkey % salt) slice; stage 2 ranks the ≤
+    3·5·salt survivors with the original window. Equivalence: the global
+    top-3 of a group is a subset of the union of its salt-slice top-3s
+    (any row outside its slice's top-3 has ≥3 rows of its own slice
+    ahead of it globally), and (o_totalprice DESC, o_orderkey) is a
+    total order (o_orderkey unique), so ranks are unambiguous — holds
+    for ANY salt count. salt = 128 × cluster parallelism (not a local
+    constant): the same-window A/B at sf1.0 was monotone in salt
+    (64→1.68 s, 512→1.36, 4096→1.20, vs 1.61 single-window) because
+    smaller slices mean cheaper per-group rank-limit sorts, while the
+    survivor count stays bounded by 15·salt independent of table size."""
     _reg(spark, sf_dir, "orders")
-    return spark.sql("""
+    salt = 128 * spark.sparkContext.defaultParallelism
+    return spark.sql(f"""
       WITH surv AS (
         SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
           SELECT o_orderpriority, o_orderkey, o_totalprice,
-                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority, o_orderkey % 64
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority, o_orderkey % {salt}
                                     ORDER BY o_totalprice DESC, o_orderkey) AS srnk
           FROM orders) WHERE srnk <= 3)
       SELECT o_orderpriority, o_orderkey, rnk FROM (
@@ -288,16 +293,15 @@ def q_spatial_bbox_join(spark, sf_dir):
     touches and points hash-join on their bucket — identical output rows,
     but a shuffle hash join that scales linearly instead of |pts|×|boxes|.
 
-    r7: the boxes side broadcasts, so the probe side (points) carries the
-    whole ~6.6M-row-probe join + partial agg — and the customer scan is
-    one parquet row group, i.e. ONE task. REPARTITION the points CTE to
-    cluster parallelism (parameterised, not a constant); results are
-    row-wise so partitioning-invariant."""
+    r7 note: a REPARTITION(defaultParallelism) hint on the points CTE was
+    measured and REVERTED — same-window A/B: +0.56 s at sf0.1 (the extra
+    exchange costs more than the single-task probe) and a wash at sf1.0
+    (1.09 vs 1.08 s; the probe is not the bottleneck — the broadcast
+    build + DISTINCT + small agg overheads are)."""
     _reg(spark, sf_dir, "customer", "supplier")
-    n_par = spark.sparkContext.defaultParallelism
-    return spark.sql(f"""
+    return spark.sql("""
       WITH pts AS (
-        SELECT /*+ REPARTITION({n_par}) */ c_custkey,
+        SELECT c_custkey,
                CAST(c_custkey * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0 AS x,
                CAST(c_custkey * 104729 % 17000 AS DOUBLE) / 100.0 - 85.0 AS y
         FROM customer),
