@@ -293,11 +293,15 @@ def q_spatial_bbox_join(spark, sf_dir):
     touches and points hash-join on their bucket — identical output rows,
     but a shuffle hash join that scales linearly instead of |pts|×|boxes|.
 
-    r7 note: a REPARTITION(defaultParallelism) hint on the points CTE was
-    measured and REVERTED — same-window A/B: +0.56 s at sf0.1 (the extra
-    exchange costs more than the single-task probe) and a wash at sf1.0
-    (1.09 vs 1.08 s; the probe is not the bottleneck — the broadcast
-    build + DISTINCT + small agg overheads are)."""
+    r7: the grid-cell dedup is per-row ``array_distinct`` on each axis
+    instead of a DISTINCT aggregation — equivalent because s_suppkey is
+    unique per boxes row, so the global DISTINCT over (key, bx, by)
+    equals the per-row distinct(bx) × distinct(by) cross; this removes
+    one Exchange + HashAggregate that the broadcast build serialized on
+    (same-window A/B at sf1.0: 1.52 → 0.74 s, rows identical).
+    (A REPARTITION hint on the points CTE was also tried and REVERTED:
+    +0.56 s at sf0.1, wash at sf1.0 — the probe was never the
+    bottleneck; the DISTINCT ahead of the broadcast was.)"""
     _reg(spark, sf_dir, "customer", "supplier")
     return spark.sql("""
       WITH pts AS (
@@ -311,12 +315,12 @@ def q_spatial_bbox_join(spark, sf_dir):
                CAST(s_suppkey * 733 % 14000 AS DOUBLE) / 100.0 - 80.0 AS ymin
         FROM supplier),
       box_cells AS (
-        SELECT DISTINCT s_suppkey, xmin, ymin, bx, by
+        SELECT s_suppkey, xmin, ymin, bx, by
         FROM boxes
-        LATERAL VIEW explode(array(CAST(FLOOR(xmin / 8.0) AS BIGINT),
-                                   CAST(FLOOR((xmin + 8.0) / 8.0) AS BIGINT))) t1 AS bx
-        LATERAL VIEW explode(array(CAST(FLOOR(ymin / 8.0) AS BIGINT),
-                                   CAST(FLOOR((ymin + 8.0) / 8.0) AS BIGINT))) t2 AS by),
+        LATERAL VIEW explode(array_distinct(array(CAST(FLOOR(xmin / 8.0) AS BIGINT),
+                                   CAST(FLOOR((xmin + 8.0) / 8.0) AS BIGINT)))) t1 AS bx
+        LATERAL VIEW explode(array_distinct(array(CAST(FLOOR(ymin / 8.0) AS BIGINT),
+                                   CAST(FLOOR((ymin + 8.0) / 8.0) AS BIGINT)))) t2 AS by),
       pt_cells AS (
         SELECT c_custkey, x, y,
                CAST(FLOOR(x / 8.0) AS BIGINT) AS bx,
